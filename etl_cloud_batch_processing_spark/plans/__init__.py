@@ -1,0 +1,10 @@
+"""Query library: importing this package populates the registry."""
+
+from etl_cloud_batch_processing_spark.plans import core  # noqa: F401
+from etl_cloud_batch_processing_spark.plans.registry import (
+    REGISTRY,
+    all_oracles,
+    all_queries,
+)
+
+__all__ = ["REGISTRY", "all_oracles", "all_queries"]

@@ -1,0 +1,47 @@
+"""Mini-driver: simulates the external verify harness against /root/repo."""
+import sys, math, datetime
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+import duckdb, pandas as pd
+
+# plain session, as the driver would build it — none of our engine conf
+spark = (SparkSession.builder.master("local[8]").appName("driver-sim")
+         .config("spark.ui.enabled", "false").getOrCreate())
+
+import __spark_entry__ as e
+
+df = e.entry(spark)
+rows = df.count()
+print(f"ENTRY: rows={rows} schema={df.schema.simpleString()}")
+assert rows > 0
+
+SF = "/root/testdata/sf0.01"
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+    con.execute(f"create view {t} as select * from read_parquet('{SF}/{t}.parquet')")
+
+def canon(v):
+    if v is None: return None
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else round(v, 9)
+    if isinstance(v, (pd.Timestamp, datetime.datetime, datetime.date)):
+        return pd.Timestamp(v).isoformat()
+    if isinstance(v, list): return tuple(canon(x) for x in v)
+    return v
+
+qs, os_ = e.queries(), e.oracle_sql()
+ok = bad = 0
+for name, fn in sorted(qs.items()):
+    sdf = fn(spark, SF).toPandas()
+    if name not in os_:
+        print(f"  {name}: rows-only rows={len(sdf)}"); ok += 1; continue
+    ddf = con.execute(os_[name]).fetchdf()
+    cols = sorted(sdf.columns)
+    s = sorted((tuple(canon(r[c]) for c in cols) for _, r in sdf.iterrows()), key=repr)
+    d = sorted((tuple(canon(r[c]) for c in cols) for _, r in ddf.iterrows()), key=repr)
+    status = "MATCH" if (cols == sorted(ddf.columns) and s == d) else "MISMATCH"
+    if status == "MATCH": ok += 1
+    else: bad += 1
+    print(f"  {name}: {status} rows={len(sdf)}/{len(ddf)}")
+print(f"RESULT: {ok} ok, {bad} mismatched")
+sys.exit(1 if bad else 0)
