@@ -1,6 +1,6 @@
 """Query library: importing this package populates the registry."""
 
-from etl_cloud_batch_processing_spark.plans import core  # noqa: F401
+from etl_cloud_batch_processing_spark.plans import analytics, core, llm  # noqa: F401
 from etl_cloud_batch_processing_spark.plans.registry import (
     REGISTRY,
     all_oracles,

@@ -1,0 +1,500 @@
+"""Analytics core over the star schema: joins, aggregations, windows,
+sorts, set operations (SURVEY.md §2.3-§2.7).
+
+The reference itself contains no JOIN / GROUP BY / set op (SURVEY.md
+§2.3) — these are the capabilities an analytics engine over its data
+model must have, exercised on the driver's TPC-H-ish fixtures.
+
+Float-determinism policy: every SUM over a double column casts inputs to
+DECIMAL(18,2) first (sums become exact and order-independent, so the
+driver's value hash is stable regardless of partitioning), then casts
+the final aggregate to DOUBLE so Spark and DuckDB schemas agree without
+depending on either engine's decimal precision-propagation rules.
+
+Scale notes inline per query; the common themes at 100 TB:
+* dims (region/nation/part/supplier/customer) broadcast — no shuffle of
+  the fact table for enrichment joins;
+* aggregations rely on partial (map-side) aggregation + AQE-coalesced
+  shuffles;
+* every ORDER BY that feeds a limit carries a total tiebreak and
+  collapses to TakeOrderedAndProject (no global sort materialized).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_cloud_batch_processing_spark.plans.registry import query, table
+
+DEC = "decimal(18,2)"
+
+
+def _dec(col: str):
+    return F.col(col).cast(DEC)
+
+
+# --------------------------------------------------------------------------
+# Aggregation surface: TPC-H Q1-style pricing summary.
+# --------------------------------------------------------------------------
+
+@query(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                    * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE)
+               AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '2001-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: scan-heavy groupBy with 6
+    aggregates over lineitem.  Physical plan: parquet scan with pushed
+    date filter + pruned 7-column ReadSchema → partial HashAggregate →
+    shuffle on (returnflag, linestatus) [6 groups] → final HashAggregate.
+    At 100 TB the shuffle carries only #partitions × 6 pre-aggregated
+    rows — the scan dominates, as it should."""
+    li = table(spark, sf_dir, "lineitem")
+    qty, price, disc, tax = (_dec("l_quantity"), _dec("l_extendedprice"),
+                             _dec("l_discount"), _dec("l_tax"))
+    return (li.filter(F.to_date("l_shipdate") <= F.lit("2001-09-01").cast("date"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(qty).cast("double").alias("sum_qty"),
+                 F.sum(price).cast("double").alias("sum_base_price"),
+                 F.sum(price * (F.lit(1) - disc)).cast("double")
+                  .alias("sum_disc_price"),
+                 F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax))
+                  .cast("double").alias("sum_charge"),
+                 (F.sum(qty).cast("double") / F.count(F.lit(1)))
+                  .alias("avg_qty"),
+                 F.count(F.lit(1)).alias("count_order")))
+
+
+# --------------------------------------------------------------------------
+# Join surface: fact → dims chain with broadcast (TPC-H Q5 shape).
+# --------------------------------------------------------------------------
+
+@query(
+    "regional_revenue",
+    oracle="""
+    SELECT r.r_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four-way enrichment join lineitem→orders→customer→nation→region,
+    revenue per region.  nation/region/customer are broadcast (dims —
+    customer is 15 MB even at SF100, far under executors' memory), so
+    the only wide shuffle is lineitem⋈orders on orderkey; AQE picks
+    shuffled-hash vs sort-merge.  At 100 TB co-bucketing lineitem and
+    orders on orderkey would remove that shuffle too."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = F.broadcast(table(spark, sf_dir, "customer"))
+    nation = F.broadcast(table(spark, sf_dir, "nation"))
+    region = F.broadcast(table(spark, sf_dir, "region"))
+    price, disc = _dec("l_extendedprice"), _dec("l_discount")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .join(nation, cust.c_nationkey == nation.n_nationkey)
+            .join(region, nation.n_regionkey == region.r_regionkey)
+            .groupBy("r_name")
+            .agg(F.sum(price * (F.lit(1) - disc)).cast("double")
+                  .alias("revenue"),
+                 F.count(F.lit(1)).alias("n_lineitems")))
+
+
+@query(
+    "brand_volume",
+    oracle="""
+    SELECT p.p_brand,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_qty,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def brand_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-hash join demo: part is a classic broadcast dim; the
+    plan must show BroadcastHashJoin with no shuffle of lineitem."""
+    li = table(spark, sf_dir, "lineitem")
+    part = F.broadcast(table(spark, sf_dir, "part"))
+    return (li.join(part, li.l_partkey == part.p_partkey)
+            .groupBy("p_brand")
+            .agg(F.sum(_dec("l_quantity")).cast("double").alias("total_qty"),
+                 F.count(F.lit(1)).alias("n_items")))
+
+
+@query(
+    "top_customers_by_revenue",
+    oracle="""
+    SELECT c_custkey, c_name, revenue, rnk
+    FROM (
+        SELECT c.c_custkey, c.c_name,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue,
+               ROW_NUMBER() OVER (
+                   ORDER BY SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) DESC,
+                            c.c_custkey ASC) AS rnk
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, c.c_name)
+    WHERE rnk <= 10
+    """,
+)
+def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + aggregate + global top-k with deterministic tiebreak.
+    The rank orders by the exact decimal sum (not the double) so ties
+    break identically in both engines; the final global window sees only
+    #customers pre-aggregated rows.  At scale the top-k would instead be
+    orderBy+limit → TakeOrderedAndProject (no single-partition window);
+    both forms kept — see ``top_orders_limit``."""
+    orders = table(spark, sf_dir, "orders")
+    cust = F.broadcast(table(spark, sf_dir, "customer"))
+    agg = (orders.join(cust, orders.o_custkey == cust.c_custkey)
+           .groupBy("c_custkey", "c_name")
+           .agg(F.sum(_dec("o_totalprice")).alias("revenue_dec")))
+    w = Window.orderBy(F.desc("revenue_dec"), F.asc("c_custkey"))
+    return (agg.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 10)
+            .select("c_custkey", "c_name",
+                    F.col("revenue_dec").cast("double").alias("revenue"),
+                    "rnk"))
+
+
+@query(
+    "top_orders_limit",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderdate
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 25
+    """,
+)
+def top_orders_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1+O2: ORDER BY … LIMIT k fused by Spark into
+    TakeOrderedAndProject — each partition keeps a k-row heap, the
+    driver merges #partitions × k rows; no global sort ever
+    materializes.  This is the 100 TB-safe top-k form."""
+    return (table(spark, sf_dir, "orders")
+            .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+            .limit(25)
+            .select("o_orderkey", "o_totalprice", "o_orderdate"))
+
+
+# --------------------------------------------------------------------------
+# Semi / anti joins.
+# --------------------------------------------------------------------------
+
+_WINDOW_1995 = ("CAST(o_orderdate AS DATE) >= DATE '1995-01-01' AND "
+                "CAST(o_orderdate AS DATE) < DATE '1996-01-01'")
+
+
+@query(
+    "customers_with_1995_orders",
+    oracle=f"""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND {_WINDOW_1995})
+    """,
+)
+def customers_with_1995_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers having ≥1 order in 1995.  The filter on
+    orders is applied before the join (pushed below), so the semi-join
+    build side is only the 1995 slice."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").filter(F.expr(_WINDOW_1995))
+    return (cust.join(orders, cust.c_custkey == orders.o_custkey,
+                      "left_semi")
+            .select("c_custkey", "c_name", "c_mktsegment"))
+
+
+@query(
+    "customers_without_1995_orders",
+    oracle=f"""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND {_WINDOW_1995})
+    """,
+)
+def customers_without_1995_orders(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Left-anti join: the complement of the semi join above."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").filter(F.expr(_WINDOW_1995))
+    return (cust.join(orders, cust.c_custkey == orders.o_custkey,
+                      "left_anti")
+            .select("c_custkey", "c_name", "c_mktsegment"))
+
+
+@query(
+    "nation_supplier_coverage",
+    oracle="""
+    SELECT n.n_name,
+           COALESCE(s.n_suppliers, 0) AS n_suppliers
+    FROM nation n
+    LEFT JOIN (SELECT s_nationkey, COUNT(*) AS n_suppliers
+               FROM supplier GROUP BY s_nationkey) s
+           ON n.n_nationkey = s.s_nationkey
+    """,
+)
+def nation_supplier_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join with aggregate subquery: nations keep a row even
+    with zero suppliers (NULL → 0 via coalesce)."""
+    nation = table(spark, sf_dir, "nation")
+    supp = (table(spark, sf_dir, "supplier")
+            .groupBy("s_nationkey")
+            .agg(F.count(F.lit(1)).alias("n_suppliers")))
+    return (nation.join(supp, nation.n_nationkey == supp.s_nationkey, "left")
+            .select("n_name",
+                    F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers")))
+
+
+# --------------------------------------------------------------------------
+# Theta / range join (SURVEY.md §2.3 "theta / range").
+# --------------------------------------------------------------------------
+
+@query(
+    "events_within_day_band",
+    oracle="""
+    WITH bounds AS (
+        SELECT CAST(ts AS DATE) AS day,
+               MIN(value) AS lo, MAX(value) AS hi
+        FROM events GROUP BY 1)
+    SELECT e.event_id, CAST(e.ts AS DATE) AS day, e.value, b.lo, b.hi
+    FROM events e
+    JOIN bounds b
+      ON CAST(e.ts AS DATE) = b.day
+     AND e.value > b.lo + 10 AND e.value < b.hi - 10
+    """,
+)
+def events_within_day_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed equi + range join: equality on day plus a band predicate on
+    value.  Catalyst hashes on the equi key and applies the range as a
+    residual filter — at 100 TB this stays a hash join, never a
+    cartesian; the bounds side is tiny (one row per day) and
+    broadcast."""
+    events = (table(spark, sf_dir, "events")
+              .withColumn("day", F.to_date("ts")))
+    bounds = F.broadcast(events.groupBy("day")
+                         .agg(F.min("value").alias("lo"),
+                              F.max("value").alias("hi")))
+    e = events.alias("e")
+    b = bounds.alias("b")
+    return (e.join(b, (F.col("e.day") == F.col("b.day"))
+                   & (F.col("e.value") > F.col("b.lo") + 10)
+                   & (F.col("e.value") < F.col("b.hi") - 10))
+            .select(F.col("e.event_id").alias("event_id"),
+                    F.col("e.day").alias("day"),
+                    F.col("e.value").alias("value"),
+                    F.col("b.lo").alias("lo"),
+                    F.col("b.hi").alias("hi")))
+
+
+# --------------------------------------------------------------------------
+# Window-function family (SURVEY.md §2.5).
+# --------------------------------------------------------------------------
+
+@query(
+    "user_running_totals",
+    oracle="""
+    SELECT event_id, user_id, ts, value,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS running_value,
+           LAG(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+           LEAD(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_value,
+           ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS seq
+    FROM events
+    """,
+)
+def user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-user totals + lag/lead + sequence numbers in one
+    window pass (single shuffle on user_id, one sort per partition).
+    The frame sum is decimal so the running values are exact at any
+    partition count."""
+    events = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return events.select(
+        "event_id", "user_id", "ts", "value",
+        F.sum(_dec("value")).over(frame).cast("double")
+         .alias("running_value"),
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.row_number().over(w).alias("seq"),
+    )
+
+
+@query(
+    "value_ranks_by_type",
+    oracle="""
+    SELECT event_id, event_type, value,
+           RANK() OVER (PARTITION BY event_type ORDER BY value DESC)
+               AS value_rank,
+           DENSE_RANK() OVER (PARTITION BY event_type ORDER BY value DESC)
+               AS value_dense_rank
+    FROM events
+    """,
+)
+def value_ranks_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank per event_type — tie-stable (equal values get
+    equal ranks, so no tiebreak column is needed for determinism)."""
+    events = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"))
+    return events.select(
+        "event_id", "event_type", "value",
+        F.rank().over(w).alias("value_rank"),
+        F.dense_rank().over(w).alias("value_dense_rank"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Distinct aggregation (SURVEY.md §2.4).
+# --------------------------------------------------------------------------
+
+@query(
+    "type_distinct_stats",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(DISTINCT CAST(ts AS DATE)) AS n_days
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def type_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-distinct aggregation; Spark expands to a single shuffle
+    with grouping-id partial aggregation (no per-distinct re-scan)."""
+    events = table(spark, sf_dir, "events")
+    return (events.withColumn("day", F.to_date("ts"))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.countDistinct("user_id").alias("n_users"),
+                 F.countDistinct("day").alias("n_days")))
+
+
+@query("approx_distinct_users")  # rows-only: HLL sketches differ per engine
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — the 100 TB-scale form of
+    COUNT(DISTINCT): one pass, fixed memory, no distinct expansion.
+    Sketch estimates are engine-specific ⇒ no value oracle (rows-only)."""
+    events = table(spark, sf_dir, "events")
+    return (events.groupBy("event_type")
+            .agg(F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+                 F.count(F.lit(1)).alias("n_events")))
+
+
+# --------------------------------------------------------------------------
+# Grouping sets / rollup (SURVEY.md §2.4).
+# --------------------------------------------------------------------------
+
+@query(
+    "rollup_type_day",
+    oracle="""
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY ROLLUP (event_type, CAST(ts AS DATE))
+    """,
+)
+def rollup_type_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy (type, day) → per-(type,day), per-type, grand
+    total, with NULL grouping markers matching ANSI."""
+    events = (table(spark, sf_dir, "events")
+              .withColumn("day", F.to_date("ts")))
+    return (events.rollup("event_type", "day")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(_dec("value")).cast("double").alias("total_value")))
+
+
+# --------------------------------------------------------------------------
+# Set operations (SURVEY.md §2.7).
+# --------------------------------------------------------------------------
+
+@query(
+    "users_signup_and_purchase",
+    oracle="""
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+    INTERSECT
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def users_signup_and_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct semantics)."""
+    events = table(spark, sf_dir, "events")
+    signup = events.filter(F.col("event_type") == "signup").select("user_id")
+    purchase = events.filter(F.col("event_type") == "purchase").select("user_id")
+    return signup.intersect(purchase)
+
+
+@query(
+    "users_error_not_purchase",
+    oracle="""
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+    EXCEPT
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def users_error_not_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct semantics)."""
+    events = table(spark, sf_dir, "events")
+    err = events.filter(F.col("event_type") == "error").select("user_id")
+    purchase = events.filter(F.col("event_type") == "purchase").select("user_id")
+    return err.subtract(purchase)
+
+
+@query(
+    "high_value_union",
+    oracle="""
+    SELECT event_id, event_type, value
+    FROM events WHERE event_type = 'purchase' AND value > 250
+    UNION
+    SELECT event_id, event_type, value
+    FROM events WHERE event_type = 'click' AND value > 290
+    """,
+)
+def high_value_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) via unionByName + distinct — the reference's
+    WRITE_APPEND accumulation expressed in-plan (SURVEY.md §2.7)."""
+    events = table(spark, sf_dir, "events")
+    a = (events.filter((F.col("event_type") == "purchase")
+                       & (F.col("value") > 250))
+         .select("event_id", "event_type", "value"))
+    b = (events.filter((F.col("event_type") == "click")
+                       & (F.col("value") > 290))
+         .select("event_id", "event_type", "value"))
+    return a.unionByName(b).distinct()

@@ -1,0 +1,489 @@
+"""North-star LLM-data-pipeline operators (SURVEY.md §2.12, NS1-NS5):
+dedup (exact / SimHash / n-gram Jaccard), text analysis (stats, quality
+scoring, language-ID, fingerprinting), similarity search over
+embeddings.  MinHash-LSH and ANN variants live in ``operators/`` and
+register rows-only queries (sketches are engine-specific).
+
+Determinism: token-hash machinery is md5-based because md5 is identical
+across Spark and DuckDB (xxhash64 / duckdb ``hash()`` are different
+algorithms) — this keeps SimHash signatures and fingerprints fully
+oracle-checkable.  Cosines are computed in double precision on both
+sides (see functions/vectors.py) and rounded to 6 decimals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_cloud_batch_processing_spark.functions import text as T
+from etl_cloud_batch_processing_spark.functions import vectors as V
+from etl_cloud_batch_processing_spark.plans.registry import query, table
+
+# DuckDB twin of functions/text.py normalize(): lower, trim, collapse
+# whitespace (needs the 'g' flag — DuckDB replaces first match only by
+# default, Spark replaces all).
+_DUCK_NORM = r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
+_DUCK_TOKS = "string_split(text, ' ')"
+
+
+# --------------------------------------------------------------------------
+# NS1 — exact deduplication.
+# --------------------------------------------------------------------------
+
+@query(
+    "dedup_exact_keyed",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars
+    FROM (
+        SELECT doc_id, lang, source, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY lang, source
+                                  ORDER BY doc_id ASC) AS rn
+        FROM documents)
+    WHERE rn = 1
+    """,
+)
+def dedup_exact_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NS1 keep-first-by-priority dedup: one row per (lang, source),
+    keeping the lowest doc_id.  ``dropDuplicates`` keeps an *arbitrary*
+    row per key — fine for idempotence, wrong for reproducibility — so
+    the engine's canonical exact-dedup is the deterministic row_number
+    form.  One shuffle on the key; at 100 TB this is the standard
+    hash-partitioned dedup with no skew issue (keys are fine-grained)."""
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source").orderBy(F.asc("doc_id"))
+    return (docs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", "lang", "source", "n_chars"))
+
+
+@query(
+    "dedup_exact_text",
+    oracle=f"""
+    SELECT doc_id, fingerprint
+    FROM (
+        SELECT doc_id, md5({_DUCK_NORM}) AS fingerprint,
+               ROW_NUMBER() OVER (PARTITION BY md5({_DUCK_NORM})
+                                  ORDER BY doc_id ASC) AS rn
+        FROM documents)
+    WHERE rn = 1
+    """,
+)
+def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NS1 content dedup via md5 fingerprint of normalized text — the
+    100 TB form: grouping by a 16-byte hash instead of multi-KB document
+    text keeps shuffle volume ~constant per row."""
+    docs = table(spark, sf_dir, "documents")
+    fp = T.md5_fingerprint("text")
+    w = Window.partitionBy("fingerprint").orderBy(F.asc("doc_id"))
+    return (docs.withColumn("fingerprint", fp)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", "fingerprint"))
+
+
+# --------------------------------------------------------------------------
+# NS4 — document fingerprinting.
+# --------------------------------------------------------------------------
+
+@query(
+    "doc_fingerprints",
+    oracle=f"""
+    SELECT doc_id,
+           md5({_DUCK_NORM}) AS fp_md5,
+           CAST('0x' || substr(md5({_DUCK_NORM}), 1, 15) AS BIGINT) AS fp60
+    FROM documents
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints: md5 hex + a 60-bit integer form (15 hex
+    chars, positive in a signed BIGINT in both engines) used as the
+    compact join/partition key for dedup at scale."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.md5_fingerprint("text").alias("fp_md5"),
+        T.fingerprint60("text").alias("fp60"),
+    )
+
+
+# --------------------------------------------------------------------------
+# NS4 — text statistics + quality scoring.
+# --------------------------------------------------------------------------
+
+@query(
+    "doc_text_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len({_DUCK_TOKS}) AS n_tokens,
+           len(list_distinct({_DUCK_TOKS})) AS n_distinct_tokens,
+           CAST(len(list_distinct({_DUCK_TOKS})) AS DOUBLE)
+               / len({_DUCK_TOKS}) AS type_token_ratio,
+           CAST(length(text) - (len({_DUCK_TOKS}) - 1) AS DOUBLE)
+               / len({_DUCK_TOKS}) AS avg_token_len,
+           length(text) = n_chars AS chars_match
+    FROM documents
+    """,
+)
+def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics: token count, vocabulary size,
+    type-token ratio, mean token length (exact, via total chars minus
+    separators), and validation of the stored n_chars column.  All
+    array expressions — zero UDFs, one scan, no shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    n = F.size(toks)
+    nd = F.size(F.array_distinct(toks))
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        nd.alias("n_distinct_tokens"),
+        (nd.cast("double") / n).alias("type_token_ratio"),
+        ((F.length("text") - (n - F.lit(1))).cast("double") / n)
+            .alias("avg_token_len"),
+        (F.length("text") == F.col("n_chars")).alias("chars_match"),
+    )
+
+
+@query(
+    "doc_quality_scores",
+    oracle=f"""
+    SELECT doc_id, lang,
+           least(CAST(len({_DUCK_TOKS}) AS DOUBLE) / 100.0, 1.0) * 0.5
+           + (CAST(len(list_distinct({_DUCK_TOKS})) AS DOUBLE)
+              / CAST(len({_DUCK_TOKS}) AS DOUBLE)) * 0.3
+           + (1.0 - CAST(len(list_filter({_DUCK_TOKS},
+                         t -> t IN ('a', 'the'))) AS DOUBLE)
+                  / CAST(len({_DUCK_TOKS}) AS DOUBLE)) * 0.2
+               AS quality_score
+    FROM documents
+    """,
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NS4 quality scoring: Gopher/C4-style composite of length credit,
+    lexical diversity, and stopword density (functions/text.py
+    quality_score) — arithmetic ordered identically in both engines so
+    doubles match bit-for-bit."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang",
+                       T.quality_score("text").alias("quality_score"))
+
+
+@query(
+    "lang_stats",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+           SUM(len({_DUCK_TOKS})) AS total_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition per language."""
+    docs = table(spark, sf_dir, "documents")
+    return (docs.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 (F.sum("n_chars").cast("double") / F.count(F.lit(1)))
+                    .alias("avg_chars"),
+                 F.sum(F.size(T.tokens("text"))).alias("total_tokens")))
+
+
+@query(
+    "token_frequency_top20",
+    oracle=f"""
+    SELECT token, COUNT(*) AS n_occurrences
+    FROM (
+        SELECT unnest({_DUCK_TOKS}) AS token FROM documents)
+    GROUP BY token
+    ORDER BY n_occurrences DESC, token ASC
+    LIMIT 20
+    """,
+)
+def token_frequency_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global token frequency top-20 (explode → partial-aggregated
+    count → TakeOrderedAndProject).  The classic vocabulary-building
+    pass; at 100 TB the explode output never materializes — map-side
+    combine collapses it to one row per (partition, token)."""
+    docs = table(spark, sf_dir, "documents")
+    return (docs.select(F.explode(T.tokens("text")).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("n_occurrences"))
+            .orderBy(F.desc("n_occurrences"), F.asc("token"))
+            .limit(20))
+
+
+# --------------------------------------------------------------------------
+# NS4 — language identification (token-vote model, trained on-corpus).
+# --------------------------------------------------------------------------
+
+@query(
+    "lang_id_token_vote",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, lang, unnest({_DUCK_TOKS}) AS token
+        FROM documents),
+    token_lang AS (
+        SELECT token, lang, COUNT(*) AS c
+        FROM tok GROUP BY token, lang),
+    token_top AS (
+        SELECT token, lang AS top_lang
+        FROM (SELECT token, lang,
+                     ROW_NUMBER() OVER (PARTITION BY token
+                                        ORDER BY c DESC, lang ASC) AS rn
+              FROM token_lang)
+        WHERE rn = 1),
+    votes AS (
+        SELECT t.doc_id, p.top_lang, COUNT(*) AS v
+        FROM tok t JOIN token_top p ON t.token = p.token
+        GROUP BY t.doc_id, p.top_lang),
+    pred AS (
+        SELECT doc_id, top_lang AS predicted_lang
+        FROM (SELECT doc_id, top_lang,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id
+                                        ORDER BY v DESC, top_lang ASC) AS rn
+              FROM votes)
+        WHERE rn = 1)
+    SELECT d.doc_id, d.lang, p.predicted_lang,
+           d.lang = p.predicted_lang AS correct
+    FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+    """,
+)
+def lang_id_token_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NS4 language-ID: n-gram-style statistical classifier built from
+    the corpus itself — each token's majority language is learned
+    (token-level argmax), then each document is classified by majority
+    vote of its tokens.  Fully relational (explode → two grouped argmax
+    windows → join); deterministic via total tiebreaks.  At 100 TB the
+    model side (token→lang) is a small broadcast table."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", "lang",
+                      F.explode(T.tokens("text")).alias("token"))
+    token_lang = tok.groupBy("token", "lang").agg(
+        F.count(F.lit(1)).alias("c"))
+    w_tok = Window.partitionBy("token").orderBy(F.desc("c"), F.asc("lang"))
+    token_top = (token_lang
+                 .withColumn("rn", F.row_number().over(w_tok))
+                 .filter(F.col("rn") == 1)
+                 .select("token", F.col("lang").alias("top_lang")))
+    votes = (tok.join(F.broadcast(token_top), "token")
+             .groupBy("doc_id", "top_lang")
+             .agg(F.count(F.lit(1)).alias("v")))
+    w_doc = Window.partitionBy("doc_id").orderBy(F.desc("v"),
+                                                 F.asc("top_lang"))
+    pred = (votes.withColumn("rn", F.row_number().over(w_doc))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", F.col("top_lang").alias("predicted_lang")))
+    return (docs.select("doc_id", "lang").join(pred, "doc_id")
+            .select("doc_id", "lang", "predicted_lang",
+                    (F.col("lang") == F.col("predicted_lang"))
+                    .alias("correct")))
+
+
+# --------------------------------------------------------------------------
+# NS2 — SimHash near-dup signatures (fully oracle-checkable).
+# --------------------------------------------------------------------------
+
+@query(
+    "simhash_signatures",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_distinct({_DUCK_TOKS})) AS token
+        FROM documents),
+    th AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(token), 1, 15) AS BIGINT) AS h
+        FROM tok),
+    bits AS (
+        SELECT doc_id, b.bit,
+               SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        FROM th CROSS JOIN (SELECT unnest(range(0, 60)) AS bit) b
+        GROUP BY doc_id, b.bit)
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN s > 0
+                         THEN CAST(1 AS BIGINT) << bit
+                         ELSE 0 END) AS BIGINT) AS simhash
+    FROM bits
+    GROUP BY doc_id
+    """,
+)
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NS2 SimHash: 60-bit near-dup signature per document.  Each
+    distinct token hashes to 60 bits (md5-based so both engines agree);
+    per bit position the signature takes the sign of Σ(±1) over tokens.
+    Expressed as explode × bit-range cross join → two aggregations —
+    pure relational algebra, linear in corpus size (docs × vocab × 60
+    rows pre-combine), no UDF.  Near-dup candidates are then pairs at
+    small Hamming distance, found at scale by banding the signature."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(T.tokens("text"))).alias("token"))
+    th = tok.select("doc_id", T.token_hash60("token").alias("h"))
+    bits = (th.select("doc_id", "h",
+                      F.explode(F.sequence(F.lit(0), F.lit(59))).alias("bit"))
+            .groupBy("doc_id", "bit")
+            .agg(F.sum(F.when(F.expr("(h >> bit) & 1") == 1, 1)
+                       .otherwise(-1)).alias("s")))
+    return (bits.groupBy("doc_id")
+            .agg(F.sum(F.when(F.col("s") > 0,
+                              F.expr("CAST(1 AS BIGINT) << bit"))
+                       .otherwise(F.lit(0))).alias("simhash")))
+
+
+# --------------------------------------------------------------------------
+# NS2 — n-gram Jaccard near-dup (relational shingle join).
+# --------------------------------------------------------------------------
+
+_DUCK_SHINGLES = """
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, len(string_split(text, ' ')) - 1),
+                   i -> string_split(text, ' ')[i] || ' ' ||
+                        string_split(text, ' ')[i+1] || ' ' ||
+                        string_split(text, ' ')[i+2]))) AS shingle
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+"""
+
+
+@query(
+    "ngram_jaccard_top_pairs",
+    oracle=f"""
+    WITH shingles AS ({_DUCK_SHINGLES}),
+    counts AS (
+        SELECT doc_id, COUNT(*) AS n_shingles
+        FROM shingles GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+        FROM shingles a JOIN shingles b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id)
+    SELECT doc_a, doc_b,
+           CAST(n_shared AS DOUBLE)
+               / (ca.n_shingles + cb.n_shingles - n_shared) AS jaccard
+    FROM shared
+    JOIN counts ca ON shared.doc_a = ca.doc_id
+    JOIN counts cb ON shared.doc_b = cb.doc_id
+    ORDER BY jaccard DESC, doc_a ASC, doc_b ASC
+    LIMIT 20
+    """,
+)
+def ngram_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NS2 n-gram Jaccard near-dup: word-trigram shingles, relational
+    set intersection via self-join on shingle, Jaccard = |∩|/|∪|, top-20
+    most similar pairs.  This is the exact (non-LSH) form; at 100 TB the
+    shingle self-join is replaced by MinHash banding
+    (operators/dedup.py) — kept here as the correctness reference, the
+    pattern SURVEY.md §7 step 5 prescribes."""
+    docs = table(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    n = F.size(toks)
+    shingle_arr = F.transform(
+        F.sequence(F.lit(1), n - 2),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i),
+                              F.element_at(toks, i + 1),
+                              F.element_at(toks, i + 2)))
+    shingles = (docs.filter(n >= 3)
+                .select("doc_id",
+                        F.explode(F.array_distinct(shingle_arr))
+                        .alias("shingle")))
+    counts = shingles.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    shared = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                     & (F.col("a.doc_id") < F.col("b.doc_id")))
+              .groupBy(F.col("a.doc_id").alias("doc_a"),
+                       F.col("b.doc_id").alias("doc_b"))
+              .agg(F.count(F.lit(1)).alias("n_shared")))
+    ca = counts.alias("ca")
+    cb = counts.alias("cb")
+    return (shared
+            .join(ca, F.col("doc_a") == F.col("ca.doc_id"))
+            .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
+            .select("doc_a", "doc_b",
+                    (F.col("n_shared").cast("double")
+                     / (F.col("ca.n_shingles") + F.col("cb.n_shingles")
+                        - F.col("n_shared"))).alias("jaccard"))
+            .orderBy(F.desc("jaccard"), F.asc("doc_a"), F.asc("doc_b"))
+            .limit(20))
+
+
+# --------------------------------------------------------------------------
+# NS3 — similarity search over embeddings.
+# --------------------------------------------------------------------------
+
+@query(
+    "knn_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+               FROM embeddings WHERE vec_id < 5),
+    scored AS (
+        SELECT q.query_id, e.vec_id, e.label,
+               round({V.duckdb_cosine_sql('q.qe', 'e.embedding')}, 6)
+                   AS cos_sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY {V.duckdb_cosine_sql('q.qe', 'e.embedding')}
+                            DESC, e.vec_id ASC) AS rnk
+        FROM q CROSS JOIN embeddings e
+        WHERE e.vec_id <> q.query_id)
+    SELECT query_id, vec_id, label, cos_sim, rnk
+    FROM scored WHERE rnk <= 10
+    """,
+)
+def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NS3 brute-force top-k nearest neighbours: 5 query vectors × all
+    candidates, double-precision cosine via array expressions
+    (functions/vectors.py — JVM higher-order functions, no UDF), top-10
+    per query with vec_id tiebreak.  The query side is broadcast, so
+    the candidate scan is embarrassingly parallel — the exact baseline
+    the LSH/IVF paths (operators/similarity.py) are measured against."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = F.broadcast(emb.filter(F.col("vec_id") < 5)
+                    .select(F.col("vec_id").alias("query_id"),
+                            F.col("embedding").alias("qe")))
+    cos = V.cosine("qe", "embedding")
+    w = Window.partitionBy("query_id").orderBy(F.desc("raw_cos"),
+                                               F.asc("vec_id"))
+    return (q.join(emb, F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "vec_id", "label",
+                    cos.alias("raw_cos"))
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 10)
+            .select("query_id", "vec_id", "label",
+                    F.round("raw_cos", 6).alias("cos_sim"), "rnk"))
+
+
+@query(
+    "embedding_near_dup_blocked",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+           round({V.duckdb_cosine_sql('a.embedding', 'b.embedding')}, 6)
+               AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {V.duckdb_cosine_sql('a.embedding', 'b.embedding')} > 0.35
+    """,
+)
+def embedding_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NS2/NS3 embedding-cosine near-dup with blocking: candidate pairs
+    are restricted to the same ``label`` block (in a real pipeline: an
+    LSH bucket or IVF cell), then exact double cosine filters at 0.35.
+    Blocking turns O(n²) into Σ|block|² — the standard scale pattern;
+    the equi-join on label is a plain hash join."""
+    emb = table(spark, sf_dir, "embeddings")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    cos = V.cosine(F.col("a.embedding"), F.col("b.embedding"))
+    return (a.join(b, (F.col("a.label") == F.col("b.label"))
+                   & (F.col("a.vec_id") < F.col("b.vec_id")))
+            .withColumn("raw_cos", cos)
+            .filter(F.col("raw_cos") > 0.35)
+            .select(F.col("a.vec_id").alias("vec_a"),
+                    F.col("b.vec_id").alias("vec_b"),
+                    F.col("a.label").alias("label"),
+                    F.round("raw_cos", 6).alias("cos_sim")))

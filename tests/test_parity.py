@@ -23,7 +23,7 @@ ROWS_ONLY_QUERIES = sorted(n for n, s in plans.REGISTRY.items()
 
 def _canon(value):
     """Canonicalize a cell for order-insensitive comparison."""
-    if value is None:
+    if value is None or value is pd.NaT:
         return None
     if isinstance(value, float):
         if math.isnan(value):

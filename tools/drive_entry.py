@@ -21,7 +21,7 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem","ev
     con.execute(f"create view {t} as select * from read_parquet('{SF}/{t}.parquet')")
 
 def canon(v):
-    if v is None: return None
+    if v is None or v is pd.NaT: return None
     if isinstance(v, float):
         return "NaN" if math.isnan(v) else round(v, 9)
     if isinstance(v, (pd.Timestamp, datetime.datetime, datetime.date)):
