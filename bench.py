@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Benchmark runner: executes the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"<name>": sec, ...}, "sf": <float>}
+
+Each query is forced end-to-end with a noop-format write (full
+execution, nothing collected to the driver, no count() shortcuts via
+parquet metadata).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from etl_cloud_batch_processing_spark import plans
+from etl_cloud_batch_processing_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: every registered query (full SURVEY.md §2 coverage).
+# Ordered so scan-heavy queries warm the OS page cache for the rest.
+SKIP: set[str] = set()
+
+
+def sf_from_dir(path: str) -> float:
+    m = re.search(r"sf([0-9.]+)", path)
+    return float(m.group(1)) if m else -1.0
+
+
+def main() -> None:
+    spark = get_spark("engine-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm-up: touch every fixture file once so first-query JVM/IO
+    # warmup doesn't pollute per-query numbers.
+    for name in ("lineitem", "orders", "events", "documents", "embeddings"):
+        spark.read.parquet(f"{SF_DIR}/{name}.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name, spec in sorted(plans.REGISTRY.items()):
+        if name in SKIP:
+            continue
+        df = spec.builder(spark, SF_DIR)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "total_wall_sec_all_queries",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_from_dir(SF_DIR),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
