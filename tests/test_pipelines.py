@@ -1,0 +1,172 @@
+"""End-to-end tests for the Case A / Case B pipelines (SURVEY.md §5.2
+plan item 2): synthesized reference-faithful inputs, several run dates
+including a re-run to prove idempotency, and checks that the reference's
+silent-junk defects are fixed (NULLs, never '' / nondeterministic ties).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+
+from etl_cloud_batch_processing_spark.pipelines import backfill, case_a, case_b
+from etl_cloud_batch_processing_spark.sources.readers import read_parquet
+
+DAYS_A = ["2021-03-10", "2021-03-11", "2021-03-12"]
+
+
+def _write_case_a_csvs(root: str) -> None:
+    """One CSV per day (FIXTURES.md §1.1): numeric text plus junk rows
+    exercising SAFE_CAST null-on-failure."""
+    os.makedirs(f"{root}/keyword_search", exist_ok=True)
+    rows_by_day = {
+        "2021-03-10": [
+            ("1", "spark", "120", "2021-03-10 08:00:00"),
+            ("2", "duck", "340", "2021-03-10 09:30:00"),
+            ("3", "flink", "junk", "2021-03-10 10:00:00"),   # junk count
+        ],
+        "2021-03-11": [
+            ("4", "spark", "999", "2021-03-11 11:00:00"),
+            ("5", "pandas", "999", "2021-03-11 12:00:00"),   # tie on count
+            ("x", "arrow", "10", "not-a-timestamp"),         # junk id + ts
+        ],
+        "2021-03-12": [
+            ("6", "polars", "77", "2021-03-12 23:59:59"),
+        ],
+    }
+    for ds, rows in rows_by_day.items():
+        path = f"{root}/{case_a.csv_object_name(ds)}"
+        with open(path, "w") as f:
+            f.write("user_id,search_keyword,search_result_count,created_at\n")
+            for r in rows:
+                f.write(",".join(r) + "\n")
+
+
+@pytest.fixture(scope="module")
+def case_a_out(spark, tmp_path_factory):
+    src = str(tmp_path_factory.mktemp("case_a_src"))
+    wh = str(tmp_path_factory.mktemp("case_a_wh"))
+    _write_case_a_csvs(src)
+    backfill(lambda ds: case_a.run(spark, ds, src, wh),
+             DAYS_A[0], DAYS_A[-1])
+    return wh
+
+
+def test_case_a_safe_cast_nulls(spark, case_a_out):
+    results = read_parquet(spark, f"{case_a_out}/{case_a.SEARCH_RESULTS}")
+    assert dict(results.dtypes)["user_id"] == "bigint"
+    assert dict(results.dtypes)["search_result_count"] == "bigint"
+    junk = results.filter("search_keyword = 'flink'").collect()[0]
+    assert junk.search_result_count is None          # SAFE_CAST, not error
+    assert results.count() == 7                      # nothing dropped
+
+
+def test_case_a_most_searched_per_day(spark, case_a_out):
+    top = (read_parquet(spark, f"{case_a_out}/{case_a.MOST_SEARCHED}")
+           .orderBy("created_date").collect())
+    assert [r.search_keyword for r in top] == ["duck", "pandas", "polars"]
+    # 2021-03-11 is a 999/999 tie: deterministic keyword-asc tiebreak.
+    assert top[1].search_result_count == 999
+    # the malformed-timestamp row never matches any day filter
+    assert all(r.created_date is not None for r in top)
+
+
+def test_case_a_rerun_overwrites_partition(spark, tmp_path):
+    """Re-running a whole day replaces its dt partition — the reference's
+    WRITE_APPEND would duplicate the 3 rows (SURVEY.md §2.9 defects)."""
+    src = str(tmp_path / "src")
+    wh = str(tmp_path / "wh")
+    _write_case_a_csvs(src)
+    case_a.run(spark, "2021-03-11", src, wh)
+    case_a.run(spark, "2021-03-11", src, wh)   # retry of the whole run
+    results = read_parquet(spark, f"{wh}/{case_a.SEARCH_RESULTS}")
+    assert results.count() == 3                # not 6: no duplication
+    top = read_parquet(spark, f"{wh}/{case_a.MOST_SEARCHED}")
+    assert top.count() == 1
+
+
+def _case_b_events(spark):
+    """Synthesized unified_events rows (FIXTURES.md §1.2): full 21-param
+    shape, sparse 2-param shape, a wrong-event row, an out-of-window row."""
+    def v_int(n):
+        return {"value": {"int_value": n, "string_value": None,
+                          "float_value": None}}
+
+    def v_str(s):
+        return {"value": {"int_value": None, "string_value": s,
+                          "float_value": None}}
+
+    def v_flt(x):
+        return {"value": {"int_value": None, "string_value": None,
+                          "float_value": x}}
+
+    def pad(params):
+        return params + [v_int(0)] * (case_b.FULL_SHAPE_LEN - len(params))
+
+    full = pad([v_int(100), v_int(200), v_str("TRX-1"), v_int(3),
+                v_flt(49.5), v_str("card"), v_str("web"), v_int(77)])
+    sparse = [v_str("TRX-2"), v_int(88)]
+    t = dt.datetime
+    rows = [
+        ("purchase_item", t(2021, 3, 21, 10), full, "u1", "WA", "SEA",
+         "2021-03-21"),
+        ("purchase_item", t(2021, 3, 23, 23, 59), sparse, "u2", "OR", "PDX",
+         "2021-03-23"),
+        ("page_view", t(2021, 3, 22, 9), full, "u3", "CA", "SFO",
+         "2021-03-22"),                                   # wrong event_name
+        ("purchase_item", t(2021, 3, 24, 0), full, "u4", "CA", "LAX",
+         "2021-03-24"),                                   # outside [ds,ds+2]
+    ]
+    return spark.createDataFrame(rows, case_b.UNIFIED_EVENTS_SCHEMA)
+
+
+@pytest.fixture(scope="module")
+def case_b_out(spark, tmp_path_factory):
+    src = str(tmp_path_factory.mktemp("case_b_src"))
+    wh = str(tmp_path_factory.mktemp("case_b_wh"))
+    _case_b_events(spark).write.parquet(f"{src}/unified_events.parquet")
+    case_b.run(spark, "2021-03-21", f"{src}/unified_events.parquet", wh)
+    return wh
+
+
+def test_case_b_full_shape_unnest(spark, case_b_out):
+    final = read_parquet(spark, f"{case_b_out}/{case_b.FINAL_TABLE}")
+    r = final.filter("user_id = 'u1'").collect()[0]
+    assert (r.transaction_id, r.transaction_detail_id) == (100, 200)
+    assert r.transaction_number == "TRX-1"
+    assert r.purchase_quantity == 3
+    assert r.purchase_amount == 49.5
+    assert r.purchase_payment_method == "card"
+    assert r.purchase_source == "web"
+    assert r.product_id == 77
+    assert r.ext_created_at == "2021-03-21"
+
+
+def test_case_b_sparse_shape_total_nulls(spark, case_b_out):
+    """Short arrays yield typed NULLs — the fixed form of the reference's
+    swallowed-ValueError '' placeholders (SURVEY.md §2.9 defects)."""
+    r = (read_parquet(spark, f"{case_b_out}/{case_b.FINAL_TABLE}")
+         .filter("user_id = 'u2'").collect()[0])
+    assert r.transaction_number == "TRX-2"
+    assert r.product_id == 88
+    assert r.transaction_id is None
+    assert r.purchase_amount is None
+    assert r.purchase_payment_method is None
+
+
+def test_case_b_filters_and_window(spark, case_b_out):
+    final = read_parquet(spark, f"{case_b_out}/{case_b.FINAL_TABLE}")
+    users = {r.user_id for r in final.select("user_id").collect()}
+    assert users == {"u1", "u2"}     # u3 wrong event, u4 out of window
+
+
+def test_case_b_rerun_idempotent(spark, tmp_path):
+    src = str(tmp_path / "src")
+    wh = str(tmp_path / "wh")
+    _case_b_events(spark).write.parquet(f"{src}/unified_events.parquet")
+    case_b.run(spark, "2021-03-21", f"{src}/unified_events.parquet", wh)
+    case_b.run(spark, "2021-03-21", f"{src}/unified_events.parquet", wh)
+    final = read_parquet(spark, f"{wh}/{case_b.FINAL_TABLE}")
+    assert final.count() == 2        # dt partition overwritten, not doubled
