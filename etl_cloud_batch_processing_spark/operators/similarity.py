@@ -1,0 +1,165 @@
+"""NS3 — approximate nearest-neighbour search over embeddings.
+
+Brute-force cosine top-k (plans/llm.py knn_cosine_topk) is the exact
+baseline; its cross join is O(queries × corpus).  The scale path is
+bucketed LSH: sign-random-projection (SimHash-for-vectors) assigns every
+vector a small bucket id, and queries only score candidates in their own
+bucket — Σ|bucket|² work instead of n².
+
+The hyperplane matrix is generated *deterministically* from md5
+(hashlib here, literal coefficients inlined into both the Spark plan and
+the DuckDB oracle), which makes the whole ANN path oracle-checkable —
+and mirrors the scale-correct deployment where the plane matrix is
+computed once on the driver and broadcast, never recomputed per row.
+
+``mllib_ann_pairs`` is the stock-MLlib variant
+(BucketedRandomProjectionLSH on unit vectors, euclidean ↔ cosine
+equivalence), registered rows-only.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_cloud_batch_processing_spark.functions import vectors as V
+from etl_cloud_batch_processing_spark.plans.registry import query, table
+
+N_PLANES = 4          # 2⁴ = 16 buckets ≈ √corpus at fixture scale;
+DIM = 64              # grows with log(corpus) in a real deployment.
+
+
+def _coef(p: int, d: int) -> float:
+    """Deterministic pseudo-uniform plane coefficient in [-1, 1] with 3
+    decimals — a decimal literal both engines parse to the same double."""
+    h = int(hashlib.md5(f"{p},{d}".encode()).hexdigest()[:15], 16)
+    return (h % 2001 - 1000) / 1000.0
+
+
+PLANES: list[list[float]] = [[_coef(p, d) for d in range(DIM)]
+                             for p in range(N_PLANES)]
+
+
+def bucket_of(vec: Column | str) -> Column:
+    """LSH bucket id: bit p = sign(planeₚ · v); bucket = Σ bitₚ·2ᵖ."""
+    v = F.col(vec) if isinstance(vec, str) else vec
+    bucket = F.lit(0)
+    for p, row in enumerate(PLANES):
+        plane = F.array(*[F.lit(c) for c in row])
+        dot = F.aggregate(F.zip_with(plane, v,
+                                     lambda a, b: a * b.cast("double")),
+                          F.lit(0.0), lambda acc, x: acc + x)
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def _duck_plane_dot(p: int, vec_expr: str) -> str:
+    lits = ", ".join(f"{c:.3f}" for c in PLANES[p])
+    return (f"list_sum(list_transform(range(1, {DIM + 1}), "
+            f"d -> ([{lits}])[d] * CAST({vec_expr}[d] AS DOUBLE)))")
+
+
+def _duck_bucket(vec_expr: str) -> str:
+    terms = " + ".join(
+        f"CASE WHEN {_duck_plane_dot(p, vec_expr)} >= 0 "
+        f"THEN {1 << p} ELSE 0 END"
+        for p in range(N_PLANES))
+    return f"({terms})"
+
+
+@query(
+    "ann_bucket_stats",
+    oracle=f"""
+    SELECT {_duck_bucket('embedding')} AS bucket,
+           COUNT(*) AS n_vectors
+    FROM embeddings
+    GROUP BY 1
+    """,
+)
+def ann_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket occupancy histogram — the skew check for the ANN index.
+    A hot bucket is a skewed shuffle partition at scale; this is the
+    query you run before choosing N_PLANES."""
+    emb = table(spark, sf_dir, "embeddings")
+    return (emb.select(bucket_of("embedding").alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_vectors")))
+
+
+@query(
+    "ann_lsh_topk",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label, embedding,
+               {_duck_bucket('embedding')} AS bucket
+        FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS qe, bucket
+          FROM e WHERE vec_id < 5),
+    scored AS (
+        SELECT q.query_id, e.vec_id, e.label,
+               round({V.duckdb_cosine_sql('q.qe', 'e.embedding')}, 6)
+                   AS cos_sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY {V.duckdb_cosine_sql('q.qe', 'e.embedding')}
+                            DESC, e.vec_id ASC) AS rnk
+        FROM q JOIN e ON q.bucket = e.bucket
+        WHERE e.vec_id <> q.query_id)
+    SELECT query_id, vec_id, label, cos_sim, rnk
+    FROM scored WHERE rnk <= 5
+    """,
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed ANN top-5: queries meet only same-bucket candidates via
+    an equi-join on the bucket id (a plain hash join — no cross join
+    anywhere), exact cosine re-ranks within the bucket.  Approximate by
+    construction: a true neighbour on the far side of a hyperplane is
+    missed; recall is tuned with N_PLANES / multi-probe, measured against
+    the exact ``knn_cosine_topk`` baseline."""
+    emb = table(spark, sf_dir, "embeddings")
+    e = emb.withColumn("bucket", bucket_of("embedding"))
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("qe"), "bucket"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("raw_cos"),
+                                               F.asc("vec_id"))
+    return (q.join(e, "bucket")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "vec_id", "label",
+                    V.cosine("qe", "embedding").alias("raw_cos"))
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 5)
+            .select("query_id", "vec_id", "label",
+                    F.round("raw_cos", 6).alias("cos_sim"), "rnk"))
+
+
+@query("mllib_ann_pairs")  # rows-only: MLlib's random planes ≠ DuckDB
+def mllib_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stock-MLlib ANN: unit-normalize embeddings, then
+    BucketedRandomProjectionLSH approxSimilarityJoin on euclidean
+    distance (on unit vectors ‖a-b‖² = 2-2·cos, so the 1.14 threshold
+    ≈ cosine > 0.35), fixed seed."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    emb = table(spark, sf_dir, "embeddings")
+    unit = emb.select(
+        "vec_id",
+        array_to_vector(V.l2_normalize("embedding")).alias("features"))
+    lsh = BucketedRandomProjectionLSH(inputCol="features",
+                                      outputCol="hashes",
+                                      bucketLength=0.5,
+                                      numHashTables=4, seed=42)
+    model = lsh.fit(unit)
+    joined = model.approxSimilarityJoin(unit, unit, 1.14, distCol="dist")
+    return (joined
+            .filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
+            .select(F.col("datasetA.vec_id").alias("vec_a"),
+                    F.col("datasetB.vec_id").alias("vec_b"),
+                    F.round("dist", 6).alias("dist"))
+            .orderBy(F.asc("dist"), F.asc("vec_a"), F.asc("vec_b"))
+            .limit(50))

@@ -1,6 +1,12 @@
 """Query library: importing this package populates the registry."""
 
-from etl_cloud_batch_processing_spark.plans import analytics, core, llm  # noqa: F401
+from etl_cloud_batch_processing_spark.plans import (  # noqa: F401
+    analytics,
+    core,
+    llm,
+    streams,
+)
+from etl_cloud_batch_processing_spark import operators  # noqa: E402,F401
 from etl_cloud_batch_processing_spark.plans.registry import (
     REGISTRY,
     all_oracles,

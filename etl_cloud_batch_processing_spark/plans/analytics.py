@@ -498,3 +498,145 @@ def high_value_union(spark: SparkSession, sf_dir: str) -> DataFrame:
                        & (F.col("value") > 290))
          .select("event_id", "event_type", "value"))
     return a.unionByName(b).distinct()
+
+
+# --------------------------------------------------------------------------
+# Cube + exact percentiles (SURVEY.md §2.4 engine surface).
+# --------------------------------------------------------------------------
+
+@query(
+    "cube_type_user_parity",
+    oracle="""
+    SELECT event_type, user_id % 2 AS user_parity,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY CUBE (event_type, user_id % 2)
+    """,
+)
+def cube_type_user_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (type, user parity): all four grouping sets in one
+    pass.  Spark expands grouping sets map-side (each input row feeds
+    every set's partial aggregate) — one shuffle, not one per set."""
+    events = (table(spark, sf_dir, "events")
+              .withColumn("user_parity", F.col("user_id") % 2))
+    return (events.cube("event_type", "user_parity")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(_dec("value")).cast("double").alias("total_value")))
+
+
+@query(
+    "value_percentiles_by_type",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.25), 6) AS p25,
+           round(quantile_cont(value, 0.50), 6) AS p50,
+           round(quantile_cont(value, 0.75), 6) AS p75,
+           round(median(value), 6) AS med
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation — identical definition in
+    Spark ``percentile`` and DuckDB ``quantile_cont``) + median.  Exact
+    percentile sorts per group; the 100 TB form is
+    ``approx_percentile`` (t-digest-style, one pass, fixed memory) —
+    kept alongside as ``approx_value_percentiles``."""
+    events = table(spark, sf_dir, "events")
+    return (events.groupBy("event_type")
+            .agg(F.round(F.expr("percentile(value, 0.25)"), 6).alias("p25"),
+                 F.round(F.expr("percentile(value, 0.50)"), 6).alias("p50"),
+                 F.round(F.expr("percentile(value, 0.75)"), 6).alias("p75"),
+                 F.round(F.expr("percentile(value, 0.5)"), 6).alias("med")))
+
+
+@query("approx_value_percentiles")  # rows-only: sketch is engine-specific
+def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile — one-pass bounded-memory quantiles, the form
+    that scales (exact percentile materializes each group's values)."""
+    events = table(spark, sf_dir, "events")
+    return (events.groupBy("event_type")
+            .agg(F.expr("approx_percentile(value, array(0.25, 0.5, 0.75), "
+                        "10000)").alias("approx_quartiles"),
+                 F.count(F.lit(1)).alias("n_events")))
+
+
+# --------------------------------------------------------------------------
+# Day-over-day deltas + moving window frames (SURVEY.md §2.5 frames).
+# --------------------------------------------------------------------------
+
+@query(
+    "daily_activity_trend",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM events GROUP BY 1)
+    SELECT day, n_events, total,
+           n_events - lag(n_events) OVER (ORDER BY day) AS delta_events,
+           round(AVG(total) OVER (
+               ORDER BY (day - DATE '1970-01-01')
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS ma7_total
+    FROM daily
+    """,
+)
+def daily_activity_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day deltas (lag) + a 7-day moving average via a RANGE
+    frame keyed on epoch-days — time-based frames, not row-based, so
+    gaps in the calendar widen the frame correctly.  The window input is
+    one pre-aggregated row per day: the unpartitioned window is
+    deliberate and safe (it sees #days rows, never raw events — the
+    aggregation collapsed 100 TB to KBs before any single-partition
+    step)."""
+    events = table(spark, sf_dir, "events")
+    daily = (events.withColumn("day", F.to_date("ts"))
+             .groupBy("day")
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  F.sum(_dec("value")).cast("double").alias("total")))
+    daily = daily.withColumn("epoch_day",
+                             F.datediff("day", F.lit("1970-01-01").cast("date")))
+    w_lag = Window.orderBy("day")
+    w_ma = (Window.orderBy("epoch_day").rangeBetween(-6, 0))
+    return (daily.select(
+        "day", "n_events", "total",
+        (F.col("n_events") - F.lag("n_events").over(w_lag))
+            .alias("delta_events"),
+        F.round(F.avg("total").over(w_ma), 6).alias("ma7_total")))
+
+
+# --------------------------------------------------------------------------
+# Correlated-subquery shape: above the group's average.
+# --------------------------------------------------------------------------
+
+@query(
+    "customers_above_nation_avg",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name, c.c_acctbal,
+           round(a.avg_bal, 6) AS nation_avg
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN (SELECT c_nationkey, AVG(c_acctbal) AS avg_bal
+          FROM customer GROUP BY c_nationkey) a
+      ON c.c_nationkey = a.c_nationkey
+    WHERE c.c_acctbal > a.avg_bal
+    """,
+)
+def customers_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers above their nation's average balance — the decorrelated
+    form of the classic correlated subquery (aggregate once per nation,
+    broadcast it back).  At 100 TB the per-group aggregate is tiny and
+    broadcast; the raw table is scanned once per side (or once total
+    with a window-function variant)."""
+    cust = table(spark, sf_dir, "customer")
+    nation = F.broadcast(table(spark, sf_dir, "nation"))
+    avg_bal = F.broadcast(
+        cust.groupBy(F.col("c_nationkey").alias("k"))
+        .agg(F.avg("c_acctbal").alias("avg_bal")))
+    return (cust
+            .join(nation, cust.c_nationkey == nation.n_nationkey)
+            .join(avg_bal, cust.c_nationkey == avg_bal.k)
+            .filter(F.col("c_acctbal") > F.col("avg_bal"))
+            .select("c_custkey", "c_name", "n_name", "c_acctbal",
+                    F.round("avg_bal", 6).alias("nation_avg")))

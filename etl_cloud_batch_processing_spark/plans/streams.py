@@ -1,0 +1,99 @@
+"""Event-time window queries (SURVEY.md §2.5/§2.11): batch twins of the
+streaming aggregations, plus one query that runs the *real* Structured
+Streaming pipeline end-to-end and returns its sink — so streaming
+correctness goes through the same DuckDB oracle gate as everything else.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_cloud_batch_processing_spark.plans.registry import query, table
+from etl_cloud_batch_processing_spark.streaming import windows as W
+
+
+@query(
+    "tumbling_window_counts",
+    oracle="""
+    SELECT time_bucket(INTERVAL 1 DAY, ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           round(SUM(value), 6) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day event-time windows per event type — the batch form
+    of the streaming aggregation (identical column expressions, shared
+    body in streaming/windows.py).  ``F.window`` buckets align to the
+    epoch in UTC, exactly DuckDB's ``time_bucket``."""
+    return W.tumbling_counts(table(spark, sf_dir, "events"))
+
+
+@query(
+    "session_windows_30m",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts)
+                         > INTERVAL 30 MINUTE
+                    OR lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events),
+    islands AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess
+        FROM gaps)
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM islands
+    GROUP BY user_id, sess
+    """,
+)
+def session_windows_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 30-minute-gap sessionization via built-in
+    ``session_window``.  The oracle is the classic gaps-and-islands SQL —
+    same semantics: a session ends ``gap`` after its last event.  At
+    100 TB this shuffles once on user_id; session merging is local to
+    each group."""
+    return W.session_windows(table(spark, sf_dir, "events"))
+
+
+@query(
+    "streaming_tumbling_counts",
+    oracle="""
+    WITH agg AS (
+        SELECT time_bucket(INTERVAL 1 DAY, ts) AS window_start,
+               event_type,
+               COUNT(*) AS n_events,
+               round(SUM(value), 6) AS sum_value
+        FROM events
+        GROUP BY 1, 2)
+    SELECT * FROM agg
+    WHERE window_start + INTERVAL 1 DAY <= (SELECT max(ts) FROM events)
+    """,
+)
+def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real Structured Streaming pipeline, end-to-end: readStream →
+    watermarked tumbling windows → AvailableNow drain into a parquet
+    sink, which is then read back as the result.
+
+    Watermark semantics make the expected output *precisely defined*:
+    with a 0-second watermark, a window emits iff it closed at or before
+    the maximum observed event time — the oracle's WHERE clause.  (The
+    in-flight final window is withheld; it would emit on the next batch
+    of arrivals.)"""
+    out = tempfile.mkdtemp(prefix="stream_sink_")
+    ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
+    result = W.tumbling_counts(W.events_stream(spark, sf_dir))
+    W.run_available_now(result, out, ckpt)
+    return spark.read.parquet(out)

@@ -1,0 +1,86 @@
+"""Unit tests for the operators/ package beyond the registry parity
+checks: multimodal Arrow plumbing, LSH properties, stub behavior."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from etl_cloud_batch_processing_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+)
+
+
+def test_multimodal_features_match_numpy(spark):
+    rows = [(1, "hello world"), (2, "aa"), (3, "Ζ ünïcode")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    media = multimodal.attach_media(docs)
+    got = {r.media_id: r for r in
+           multimodal.extract_features(media).collect()}
+    for doc_id, text in rows:
+        b = np.frombuffer(text.encode(), dtype=np.uint8)
+        r = got[doc_id]
+        assert r.n_bytes == b.size
+        assert r.byte_mean == pytest.approx(float(b.mean()))
+        assert (r.byte_min, r.byte_max) == (int(b.min()), int(b.max()))
+        assert r.histogram4 == [int(x) for x in
+                                np.bincount(b >> 6, minlength=4)]
+
+
+def test_multimodal_metadata_prunes_payload(spark):
+    docs = spark.createDataFrame([(1, "abc")], ["doc_id", "text"])
+    media = multimodal.attach_media(docs)
+    r = media.select("meta.uri", "meta.mime", "meta.n_bytes").collect()[0]
+    assert r.uri == "corpus://documents/1"
+    assert r.mime == "text/plain"
+    assert r.n_bytes == 3
+
+
+def test_decode_image_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG")
+
+
+def test_minhash_identical_docs_collide(spark):
+    text = "a b c d e f g h i j"
+    docs = spark.createDataFrame(
+        [(1, text), (2, text), (3, "z y x w v u t s r q")],
+        ["doc_id", "text"])
+    sh = docs.select("doc_id", dedup.shingles("text").alias("sh"))
+    mh = sh.select("doc_id",
+                   dedup.minhash_signature(F.col("sh")).alias("m"))
+    sig = {r.doc_id: tuple(r.m) for r in mh.collect()}
+    assert sig[1] == sig[2]                 # identical text, identical sig
+    assert sig[1] != sig[3]
+    assert len(sig[1]) == dedup.N_HASHES
+    bands = {r.doc_id: tuple(r.b) for r in
+             mh.select("doc_id",
+                       dedup.band_keys(F.col("m")).alias("b")).collect()}
+    assert bands[1] == bands[2]
+    assert len(bands[1]) == dedup.N_BANDS
+
+
+def test_lsh_bucket_matches_python_reference(spark):
+    emb = [0.5] * 16 + [-0.25] * 48
+    df = spark.createDataFrame([(1, emb)], ["vec_id", "embedding"])
+    got = df.select(
+        similarity.bucket_of("embedding").alias("b")).collect()[0].b
+
+    expected = 0
+    for p, row in enumerate(similarity.PLANES):
+        if sum(c * x for c, x in zip(row, emb)) >= 0:
+            expected |= 1 << p
+    assert got == expected
+
+
+def test_planes_are_md5_deterministic():
+    h = int(hashlib.md5(b"0,0").hexdigest()[:15], 16)
+    assert similarity.PLANES[0][0] == (h % 2001 - 1000) / 1000.0
+    assert all(len(r) == similarity.DIM for r in similarity.PLANES)
+    flat = [c for row in similarity.PLANES for c in row]
+    assert all(-1.0 <= c <= 1.0 for c in flat)
