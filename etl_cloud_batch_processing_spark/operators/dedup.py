@@ -6,30 +6,48 @@ LSH banding: documents collide only when a band of their signatures
 matches, so the join touches candidate pairs, not all pairs
 (sub-quadratic — SURVEY.md §4.3).
 
-Two implementations:
+Performance shape (measured at sf0.1 — a 16×md5-per-shingle variant was
+~50s for the signature pass alone): each shingle is md5-hashed **once**
+to a 60-bit integer; the k minhash functions are then universal hashes
+``(aᵢ·h + bᵢ) mod p`` of that integer, computed as k plain min()
+aggregates — whole-stage-codegen arithmetic with map-side partial
+aggregation, no arrays, no per-hash md5.  All constants are derived
+deterministically from md5 (inlined as literals), so every stage is
+reproducible in DuckDB and the whole path — signatures, band keys, the
+candidate join, the exact-Jaccard verify — is oracle-checkable.
 
-* **md5-deterministic** (this module's column helpers): the k minhash
-  functions are ``min over shingles of md5(seed ':' shingle)`` — md5 is
-  identical in Spark and DuckDB, so signatures, band keys, *and* the
-  candidate-pair join are fully oracle-checkable.  16 hashes, 8 bands ×
-  2 rows: P(collide) = 1-(1-j²)⁸, steep around j≈0.35.
-* **stock MLlib** (``mllib_near_dup_pairs``): ``MinHashLSH`` over a
-  HashingTF shingle vector with a fixed seed — the library path a real
-  cluster deployment would tune; registered rows-only (MLlib's hash
-  family is engine-specific, not reproducible in DuckDB).
+``mllib_near_dup_pairs`` is the stock-MLlib path (MinHashLSH over a
+HashingTF shingle vector, fixed seed), registered rows-only (MLlib's
+hash family is engine-specific).
 """
 
 from __future__ import annotations
+
+import hashlib
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_cloud_batch_processing_spark.functions import text as T
-from etl_cloud_batch_processing_spark.plans.registry import query, table
+from etl_cloud_batch_processing_spark.plans.registry import ptable, query, table
 
 N_HASHES = 16
 ROWS_PER_BAND = 2
 N_BANDS = N_HASHES // ROWS_PER_BAND
+
+# Universal-hash family over 32-bit inputs: (a·h32 + b) mod P with
+# P prime > 2³², a < 2³⁰ (so a·h32 + b < 2⁶² never overflows int64).
+P = 4294967311
+H32 = 4294967296
+
+
+def _const(tag: str, lo: int, hi: int) -> int:
+    h = int(hashlib.md5(tag.encode()).hexdigest()[:15], 16)
+    return lo + h % (hi - lo)
+
+
+A = [_const(f"a{i}", 1, 1 << 30) for i in range(N_HASHES)]
+B = [_const(f"b{i}", 0, 1 << 30) for i in range(N_HASHES)]
 
 
 def shingles(text: Column | str) -> Column:
@@ -44,101 +62,117 @@ def shingles(text: Column | str) -> Column:
                               F.element_at(toks, i + 2))))
 
 
-def _hash60(seed: Column, s: Column) -> Column:
-    """60-bit seeded shingle hash both engines compute identically."""
-    payload = F.concat(seed.cast("string"), F.lit(":"), s)
-    return F.conv(F.substring(F.md5(payload.cast("binary")), 1, 15),
-                  16, 10).cast("bigint")
+def hashed_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, h): one 60-bit md5 hash per distinct shingle — the only
+    md5 in the whole MinHash path.  Downstream joins/aggregates carry
+    8-byte ints, never shingle text: at 100 TB the shuffle volume is
+    ~constant per (doc, shingle) row regardless of document size."""
+    return (docs.filter(F.size(T.tokens("text")) >= 3)
+            .select("doc_id", F.explode(shingles("text")).alias("s"))
+            .select("doc_id", T.token_hash60("s").alias("h")))
 
 
-def minhash_signature(shingle_arr: Column) -> Column:
-    """array<bigint>[N_HASHES]: per-seed minimum shingle hash."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(N_HASHES - 1)),
-        lambda seed: F.array_min(
-            F.transform(shingle_arr, lambda s: _hash60(seed, s))))
+def _par_docs(spark, sf_dir: str) -> DataFrame:
+    """documents repartitioned: shingling/hashing is compute-bound
+    (registry.ptable rationale)."""
+    return ptable(spark, sf_dir, "documents")
 
 
-def band_keys(signature: Column) -> Column:
-    """array<string>[N_BANDS]: md5 of each band's signature slice."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
-        lambda b: F.md5(F.concat_ws(
-            ",", F.slice(signature, b * ROWS_PER_BAND + 1, ROWS_PER_BAND))))
+def minhash_agg_exprs() -> list[Column]:
+    """The k min() aggregates producing columns mh0..mh{k-1}."""
+    h32 = F.col("h") % F.lit(H32)
+    return [F.min((F.lit(A[i]) * h32 + F.lit(B[i])) % F.lit(P))
+            .alias(f"mh{i}") for i in range(N_HASHES)]
 
 
-# DuckDB twins of the helpers above (documents table, ``text`` column).
+def minhash_table(docs: DataFrame) -> DataFrame:
+    """doc_id + mh0..mh15 via one grouped aggregation over hashed
+    shingles.  Partial aggregation collapses each map partition to one
+    row per doc before the shuffle."""
+    return hashed_shingles(docs).groupBy("doc_id").agg(*minhash_agg_exprs())
+
+
+def band_key_exprs() -> list[Column]:
+    """band0..band{N_BANDS-1}: md5 of each band's signature slice."""
+    return [
+        F.md5(F.concat_ws(
+            ",", *[F.col(f"mh{b * ROWS_PER_BAND + r}").cast("string")
+                   for r in range(ROWS_PER_BAND)]).cast("binary"))
+        .alias(f"band{b}")
+        for b in range(N_BANDS)]
+
+
+# ---------------------------------------------------------------------------
+# DuckDB twins (documents table, ``text`` column).
+# ---------------------------------------------------------------------------
 _D_TOKS = "string_split(text, ' ')"
 _D_SHINGLES = (f"list_distinct(list_transform("
                f"range(1, len({_D_TOKS}) - 1), "
                f"i -> {_D_TOKS}[i] || ' ' || {_D_TOKS}[i+1] || ' ' || "
                f"{_D_TOKS}[i+2]))")
-_D_HASH60 = ("CAST('0x' || substr(md5(CAST({seed} AS VARCHAR) || ':' || "
-             "{s}), 1, 15) AS BIGINT)")
-_D_MINHASH = (f"list_transform(range(0, {N_HASHES}), "
-              f"seed -> list_min(list_transform(sh, "
-              f"s -> {_D_HASH60.format(seed='seed', s='s')})))")
-_D_BANDS = (f"list_transform(range(0, {N_BANDS}), "
-            f"b -> md5(array_to_string("
-            f"m[b * {ROWS_PER_BAND} + 1 : b * {ROWS_PER_BAND} "
-            f"+ {ROWS_PER_BAND}], ',')))")
+_D_HS = f"""
+    SELECT doc_id,
+           CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h
+    FROM (SELECT doc_id, unnest({_D_SHINGLES}) AS s
+          FROM documents WHERE len({_D_TOKS}) >= 3)
+"""
+_D_MINHASH_AGGS = ", ".join(
+    f"min(({A[i]} * (h % {H32}) + {B[i]}) % {P}) AS mh{i}"
+    for i in range(N_HASHES))
+_D_BAND_KEYS = [
+    "md5(" + " || ',' || ".join(
+        f"CAST(mh{b * ROWS_PER_BAND + r} AS VARCHAR)"
+        for r in range(ROWS_PER_BAND)) + ")"
+    for b in range(N_BANDS)]
 
 
 @query(
     "minhash_band_signatures",
     oracle=f"""
-    WITH sh AS (
-        SELECT doc_id, {_D_SHINGLES} AS sh
-        FROM documents WHERE len({_D_TOKS}) >= 3),
-    mh AS (SELECT doc_id, {_D_MINHASH} AS m FROM sh)
+    WITH hs AS ({_D_HS}),
+    mh AS (SELECT doc_id, {_D_MINHASH_AGGS} FROM hs GROUP BY doc_id)
     SELECT doc_id,
-           array_to_string(m, ',') AS minhash_sig,
-           array_to_string({_D_BANDS}, '|') AS band_sig
+           {" || ',' || ".join(f"CAST(mh{i} AS VARCHAR)"
+                               for i in range(N_HASHES))} AS minhash_sig,
+           {" || '|' || ".join(_D_BAND_KEYS)} AS band_sig
     FROM mh
     """,
 )
 def minhash_band_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document MinHash signature + LSH band keys, serialized to
-    strings so the driver's value-hash compares scalars.  One scan, no
-    shuffle, no UDF — at 100 TB this is the embarrassingly-parallel
-    signature pass that runs once at ingest and is stored alongside the
-    corpus."""
-    docs = table(spark, sf_dir, "documents")
-    sh = (docs.filter(F.size(T.tokens("text")) >= 3)
-          .select("doc_id", shingles("text").alias("sh")))
-    mh = sh.select("doc_id", minhash_signature(F.col("sh")).alias("m"))
-    return mh.select(
-        "doc_id",
-        F.concat_ws(",", F.col("m")).alias("minhash_sig"),
-        F.concat_ws("|", band_keys(F.col("m"))).alias("band_sig"))
+    strings so the driver's value-hash compares scalars.  One scan + one
+    partial-aggregated shuffle — the signature pass that runs once at
+    ingest and is stored alongside the corpus."""
+    mh = minhash_table(_par_docs(spark, sf_dir))
+    sig = F.concat_ws(",", *[F.col(f"mh{i}").cast("string")
+                             for i in range(N_HASHES)])
+    bands = F.concat_ws("|", *band_key_exprs())
+    return mh.select("doc_id", sig.alias("minhash_sig"),
+                     bands.alias("band_sig"))
 
 
 @query(
     "minhash_lsh_near_dup",
     oracle=f"""
-    WITH sh AS (
-        SELECT doc_id, {_D_SHINGLES} AS sh
-        FROM documents WHERE len({_D_TOKS}) >= 3),
-    mh AS (SELECT doc_id, sh, {_D_MINHASH} AS m FROM sh),
+    WITH hs AS ({_D_HS}),
+    mh AS (SELECT doc_id, {_D_MINHASH_AGGS} FROM hs GROUP BY doc_id),
     bands AS (
         SELECT doc_id, b.band,
-               md5(array_to_string(
-                   m[b.band * {ROWS_PER_BAND} + 1 :
-                     b.band * {ROWS_PER_BAND} + {ROWS_PER_BAND}], ','))
-                   AS band_key
+               ([{", ".join(_D_BAND_KEYS)}])[b.band + 1] AS band_key
         FROM mh CROSS JOIN (SELECT unnest(range(0, {N_BANDS})) AS band) b),
     pairs AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
           ON a.band = b.band AND a.band_key = b.band_key
-         AND a.doc_id < b.doc_id)
+         AND a.doc_id < b.doc_id),
+    sets AS (SELECT doc_id, list(h) AS hset FROM hs GROUP BY doc_id)
     SELECT p.doc_a, p.doc_b,
-           CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-               / (len(sa.sh) + len(sb.sh)
-                  - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+           CAST(len(list_intersect(sa.hset, sb.hset)) AS DOUBLE)
+               / (len(sa.hset) + len(sb.hset)
+                  - len(list_intersect(sa.hset, sb.hset))) AS jaccard
     FROM pairs p
-    JOIN sh sa ON p.doc_a = sa.doc_id
-    JOIN sh sb ON p.doc_b = sb.doc_id
+    JOIN sets sa ON p.doc_a = sa.doc_id
+    JOIN sets sb ON p.doc_b = sb.doc_id
     ORDER BY jaccard DESC, doc_a ASC, doc_b ASC
     LIMIT 20
     """,
@@ -146,20 +180,20 @@ def minhash_band_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate generation + exact verify: explode band keys,
     self-join on (band, key) — only colliding documents ever meet — then
-    score the survivors with exact shingle Jaccard and keep the top 20.
+    score the survivors with exact shingle-set Jaccard (on the hashed
+    shingle sets, so the verify join also moves only ints) and keep the
+    top 20.
 
-    Scale shape: the band join shuffles O(docs × N_BANDS) small rows on
-    the band key, never document text; the exact-verify join touches only
-    candidates.  This replaces the quadratic shingle self-join of
-    ``ngram_jaccard_top_pairs`` past ~10⁶ documents (SURVEY.md §7 risk 3).
+    Scale shape: the band join shuffles O(docs × N_BANDS) 16-byte keys;
+    the verify join touches only candidates.  This replaces the
+    quadratic shingle self-join of ``ngram_jaccard_top_pairs`` past
+    ~10⁶ documents (SURVEY.md §7 risk 3).
     """
-    docs = table(spark, sf_dir, "documents")
-    sh = (docs.filter(F.size(T.tokens("text")) >= 3)
-          .select("doc_id", shingles("text").alias("sh")))
-    mh = sh.select("doc_id", minhash_signature(F.col("sh")).alias("m"))
+    docs = _par_docs(spark, sf_dir)
+    mh = minhash_table(docs)
     bands = mh.select(
-        "doc_id", F.posexplode(band_keys(F.col("m")))
-        .alias("band", "band_key"))
+        "doc_id",
+        F.posexplode(F.array(*band_key_exprs())).alias("band", "band_key"))
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
                     & (F.col("a.band_key") == F.col("b.band_key"))
@@ -167,9 +201,11 @@ def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select(F.col("a.doc_id").alias("doc_a"),
                      F.col("b.doc_id").alias("doc_b"))
              .distinct())
-    sa, sb = sh.alias("sa"), sh.alias("sb")
-    inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
-    union = (F.size(F.col("sa.sh")) + F.size(F.col("sb.sh")) - inter)
+    sets = (hashed_shingles(docs)
+            .groupBy("doc_id").agg(F.collect_set("h").alias("hset")))
+    sa, sb = sets.alias("sa"), sets.alias("sb")
+    inter = F.size(F.array_intersect(F.col("sa.hset"), F.col("sb.hset")))
+    union = (F.size(F.col("sa.hset")) + F.size(F.col("sb.hset")) - inter)
     return (pairs
             .join(sa, F.col("doc_a") == F.col("sa.doc_id"))
             .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
@@ -188,12 +224,14 @@ def mllib_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     which serves as its correctness reference."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    docs = table(spark, sf_dir, "documents")
+    docs = _par_docs(spark, sf_dir)
     sh = (docs.filter(F.size(T.tokens("text")) >= 3)
           .select("doc_id", shingles("text").alias("sh")))
     tf = HashingTF(inputCol="sh", outputCol="features",
                    numFeatures=1 << 18)
-    feats = tf.transform(sh)
+    # Both sides of the self-join read this; persist the featurized form
+    # so shingling+TF runs once.
+    feats = tf.transform(sh).persist()
     lsh = MinHashLSH(inputCol="features", outputCol="hashes",
                      numHashTables=8, seed=42)
     model = lsh.fit(feats)

@@ -121,10 +121,20 @@ def make_fake_decoder():
     return fake_decode_features
 
 
-def extract_features(media: DataFrame) -> DataFrame:
+def extract_features(media: DataFrame,
+                     parallelism: int | None = None) -> DataFrame:
     """The mapInPandas decode pass: payload bytes → features, one Arrow
-    batch at a time, driver never sees a payload."""
+    batch at a time, driver never sees a payload.
+
+    Decode is Python-bound, so parallelism = concurrent Python workers;
+    a single-file source would otherwise run one worker.  Repartition to
+    the cluster's core count before the UDF (cheap round-robin of
+    payload bytes vs. serial decode; at 100 TB the source is many files
+    and this becomes a no-op)."""
+    if parallelism is None:
+        parallelism = media.sparkSession.sparkContext.defaultParallelism
     return (media.select("media_id", "content")
+            .repartition(parallelism)
             .mapInPandas(make_fake_decoder(), schema=FEATURE_SCHEMA))
 
 

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from etl_cloud_batch_processing_spark.functions import vectors as V
-from etl_cloud_batch_processing_spark.plans.registry import query, table
+from etl_cloud_batch_processing_spark.plans.registry import ptable, query, table
 
 N_PLANES = 4          # 2⁴ = 16 buckets ≈ √corpus at fixture scale;
 DIM = 64              # grows with log(corpus) in a real deployment.
@@ -119,7 +119,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction: a true neighbour on the far side of a hyperplane is
     missed; recall is tuned with N_PLANES / multi-probe, measured against
     the exact ``knn_cosine_topk`` baseline."""
-    emb = table(spark, sf_dir, "embeddings")
+    emb = ptable(spark, sf_dir, "embeddings")
     e = emb.withColumn("bucket", bucket_of("embedding"))
     q = F.broadcast(
         e.filter(F.col("vec_id") < 5)
@@ -146,10 +146,11 @@ def mllib_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
-    emb = table(spark, sf_dir, "embeddings")
+    emb = ptable(spark, sf_dir, "embeddings")
     unit = emb.select(
         "vec_id",
-        array_to_vector(V.l2_normalize("embedding")).alias("features"))
+        array_to_vector(V.l2_normalize("embedding"))
+        .alias("features")).persist()   # read by both self-join sides
     lsh = BucketedRandomProjectionLSH(inputCol="features",
                                       outputCol="hashes",
                                       bucketLength=0.5,

@@ -19,7 +19,7 @@ from pyspark.sql.window import Window
 
 from etl_cloud_batch_processing_spark.functions import text as T
 from etl_cloud_batch_processing_spark.functions import vectors as V
-from etl_cloud_batch_processing_spark.plans.registry import query, table
+from etl_cloud_batch_processing_spark.plans.registry import ptable, query, table
 
 # DuckDB twin of functions/text.py normalize(): lower, trim, collapse
 # whitespace (needs the 'g' flag — DuckDB replaces first match only by
@@ -258,7 +258,7 @@ def lang_id_token_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     vote of its tokens.  Fully relational (explode → two grouped argmax
     windows → join); deterministic via total tiebreaks.  At 100 TB the
     model side (token→lang) is a small broadcast table."""
-    docs = table(spark, sf_dir, "documents")
+    docs = ptable(spark, sf_dir, "documents")
     tok = docs.select("doc_id", "lang",
                       F.explode(T.tokens("text")).alias("token"))
     token_lang = tok.groupBy("token", "lang").agg(
@@ -317,7 +317,7 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure relational algebra, linear in corpus size (docs × vocab × 60
     rows pre-combine), no UDF.  Near-dup candidates are then pairs at
     small Hamming distance, found at scale by banding the signature."""
-    docs = table(spark, sf_dir, "documents")
+    docs = ptable(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id",
         F.explode(F.array_distinct(T.tokens("text"))).alias("token"))
@@ -337,29 +337,27 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 # NS2 — n-gram Jaccard near-dup (relational shingle join).
 # --------------------------------------------------------------------------
 
-_DUCK_SHINGLES = """
-        SELECT doc_id,
-               unnest(list_distinct(list_transform(
-                   range(1, len(string_split(text, ' ')) - 1),
-                   i -> string_split(text, ' ')[i] || ' ' ||
-                        string_split(text, ' ')[i+1] || ' ' ||
-                        string_split(text, ' ')[i+2]))) AS shingle
-        FROM documents
-        WHERE len(string_split(text, ' ')) >= 3
-"""
-
-
 @query(
     "ngram_jaccard_top_pairs",
-    oracle=f"""
-    WITH shingles AS ({_DUCK_SHINGLES}),
+    oracle="""
+    WITH hs AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h
+        FROM (SELECT doc_id,
+                     unnest(list_distinct(list_transform(
+                         range(1, len(string_split(text, ' ')) - 1),
+                         i -> string_split(text, ' ')[i] || ' ' ||
+                              string_split(text, ' ')[i+1] || ' ' ||
+                              string_split(text, ' ')[i+2]))) AS s
+              FROM documents
+              WHERE len(string_split(text, ' ')) >= 3)),
     counts AS (
         SELECT doc_id, COUNT(*) AS n_shingles
-        FROM shingles GROUP BY doc_id),
+        FROM hs GROUP BY doc_id),
     shared AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
-        FROM shingles a JOIN shingles b
-          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        FROM hs a JOIN hs b
+          ON a.h = b.h AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id)
     SELECT doc_a, doc_b,
            CAST(n_shared AS DOUBLE)
@@ -373,28 +371,28 @@ _DUCK_SHINGLES = """
 )
 def ngram_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NS2 n-gram Jaccard near-dup: word-trigram shingles, relational
-    set intersection via self-join on shingle, Jaccard = |∩|/|∪|, top-20
-    most similar pairs.  This is the exact (non-LSH) form; at 100 TB the
+    set intersection via self-join, Jaccard = |∩|/|∪|, top-20 most
+    similar pairs.  The join key is the shingle's 60-bit md5 hash, not
+    its text — 8-byte shuffle rows instead of multi-word strings, same
+    result (md5 collisions are negligible and the oracle hashes
+    identically).  This is the exact (non-LSH) form; at 100 TB the
     shingle self-join is replaced by MinHash banding
-    (operators/dedup.py) — kept here as the correctness reference, the
-    pattern SURVEY.md §7 step 5 prescribes."""
-    docs = table(spark, sf_dir, "documents")
-    toks = T.tokens("text")
-    n = F.size(toks)
-    shingle_arr = F.transform(
-        F.sequence(F.lit(1), n - 2),
-        lambda i: F.concat_ws(" ", F.element_at(toks, i),
-                              F.element_at(toks, i + 1),
-                              F.element_at(toks, i + 2)))
-    shingles = (docs.filter(n >= 3)
-                .select("doc_id",
-                        F.explode(F.array_distinct(shingle_arr))
-                        .alias("shingle")))
-    counts = shingles.groupBy("doc_id").agg(
+    (operators/dedup.py minhash_lsh_near_dup) — kept as its correctness
+    reference, the pattern SURVEY.md §7 step 5 prescribes."""
+    from etl_cloud_batch_processing_spark.operators.dedup import (
+        hashed_shingles,
+    )
+
+    # The hashed-shingle scan feeds four plan branches (two join sides +
+    # two count lookups); persist it once instead of recomputing the
+    # tokenize→shingle→md5 pass per branch (measured 4× cost at sf0.1).
+    # Size is one int pair per (doc, shingle) — MBs per million docs.
+    hs = hashed_shingles(table(spark, sf_dir, "documents")).persist()
+    counts = hs.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_shingles"))
-    a = shingles.alias("a")
-    b = shingles.alias("b")
-    shared = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+    a = hs.alias("a")
+    b = hs.alias("b")
+    shared = (a.join(b, (F.col("a.h") == F.col("b.h"))
                      & (F.col("a.doc_id") < F.col("b.doc_id")))
               .groupBy(F.col("a.doc_id").alias("doc_a"),
                        F.col("b.doc_id").alias("doc_b"))
@@ -442,7 +440,7 @@ def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per query with vec_id tiebreak.  The query side is broadcast, so
     the candidate scan is embarrassingly parallel — the exact baseline
     the LSH/IVF paths (operators/similarity.py) are measured against."""
-    emb = table(spark, sf_dir, "embeddings")
+    emb = ptable(spark, sf_dir, "embeddings")
     q = F.broadcast(emb.filter(F.col("vec_id") < 5)
                     .select(F.col("vec_id").alias("query_id"),
                             F.col("embedding").alias("qe")))
@@ -475,7 +473,7 @@ def embedding_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH bucket or IVF cell), then exact double cosine filters at 0.35.
     Blocking turns O(n²) into Σ|block|² — the standard scale pattern;
     the equi-join on label is a plain hash join."""
-    emb = table(spark, sf_dir, "embeddings")
+    emb = ptable(spark, sf_dir, "embeddings")
     a = emb.alias("a")
     b = emb.alias("b")
     cos = V.cosine(F.col("a.embedding"), F.col("b.embedding"))

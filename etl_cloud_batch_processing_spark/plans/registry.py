@@ -72,6 +72,21 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def ptable(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Fixture table repartitioned to the session's core count.
+
+    The fixtures are single small parquet files, so a plain scan yields
+    ONE input partition and any compute-heavy per-row work (md5
+    shingling, 64-dim cosines, Python decode) runs on one core.  Use
+    this instead of :func:`table` wherever per-row compute dominates
+    scan cost; the round-robin exchange of a few MB is noise.  At real
+    scale the source is many files and the scan splits naturally — this
+    wrapper documents which operators are compute-bound, and would be a
+    plain ``table`` there."""
+    par = spark.sparkContext.defaultParallelism
+    return table(spark, sf_dir, name).repartition(par)
+
+
 def all_queries() -> dict[str, Builder]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 

@@ -51,17 +51,19 @@ def test_minhash_identical_docs_collide(spark):
     docs = spark.createDataFrame(
         [(1, text), (2, text), (3, "z y x w v u t s r q")],
         ["doc_id", "text"])
-    sh = docs.select("doc_id", dedup.shingles("text").alias("sh"))
-    mh = sh.select("doc_id",
-                   dedup.minhash_signature(F.col("sh")).alias("m"))
-    sig = {r.doc_id: tuple(r.m) for r in mh.collect()}
+    mh = dedup.minhash_table(docs)
+    mh_cols = [f"mh{i}" for i in range(dedup.N_HASHES)]
+    sig = {r.doc_id: tuple(r[c] for c in mh_cols) for r in mh.collect()}
     assert sig[1] == sig[2]                 # identical text, identical sig
     assert sig[1] != sig[3]
     assert len(sig[1]) == dedup.N_HASHES
+    assert all(0 <= v < dedup.P for v in sig[1] + sig[3])
     bands = {r.doc_id: tuple(r.b) for r in
              mh.select("doc_id",
-                       dedup.band_keys(F.col("m")).alias("b")).collect()}
+                       F.array(*dedup.band_key_exprs()).alias("b"))
+             .collect()}
     assert bands[1] == bands[2]
+    assert bands[1] != bands[3]
     assert len(bands[1]) == dedup.N_BANDS
 
 
