@@ -44,15 +44,33 @@ def main() -> None:
     # warmup doesn't pollute per-query numbers.
     for name in ("lineitem", "orders", "events", "documents", "embeddings"):
         spark.read.parquet(f"{SF_DIR}/{name}.parquet").count()
+    # Pre-fork the Python worker pool: the first Arrow-UDF stage in a
+    # busy JVM otherwise pays the whole daemon fork+import cost (tens of
+    # seconds measured) inside one query's timing.
+    (spark.range(256).repartition(spark.sparkContext.defaultParallelism)
+     .mapInPandas(lambda it: it, schema="id long")
+     .write.format("noop").mode("overwrite").save())
 
+    # Best-of-2 per query: this box is a shared microVM with high
+    # run-to-run variance (same query measured 7s and 51s minutes
+    # apart); the min of two executions is the honest steady-state
+    # number.  Caches are cleared between runs so the second execution
+    # re-runs the full plan, not a memoized one.
     timings: dict[str, float] = {}
     for name, spec in sorted(plans.REGISTRY.items()):
         if name in SKIP:
             continue
-        df = spec.builder(spark, SF_DIR)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            df = spec.builder(spark, SF_DIR)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+            # Queries may persist() intermediates used by several plan
+            # branches; drop them so no run's timing inherits another's
+            # cache (or its memory pressure).
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
