@@ -181,3 +181,75 @@ def multimodal_byte_features(spark: SparkSession,                 # pandas
         F.element_at("histogram4", 3).alias("h2"),
         F.element_at("histogram4", 4).alias("h3"),
     )
+
+
+# --------------------------------------------------------------------------
+# Frame sampling (video-style): every k-th fixed-size frame of a payload.
+# --------------------------------------------------------------------------
+
+FRAME_BYTES = 64
+FRAME_STRIDE = 4
+
+FRAME_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("frame_idx", LongType()),
+    StructField("frame_md5", StringType()),
+])
+
+
+def sample_frames(content: bytes) -> list[tuple[int, bytes]]:
+    """Frame sampler over an opaque payload: fixed FRAME_BYTES frames,
+    every FRAME_STRIDE-th kept.  For real video this is where a
+    keyframe/GOP-aware demuxer plugs in (same (idx, bytes) contract);
+    the byte-slicing stand-in keeps the contract testable without
+    codec libraries."""
+    n_frames = (len(content) + FRAME_BYTES - 1) // FRAME_BYTES
+    return [(i, content[i * FRAME_BYTES:(i + 1) * FRAME_BYTES])
+            for i in range(0, n_frames, FRAME_STRIDE)]
+
+
+def make_frame_sampler():
+    """mapInPandas generator: one payload row → one row per sampled
+    frame (a fan-out UDF — mapInPandas allows output cardinality ≠
+    input cardinality, which scalar pandas_udfs don't)."""
+
+    def sampler(batches: "Iterator[pd.DataFrame]",
+                ) -> "Iterator[pd.DataFrame]":
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                for idx, frame in sample_frames(bytes(content)):
+                    out.append((int(media_id), idx,
+                                hashlib.md5(frame).hexdigest()))
+            yield pd.DataFrame(
+                out, columns=[f.name for f in FRAME_SCHEMA])
+
+    return sampler
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle=f"""
+    SELECT doc_id AS media_id, i AS frame_idx,
+           md5(substring(text, i * {FRAME_BYTES} + 1, {FRAME_BYTES}))
+               AS frame_md5
+    FROM documents,
+         UNNEST(range(0, CAST(ceil(length(text) / {FRAME_BYTES}.0)
+                              AS BIGINT), {FRAME_STRIDE})) AS t(i)
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling through mapInPandas with fan-out: payload → md5
+    per sampled frame.  Oracle-checkable because the fixture payloads
+    are ASCII (byte slice ≡ char slice); a real video path swaps only
+    the sampler body.  At 100 TB the pass is embarrassingly parallel
+    and emits fixed-width rows regardless of payload size."""
+    media = attach_media(table(spark, sf_dir, "documents"))
+    par = spark.sparkContext.defaultParallelism
+    return (media.select("media_id", "content")
+            .repartition(par)
+            .mapInPandas(make_frame_sampler(), schema=FRAME_SCHEMA))

@@ -164,3 +164,86 @@ def mllib_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("dist", 6).alias("dist"))
             .orderBy(F.asc("dist"), F.asc("vec_a"), F.asc("vec_b"))
             .limit(50))
+
+
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse quantizer + probed cells.
+# --------------------------------------------------------------------------
+
+N_CELLS = 16          # coarse-quantizer size ≈ √corpus at fixture scale
+N_PROBE = 2           # cells each query probes
+
+
+@query(
+    "ivf_ann_topk",
+    oracle=f"""
+    WITH cents AS (
+        SELECT vec_id AS cid, embedding AS cvec
+        FROM embeddings WHERE vec_id < {N_CELLS}),
+    assign AS (
+        SELECT e.vec_id, e.label, e.embedding, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {V.duckdb_cosine_sql('e.embedding', 'c.cvec')}
+                            DESC, c.cid ASC) AS crnk
+        FROM embeddings e CROSS JOIN cents c),
+    cells AS (SELECT vec_id, label, embedding, cid AS cell
+              FROM assign WHERE crnk = 1),
+    probes AS (SELECT vec_id AS query_id, embedding AS qe, cid AS cell
+               FROM assign WHERE crnk <= {N_PROBE} AND vec_id < 5),
+    scored AS (
+        SELECT p.query_id, s.vec_id, s.label,
+               round({V.duckdb_cosine_sql('p.qe', 's.embedding')}, 6)
+                   AS cos_sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.query_id
+                   ORDER BY {V.duckdb_cosine_sql('p.qe', 's.embedding')}
+                            DESC, s.vec_id ASC) AS rnk
+        FROM probes p JOIN cells s ON p.cell = s.cell
+        WHERE s.vec_id <> p.query_id)
+    SELECT query_id, vec_id, label, cos_sim, rnk
+    FROM scored WHERE rnk <= 5
+    """,
+)
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: a coarse quantizer partitions the corpus into
+    cells; each query probes its N_PROBE nearest cells and scores only
+    those candidates exactly.
+
+    The quantizer here is "sampled centroids, zero Lloyd iterations"
+    (the first N_CELLS corpus vectors) — deterministic, hence fully
+    oracle-checkable end-to-end, unlike a KMeans fit; a deployment
+    would swap in trained centroids, changing ONLY the tiny broadcast
+    centroid table, not the plan shape.  Scale shape: centroids are a
+    broadcast (k rows); assignment is one scan × k JVM-side cosines;
+    the probe is an equi hash join on cell id.  Work drops from
+    O(queries × corpus) to O(queries × corpus × nprobe / k) at recall
+    governed by nprobe — the standard IVF trade."""
+    emb = ptable(spark, sf_dir, "embeddings")
+    cents = F.broadcast(
+        emb.filter(F.col("vec_id") < N_CELLS)
+        .select(F.col("vec_id").alias("cid"),
+                F.col("embedding").alias("cvec")))
+    cw = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
+    assign = (emb.join(cents)
+              .select("vec_id", "label", "embedding", "cid",
+                      V.cosine("embedding", "cvec").alias("ccos"))
+              .withColumn("crnk", F.row_number().over(cw)))
+    cells = (assign.filter(F.col("crnk") == 1)
+             .select("vec_id", "label", "embedding",
+                     F.col("cid").alias("cell")))
+    probes = F.broadcast(
+        assign.filter((F.col("crnk") <= N_PROBE) & (F.col("vec_id") < 5))
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("qe"),
+                F.col("cid").alias("cell")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("raw_cos"),
+                                               F.asc("vec_id"))
+    return (probes.join(cells, "cell")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "vec_id", "label",
+                    V.cosine("qe", "embedding").alias("raw_cos"))
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 5)
+            .select("query_id", "vec_id", "label",
+                    F.round("raw_cos", 6).alias("cos_sim"), "rnk"))

@@ -640,3 +640,64 @@ def customers_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("c_acctbal") > F.col("avg_bal"))
             .select("c_custkey", "c_name", "n_name", "c_acctbal",
                     F.round("avg_bal", 6).alias("nation_avg")))
+
+
+# --------------------------------------------------------------------------
+# Full-outer join + GROUPING SETS (SURVEY.md §2.3/§2.4 engine surface).
+# --------------------------------------------------------------------------
+
+@query(
+    "purchase_error_full_outer",
+    oracle="""
+    WITH p AS (SELECT user_id, COUNT(*) AS n_purchases
+               FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+         e AS (SELECT user_id, COUNT(*) AS n_errors
+               FROM events WHERE event_type = 'error' GROUP BY user_id)
+    SELECT COALESCE(p.user_id, e.user_id) AS user_id,
+           COALESCE(p.n_purchases, 0) AS n_purchases,
+           COALESCE(e.n_errors, 0) AS n_errors
+    FROM p FULL OUTER JOIN e ON p.user_id = e.user_id
+    """,
+)
+def purchase_error_full_outer(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two per-user aggregates — users appearing on
+    either side survive, missing side coalesced to 0.  Both inputs are
+    one scan of events split by filter; the aggregates shrink each side
+    to |users| rows before the join, so at 100 TB the outer join moves
+    pre-aggregated rows, never raw events."""
+    events = table(spark, sf_dir, "events")
+    p = (events.filter(F.col("event_type") == "purchase")
+         .groupBy("user_id")
+         .agg(F.count(F.lit(1)).alias("n_purchases")))
+    e = (events.filter(F.col("event_type") == "error")
+         .groupBy("user_id")
+         .agg(F.count(F.lit(1)).alias("n_errors")))
+    return (p.withColumnRenamed("user_id", "p_user")
+            .join(e.withColumnRenamed("user_id", "e_user"),
+                  F.col("p_user") == F.col("e_user"), "full_outer")
+            .select(F.coalesce("p_user", "e_user").alias("user_id"),
+                    F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+                    F.coalesce("n_errors", F.lit(0)).alias("n_errors")))
+
+
+@query(
+    "grouping_sets_type_day",
+    oracle="""
+    SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (CAST(ts AS DATE)), ())
+    """,
+)
+def grouping_sets_type_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — per-type totals, per-day totals, and the
+    grand total in ONE aggregation pass (neither rollup nor cube: the
+    (type, day) pair is deliberately absent).  Like cube/rollup, Spark
+    expands the sets map-side into a single shuffle."""
+    events = (table(spark, sf_dir, "events")
+              .withColumn("d", F.to_date("ts")))
+    return (events
+            .groupingSets([["event_type"], ["d"], []], "event_type", "d")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(_dec("value")).cast("double").alias("total_value")))

@@ -485,3 +485,101 @@ def embedding_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("b.vec_id").alias("vec_b"),
                     F.col("a.label").alias("label"),
                     F.round("raw_cos", 6).alias("cos_sim")))
+
+
+# --------------------------------------------------------------------------
+# NS4 — subword (BPE-ish) token counting via regex pre-tokenization.
+# --------------------------------------------------------------------------
+
+# Vowel-run / consonant-run pre-tokenizer: a deterministic stand-in for a
+# BPE merge table (real BPE is a learned vocab lookup over exactly this
+# kind of regex pre-split — GPT-2 style).  Same RE2/Java-compatible
+# pattern text in both engines.
+_BPE_RE = "[aeiou]+|[^aeiou ]+"
+
+
+@query(
+    "token_counts_bpe",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '{_BPE_RE}')) AS n_subword_tokens,
+           CAST(length(replace(text, ' ', '')) AS DOUBLE)
+               / len(regexp_extract_all(text, '{_BPE_RE}'))
+               AS chars_per_subword
+    FROM documents
+    """,
+)
+def token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NS4 token counting, both granularities: whitespace tokens and
+    BPE-ish subword tokens (vowel/consonant-run regex pre-tokenization),
+    plus compression ratio (non-space chars per subword) — the
+    cost-estimation signal an LLM data pipeline computes per document.
+    Pure JVM regex, embarrassingly parallel, no shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    # idx=0: whole-match extraction (Spark defaults to capture group 1,
+    # which this group-less pattern doesn't have)
+    sub = F.regexp_extract_all("text", F.lit(_BPE_RE), 0)
+    return docs.select(
+        "doc_id",
+        F.size(T.tokens("text")).alias("n_ws_tokens"),
+        F.size(sub).alias("n_subword_tokens"),
+        (F.length(F.regexp_replace("text", " ", "")).cast("double")
+         / F.size(sub)).alias("chars_per_subword"))
+
+
+# --------------------------------------------------------------------------
+# Grouped-map pandas UDF surface (SURVEY.md §2.10): per-group model fit.
+# --------------------------------------------------------------------------
+
+def _fit_slope_schema():
+    from pyspark.sql.types import (DoubleType, LongType, StringType,
+                                   StructField, StructType)
+    return StructType([
+        StructField("lang", StringType()),
+        StructField("n_docs", LongType()),
+        StructField("chars_per_token_slope", DoubleType()),
+    ])
+
+
+@query(
+    "per_lang_length_model",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           round(covar_pop(n_chars, len(string_split(text, ' ')))
+                 / var_pop(len(string_split(text, ' '))), 6)
+               AS chars_per_token_slope
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def per_lang_length_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language least-squares fit of n_chars against token count —
+    the grouped-map ``applyInPandas`` escape hatch (SURVEY.md §2.10)
+    exercised on a computation whose answer is SQL-checkable
+    (slope = covar_pop/var_pop, i.e. ANSI REGR_SLOPE).
+
+    The UDF is the pattern for per-group model fitting that genuinely
+    needs Python (sklearn/scipy per group); here the body is numpy so
+    the oracle can verify the plumbing bit-for-bit.  Scale shape: one
+    shuffle on the grouping key; each group must fit one worker's
+    memory — true for per-language fits even at 100 TB corpus scale
+    only after a pre-aggregation, which is exactly what real pipelines
+    do (fit on per-group samples or sufficient statistics)."""
+    docs = table(spark, sf_dir, "documents")
+    inp = docs.select("lang", F.col("n_chars").cast("double").alias("y"),
+                      F.size(T.tokens("text")).cast("double").alias("x"))
+
+    def fit(pdf):
+        import numpy as np
+        import pandas as pd
+        x, y = pdf["x"].to_numpy(), pdf["y"].to_numpy()
+        # population covariance / variance — same estimator as the
+        # oracle's covar_pop/var_pop, computed in the same float64.
+        slope = (((x * y).mean() - x.mean() * y.mean())
+                 / ((x * x).mean() - x.mean() ** 2))
+        return pd.DataFrame({"lang": [pdf["lang"].iloc[0]],
+                             "n_docs": [len(pdf)],
+                             "chars_per_token_slope": [round(slope, 6)]})
+
+    return inp.groupBy("lang").applyInPandas(fit, schema=_fit_slope_schema())

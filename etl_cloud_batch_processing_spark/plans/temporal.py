@@ -1,0 +1,107 @@
+"""Temporal operators: as-of join and lag/lead sequence analytics.
+
+The reference's pipelines are purely date-windowed batch (SURVEY.md
+§2.9); these are the temporal operators an analytics engine over the
+same event/order data model is expected to add (SURVEY.md §2.3 lists
+as-of joins as the canonical "operator Spark lacks" candidate).  Both
+are built from stock primitives — no UDF, no iteration:
+
+* **as-of join** via the union + partitioned-window trick: tag both
+  inputs, union them, and take ``last(right_value, ignorenulls=True)``
+  over a per-key window ordered by time.  ONE shuffle + sort on
+  (key, time) regardless of how many right rows precede each left row —
+  the scale-correct alternative to a range join, whose candidate set is
+  O(left × right-per-key).  At 100 TB both sides shuffle once on the
+  join key and the sort is the same sort a sort-merge join would do.
+* **lag/lead** as plain window functions over (user, time).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_cloud_batch_processing_spark.plans.registry import query, table
+
+
+@query(
+    "asof_latest_order_per_event",
+    oracle="""
+    WITH r AS (
+        SELECT o_custkey, CAST(o_orderdate AS DATE) AS order_date,
+               max(o_orderkey) AS o_orderkey
+        FROM orders GROUP BY 1, 2),
+    l AS (
+        SELECT event_id, user_id, CAST(ts AS DATE) AS event_date
+        FROM events)
+    SELECT l.event_id, l.user_id, l.event_date,
+           r.o_orderkey AS asof_orderkey
+    FROM l ASOF LEFT JOIN r
+      ON l.user_id = r.o_custkey AND l.event_date >= r.order_date
+    """,
+)
+def asof_latest_order_per_event(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """As-of join: for every event, the customer's most recent order on
+    or before the event date (NULL when none exists).
+
+    Implementation is the union+window pattern, not a range join: tag
+    orders (side 0) and events (side 1), union on a common schema, then
+    per user in time order carry the last seen order key forward.  Side
+    0 sorts before side 1 at equal dates, giving the ASOF ``>=``
+    (inclusive) semantics.  Orders are first reduced to one row per
+    (customer, date) — max orderkey, matching the deterministic tiebreak
+    the oracle's ASOF needs — so window order is total.
+
+    Scale: one hash shuffle of each side on user key, one sort per
+    partition; no candidate-pair blowup for customers with long order
+    histories, and AQE handles skewed users.  A range join here would
+    generate |events_per_user| × |orders_per_user| candidates first.
+    """
+    orders = table(spark, sf_dir, "orders")
+    events = table(spark, sf_dir, "events")
+    r = (orders.groupBy(F.col("o_custkey").alias("key"),
+                        F.to_date("o_orderdate").alias("t"))
+         .agg(F.max("o_orderkey").alias("o_orderkey"))
+         .select("key", "t", F.lit(0).alias("side"),
+                 F.lit(None).cast("bigint").alias("event_id"),
+                 "o_orderkey"))
+    l = events.select(F.col("user_id").alias("key"),
+                      F.to_date("ts").alias("t"),
+                      F.lit(1).alias("side"), "event_id",
+                      F.lit(None).cast("bigint").alias("o_orderkey"))
+    w = (Window.partitionBy("key").orderBy("t", "side")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (r.unionByName(l)
+            .withColumn("asof_orderkey",
+                        F.last("o_orderkey", ignorenulls=True).over(w))
+            .filter(F.col("side") == 1)
+            .select("event_id", F.col("key").alias("user_id"),
+                    F.col("t").alias("event_date"), "asof_orderkey"))
+
+
+@query(
+    "user_event_deltas",
+    oracle="""
+    SELECT event_id, user_id, value,
+           lag(value)  OVER w AS prev_value,
+           lead(value) OVER w AS next_value,
+           value - lag(value) OVER w AS delta
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def user_event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead sequence features per user (SURVEY.md §2.5): previous
+    and next event value in time order plus the step delta — the
+    session-analytics building block.  One shuffle on user_id, one sort;
+    lag and lead share the same window so Spark evaluates them in a
+    single WindowExec pass."""
+    events = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "event_id", "user_id", "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        (F.col("value") - F.lag("value").over(w)).alias("delta"))

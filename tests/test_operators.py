@@ -86,3 +86,66 @@ def test_planes_are_md5_deterministic():
     assert all(len(r) == similarity.DIM for r in similarity.PLANES)
     flat = [c for row in similarity.PLANES for c in row]
     assert all(-1.0 <= c <= 1.0 for c in flat)
+
+
+def test_frame_sampler_matches_python(spark):
+    text = "x" * 300          # 5 frames of 64 → sampled idx 0 and 4
+    docs = spark.createDataFrame([(7, text)], ["doc_id", "text"])
+    media = multimodal.attach_media(docs)
+    rows = (media.select("media_id", "content")
+            .mapInPandas(multimodal.make_frame_sampler(),
+                         schema=multimodal.FRAME_SCHEMA)
+            .collect())
+    got = {(r.media_id, r.frame_idx): r.frame_md5 for r in rows}
+    expect = {(7, i): hashlib.md5(f).hexdigest()
+              for i, f in multimodal.sample_frames(text.encode())}
+    assert got == expect
+    assert set(got) == {(7, 0), (7, 4)}
+    assert hashlib.md5(text.encode()[:64]).hexdigest() == got[(7, 0)]
+
+
+def test_asof_join_semantics(spark):
+    from etl_cloud_batch_processing_spark.plans import temporal  # noqa: F401
+    from etl_cloud_batch_processing_spark.plans.registry import REGISTRY
+    import datetime as dt
+    # Constructed case: event before any order → NULL; on the order
+    # date → that order (inclusive >=); after two orders → latest one.
+    sf = "/root/testdata/sf0.001"
+    out = REGISTRY["asof_latest_order_per_event"].builder(spark, sf)
+    events = spark.read.parquet(f"{sf}/events.parquet")
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    ev = {r.event_id: r for r in out.collect()}
+    # cross-check 20 events against a brute-force python resolution
+    odates = [(r.o_custkey, r.o_orderdate.date(), r.o_orderkey)
+              for r in orders.collect()]
+    import collections
+    by_cust = collections.defaultdict(list)
+    for ck, d, ok in odates:
+        by_cust[ck].append((d, ok))
+    checked = 0
+    for r in events.limit(200).collect():
+        e = ev[r.event_id]
+        d = dt.datetime.utcfromtimestamp(r.ts // 10**9).date()
+        cands = [(cd, ok) for cd, ok in by_cust.get(r.user_id, [])
+                 if cd <= d]
+        if not cands:
+            assert e.asof_orderkey is None
+        else:
+            best_date = max(cd for cd, _ in cands)
+            expect = max(ok for cd, ok in cands if cd == best_date)
+            assert e.asof_orderkey == expect
+        checked += 1
+    assert checked == 200
+
+
+def test_ivf_ann_recall_against_exact(spark):
+    """IVF with nprobe=2 should recover most of the exact top-5."""
+    from etl_cloud_batch_processing_spark.plans.registry import REGISTRY
+    sf = "/root/testdata/sf0.001"
+    exact = REGISTRY["knn_cosine_topk"].builder(spark, sf).collect()
+    approx = REGISTRY["ivf_ann_topk"].builder(spark, sf).collect()
+    ex = {(r.query_id, r.vec_id) for r in exact if r.rnk <= 5}
+    ap = {(r.query_id, r.vec_id) for r in approx}
+    assert len(ap) == 25                      # 5 queries × top-5
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.4, f"IVF recall collapsed: {recall}"
