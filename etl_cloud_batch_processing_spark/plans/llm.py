@@ -583,3 +583,70 @@ def per_lang_length_model(spark: SparkSession, sf_dir: str) -> DataFrame:
                              "chars_per_token_slope": [round(slope, 6)]})
 
     return inp.groupBy("lang").applyInPandas(fit, schema=_fit_slope_schema())
+
+
+# --------------------------------------------------------------------------
+# NS4 — winnowing fingerprints (rolling-hash document fingerprinting).
+# --------------------------------------------------------------------------
+
+_WIN = 4   # winnowing window: keep the min k-gram hash of every
+           # _WIN consecutive positions (MOSS-style)
+
+
+@query(
+    "winnowing_fingerprints",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+               unnest(string_split(text, ' ')) AS tok
+        FROM documents),
+    grams AS (
+        SELECT doc_id, pos,
+               CAST('0x' || substr(md5(
+                   tok || ' '
+                   || lead(tok, 1) OVER w || ' '
+                   || lead(tok, 2) OVER w), 1, 15) AS BIGINT) AS h
+        FROM toks
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        QUALIFY lead(tok, 2) OVER w IS NOT NULL),
+    winnowed AS (
+        SELECT doc_id,
+               min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW
+                            AND {_WIN - 1} FOLLOWING) AS fp
+        FROM grams)
+    SELECT DISTINCT doc_id, fp FROM winnowed
+    """,
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS rolling-hash scheme):
+    hash every positional word-trigram, slide a window of {_WIN}
+    consecutive hashes, keep each window's minimum, emit the distinct
+    mins as the document's fingerprint set.
+
+    Guarantees: any shared run of ≥ k+w-1 tokens between two documents
+    shares at least one fingerprint — the detection primitive for
+    plagiarism/near-dup at a tunable density (~2/(w+1) of positions).
+
+    All relational: posexplode → two window passes over (doc, pos) →
+    distinct.  One shuffle on doc_id, then both window functions and
+    the distinct reuse that partitioning (no further exchange); at
+    100 TB the fingerprint set is the compact join key stored next to
+    the corpus."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(T.tokens("text")).alias("pos", "tok"))
+    wseq = Window.partitionBy("doc_id").orderBy("pos")
+    grams = (toks
+             .withColumn("t1", F.lead("tok", 1).over(wseq))
+             .withColumn("t2", F.lead("tok", 2).over(wseq))
+             .filter(F.col("t2").isNotNull())
+             .select("doc_id", "pos",
+                     T.token_hash60(
+                         F.concat_ws(" ", "tok", "t1", "t2")).alias("h")))
+    wmin = (Window.partitionBy("doc_id").orderBy("pos")
+            .rowsBetween(Window.currentRow, _WIN - 1))
+    return (grams
+            .select("doc_id", F.min("h").over(wmin).alias("fp"))
+            .distinct())

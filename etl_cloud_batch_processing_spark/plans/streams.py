@@ -10,6 +10,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from etl_cloud_batch_processing_spark.plans.registry import query, table
 from etl_cloud_batch_processing_spark.streaming import windows as W
@@ -97,3 +98,35 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = W.tumbling_counts(W.events_stream(spark, sf_dir))
     W.run_available_now(result, out, ckpt)
     return spark.read.parquet(out)
+
+
+@query(
+    "streaming_user_totals_stateful",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           round(SUM(value), 6) AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def streaming_user_totals_stateful(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator end-to-end:
+    ``applyInPandasWithState`` keeps a per-user (count, sum) accumulator
+    across micro-batches (streaming/stateful.py), emissions are drained
+    AvailableNow into an append log, and the final state per user — the
+    last emission, i.e. the max-count row — must equal the plain batch
+    GROUP BY exactly.  The one genuinely non-SQL streaming surface,
+    made oracle-checkable through its convergence property."""
+    from etl_cloud_batch_processing_spark.streaming import stateful as S
+
+    out = tempfile.mkdtemp(prefix="stateful_sink_")
+    ckpt = tempfile.mkdtemp(prefix="stateful_ckpt_")
+    result = S.user_running_totals_stream(W.events_stream(spark, sf_dir))
+    S.drain_running_totals(result, out, ckpt)
+    log = spark.read.parquet(out)
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (log.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "n_events",
+                    F.round("total_value", 6).alias("total_value")))

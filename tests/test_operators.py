@@ -149,3 +149,59 @@ def test_ivf_ann_recall_against_exact(spark):
     assert len(ap) == 25                      # 5 queries × top-5
     recall = len(ex & ap) / len(ex)
     assert recall >= 0.4, f"IVF recall collapsed: {recall}"
+
+
+def test_salted_join_equals_plain_join(spark):
+    from etl_cloud_batch_processing_spark.operators import skew
+    sf = "/root/testdata/sf0.001"
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
+    plain = orders.join(cust.withColumnRenamed("c_custkey", "o_custkey"),
+                        "o_custkey").select("o_orderkey", "c_name")
+    salted = skew.salted_join(
+        orders, cust.withColumnRenamed("c_custkey", "o_custkey"),
+        on="o_custkey").select("o_orderkey", "c_name")
+    assert sorted(map(tuple, plain.collect())) == \
+        sorted(map(tuple, salted.collect()))
+
+
+def test_salted_agg_equals_plain_agg(spark):
+    from etl_cloud_batch_processing_spark.operators import skew
+    sf = "/root/testdata/sf0.001"
+    events = spark.read.parquet(f"{sf}/events.parquet")
+    plain = (events.groupBy("event_type")
+             .agg(F.count(F.lit(1)).alias("n"))
+             .collect())
+    salted = skew.salted_agg(
+        events, ["event_type"],
+        partial_aggs=[F.count(F.lit(1)).alias("pn")],
+        final_aggs=[F.sum("pn").alias("n")]).collect()
+    assert {(r.event_type, r.n) for r in plain} == \
+        {(r.event_type, r.n) for r in salted}
+
+
+def test_stateful_running_totals_equal_batch(spark, tmp_path):
+    """Two micro-batches through applyInPandasWithState: state carries
+    across batches and the final emission equals the whole-input aggregate."""
+    import pandas as pd
+    from etl_cloud_batch_processing_spark.streaming import stateful as S
+    src = tmp_path / "src"
+    src.mkdir()
+    pd.DataFrame({"user_id": [1, 1, 2], "value": [1.0, 2.0, 5.0]}
+                 ).to_parquet(src / "a.parquet")
+    pd.DataFrame({"user_id": [1, 3], "value": [4.0, 7.0]}
+                 ).to_parquet(src / "b.parquet")
+    stream = (spark.readStream
+              .schema("user_id long, value double")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(str(src)))
+    out, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    S.drain_running_totals(S.user_running_totals_stream(stream), out, ckpt)
+    log = spark.read.parquet(out)
+    final = {r.user_id: (r.n_events, r.total_value)
+             for r in log.orderBy("n_events").collect()}  # last wins
+    assert final[1] == (3, 7.0)      # state carried across two batches
+    assert final[2] == (1, 5.0)
+    assert final[3] == (1, 7.0)
+    # the log shows user 1 was emitted twice (once per touching batch)
+    assert log.filter(F.col("user_id") == 1).count() == 2
