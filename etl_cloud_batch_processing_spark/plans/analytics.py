@@ -701,3 +701,61 @@ def grouping_sets_type_day(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupingSets([["event_type"], ["d"], []], "event_type", "d")
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.sum(_dec("value")).cast("double").alias("total_value")))
+
+
+# --------------------------------------------------------------------------
+# Fact-to-fact shuffle join (TPC-H Q3 shape).
+# --------------------------------------------------------------------------
+
+@query(
+    "shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS revenue,
+           CAST(o.o_orderdate AS DATE) AS order_date,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND CAST(o.o_orderdate AS DATE) < DATE '1995-03-15'
+      AND CAST(l.l_shipdate AS DATE) > DATE '1995-03-15'
+    GROUP BY l.l_orderkey, CAST(o.o_orderdate AS DATE), o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape — the one join pattern the dim joins don't cover:
+    a FACT-to-FACT join (orders ⋈ lineitem on orderkey) that cannot
+    broadcast at scale.  Catalyst picks sort-merge/shuffled-hash on
+    o_orderkey = l_orderkey with both date filters pushed to the scans;
+    the customer segment filter rides in via a broadcast semi-side.  At
+    100 TB this is THE case for bucketing both facts by orderkey
+    (tests/test_plans.py proves the bucketed form joins with zero
+    Exchange); unbucketed, AQE sizes the shuffle and splits skewed
+    orderkeys."""
+    cust = F.broadcast(
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey"))
+    orders = (table(spark, sf_dir, "orders")
+              .filter(F.to_date("o_orderdate")
+                      < F.lit("1995-03-15").cast("date")))
+    li = (table(spark, sf_dir, "lineitem")
+          .filter(F.to_date("l_shipdate")
+                  > F.lit("1995-03-15").cast("date")))
+    rev = (_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+    return (orders
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .join(li, orders.o_orderkey == li.l_orderkey)
+            .groupBy("l_orderkey",
+                     F.to_date("o_orderdate").alias("order_date"),
+                     "o_orderpriority")
+            .agg(F.sum(rev).cast("double").alias("revenue"))
+            .select("l_orderkey", "revenue", "order_date",
+                    "o_orderpriority")
+            .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+            .limit(10))

@@ -302,3 +302,30 @@ def array_branch_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(has8, F.element_at(toks, 1)).alias("first_token"),
         F.when(has8, F.element_at(toks, 8)).alias("eighth_token"),
     )
+
+
+@query(
+    "props_typed_struct",
+    oracle="""
+    SELECT event_id,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           len(json_keys(props)) AS n_keys
+    FROM events
+    """,
+)
+def props_typed_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3/X8 typed form: ``from_json`` parses the JSON payload ONCE into
+    a typed struct column, then fields project as plain nested-struct
+    paths — the exact shape of the reference's variant access
+    (``transaction_id.value.int_value``, transaction_data.py:55-63), and
+    the scale-preferred form when several keys are read (one parse per
+    row instead of one ``get_json_object`` parse per key).  The map form
+    (``MapType``) feeds key-arity analytics the same way."""
+    events = table(spark, sf_dir, "events")
+    parsed = events.withColumn(
+        "p", F.from_json("props", "struct<k:bigint>")).withColumn(
+        "m", F.from_json("props", "map<string,string>"))
+    return parsed.select(
+        "event_id",
+        F.col("p.k").alias("k"),
+        F.size(F.map_keys("m")).alias("n_keys"))

@@ -80,3 +80,42 @@ def test_asof_join_is_single_shuffle_window(spark):
     # feeding the window sort
     assert "Join" not in plan
     assert "Window" in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Bucketing both facts on the join key pre-shuffles them at write
+    time — the join then runs with ZERO Exchange nodes.  This is the
+    100 TB answer for the orders ⋈ lineitem fact-fact join
+    (shipping_priority): pay the shuffle once at ingest, never per
+    query."""
+    sf = "/root/testdata/sf0.001"
+    wh = str(tmp_path / "warehouse")   # external-table locations
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    (orders.write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+     .mode("overwrite").option("path", f"{wh}/orders_b")
+     .saveAsTable("orders_b"))
+    (li.write.bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+     .mode("overwrite").option("path", f"{wh}/lineitem_b")
+     .saveAsTable("lineitem_b"))
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # At fixture scale the planner would broadcast instead (and skip
+        # the buckets); disable broadcast to exercise the plan the join
+        # gets at real scale, where neither fact side fits a broadcast.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        ob, lb = spark.table("orders_b"), spark.table("lineitem_b")
+        joined = ob.join(lb, ob.o_orderkey == lb.l_orderkey)
+        import contextlib, io
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
