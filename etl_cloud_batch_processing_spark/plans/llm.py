@@ -13,6 +13,8 @@ sides (see functions/vectors.py) and rounded to 6 decimals.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -650,3 +652,95 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (grams
             .select("doc_id", F.min("h").over(wmin).alias("fp"))
             .distinct())
+
+
+@query(
+    "knn_cosine_topk_pandas",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+               FROM embeddings WHERE vec_id < 5),
+    scored AS (
+        SELECT q.query_id, e.vec_id, e.label,
+               round({V.duckdb_cosine_sql('q.qe', 'e.embedding')}, 6)
+                   AS cos_sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY {V.duckdb_cosine_sql('q.qe', 'e.embedding')}
+                            DESC, e.vec_id ASC) AS rnk
+        FROM q CROSS JOIN embeddings e
+        WHERE e.vec_id <> q.query_id)
+    SELECT query_id, vec_id, label, cos_sim, rnk
+    FROM scored WHERE rnk <= 10
+    """,
+)
+def knn_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scalar-pandas-UDF form of ``knn_cosine_topk`` — same query,
+    same oracle, cosine computed by an Arrow-batched numpy kernel
+    instead of JVM array expressions.  This is the SURVEY.md §2.10
+    vectorized-UDF surface on a checkable computation, and the template
+    for similarity kernels the JVM can't express (learned metrics,
+    quantized dots).  Matrix math per Arrow batch: stack the batch's
+    vectors into one (n, 64) float64 array, one fused multiply-sum —
+    per-row Python never runs."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cos_udf(qe: pd.Series, emb: pd.Series) -> pd.Series:
+        import numpy as np
+        q = np.stack(qe.to_numpy()).astype(np.float64)
+        e = np.stack(emb.to_numpy()).astype(np.float64)
+        num = (q * e).sum(axis=1)
+        den = (np.sqrt((q * q).sum(axis=1))
+               * np.sqrt((e * e).sum(axis=1)))
+        return pd.Series(num / den)
+
+    emb = ptable(spark, sf_dir, "embeddings")
+    q = F.broadcast(emb.filter(F.col("vec_id") < 5)
+                    .select(F.col("vec_id").alias("query_id"),
+                            F.col("embedding").alias("qe")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("raw_cos"),
+                                               F.asc("vec_id"))
+    return (q.join(emb, F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "vec_id", "label",
+                    cos_udf("qe", "embedding").alias("raw_cos"))
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 10)
+            .select("query_id", "vec_id", "label",
+                    F.round("raw_cos", 6).alias("cos_sim"), "rnk"))
+
+
+# --------------------------------------------------------------------------
+# §2.10 — Python UDTF surface (table function, fan-out rows).
+# --------------------------------------------------------------------------
+
+@query(
+    "udtf_positional_tokens",
+    oracle="""
+    SELECT doc_id,
+           generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+           unnest(string_split(text, ' ')) AS token
+    FROM documents WHERE doc_id < 20
+    """,
+)
+def udtf_positional_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 table function): one input row → one output
+    row per token with its position, applied per input row via LATERAL.
+    Registered on a 20-doc slice: the UDTF API is the *extension
+    surface* demo — the engine's hot tokenize path is the equivalent
+    built-in ``posexplode(split(...))`` (winnowing_fingerprints), which
+    stays JVM-side; a UDTF earns its per-row Python cost only when the
+    expansion logic can't be expressed with array functions."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id: bigint, pos: int, token: string")
+    class Tokenize:
+        def eval(self, doc_id: int, text: str):
+            for i, tok in enumerate(text.split(" ")):
+                yield doc_id, i, tok
+
+    spark.udtf.register("tokenize_udtf", Tokenize)
+    docs = table(spark, sf_dir, "documents")
+    docs.filter(F.col("doc_id") < 20).createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT t.doc_id, t.pos, t.token "
+        "FROM _udtf_docs, LATERAL tokenize_udtf(doc_id, text) t")

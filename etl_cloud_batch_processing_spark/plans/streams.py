@@ -130,3 +130,38 @@ def streaming_user_totals_stateful(spark: SparkSession,
             .filter(F.col("rn") == 1)
             .select("user_id", "n_events",
                     F.round("total_value", 6).alias("total_value")))
+
+
+@query(
+    "hopping_window_counts",
+    oracle="""
+    WITH contrib AS (
+        SELECT time_bucket(INTERVAL 1 DAY, ts) AS window_start,
+               event_type, value
+        FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL 1 DAY, ts) - INTERVAL 1 DAY,
+               event_type, value
+        FROM events)
+    SELECT window_start, event_type,
+           COUNT(*) AS n_events,
+           round(SUM(value), 6) AS sum_value
+    FROM contrib
+    GROUP BY 1, 2
+    """,
+)
+def hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) event-time windows: 2-day windows every 1 day,
+    so each event lands in exactly two overlapping windows — the oracle
+    expresses the same thing as a UNION ALL of the two bucket offsets.
+    ``F.window`` replicates rows window-count× map-side then aggregates;
+    works identically under readStream with a watermark (the tumbling
+    twin streams in streaming_tumbling_counts)."""
+    events = table(spark, sf_dir, "events")
+    return (events
+            .groupBy(F.window("ts", "2 days", "1 day").alias("w"),
+                     "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 6).alias("sum_value"))
+            .select(F.col("w.start").alias("window_start"),
+                    "event_type", "n_events", "sum_value"))
