@@ -210,7 +210,10 @@ def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~10⁶ documents (SURVEY.md §7 risk 3).
     """
     docs = _par_docs(spark, sf_dir)
-    mh = minhash_table(docs)
+    # Four plan branches (two band-join sides + two verify-join sides)
+    # all start from the hashed-shingle scan; persist it once.
+    hs = hashed_shingles(docs).persist()
+    mh = hs.groupBy("doc_id").agg(*minhash_agg_exprs())
     bands = mh.select(
         "doc_id",
         F.posexplode(F.array(*band_key_exprs())).alias("band", "band_key"))
@@ -221,8 +224,7 @@ def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select(F.col("a.doc_id").alias("doc_a"),
                      F.col("b.doc_id").alias("doc_b"))
              .distinct())
-    sets = (hashed_shingles(docs)
-            .groupBy("doc_id").agg(F.collect_set("h").alias("hset")))
+    sets = hs.groupBy("doc_id").agg(F.collect_set("h").alias("hset"))
     sa, sb = sets.alias("sa"), sets.alias("sb")
     inter = F.size(F.array_intersect(F.col("sa.hset"), F.col("sb.hset")))
     union = (F.size(F.col("sa.hset")) + F.size(F.col("sb.hset")) - inter)

@@ -759,3 +759,34 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "o_orderpriority")
             .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
             .limit(10))
+
+
+@query(
+    "salted_daily_counts",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS d,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def salted_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted two-phase aggregation (operators/skew.py) run under
+    the same oracle as a plain GROUP BY — proof the skew rewrite is a
+    pure plan transformation.  Phase 1 aggregates on (day, salt) —
+    spreading a hot day over 8 reducers — phase 2 combines 8 partial
+    rows per day.  This is the explicit fallback for groupBy keys whose
+    skew AQE can't split (AQE only splits *join* skew, not aggregation
+    skew; a single hot aggregation key is otherwise one straggler
+    task)."""
+    from etl_cloud_batch_processing_spark.operators.skew import salted_agg
+
+    events = (table(spark, sf_dir, "events")
+              .select(F.to_date("ts").alias("d"), "value"))
+    return salted_agg(
+        events, ["d"],
+        partial_aggs=[F.count(F.lit(1)).alias("pn"),
+                      F.sum(_dec("value")).alias("pv")],
+        final_aggs=[F.sum("pn").alias("n_events"),
+                    F.sum("pv").cast("double").alias("total_value")])

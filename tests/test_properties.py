@@ -1,0 +1,93 @@
+"""Property-based tests (hypothesis): algebraic invariants that must
+hold for ANY input, not just the fixtures — the SURVEY.md §5 upgrade
+over example-based checks."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from etl_cloud_batch_processing_spark.operators import skew
+
+KEYS = st.sampled_from(["a", "b", "c", "hot"])
+ROWS = st.lists(st.tuples(KEYS, st.integers(-1000, 1000)),
+                min_size=1, max_size=60)
+
+_slow = settings(max_examples=12, deadline=None,
+                 suppress_health_check=list(HealthCheck))
+
+
+@given(rows=ROWS)
+@_slow
+def test_salted_agg_is_plan_identity(spark, rows):
+    df = spark.createDataFrame(rows, ["k", "v"])
+    plain = {(r.k, r.n, r.s) for r in
+             df.groupBy("k").agg(F.count(F.lit(1)).alias("n"),
+                                 F.sum("v").alias("s")).collect()}
+    salted = {(r.k, r.n, r.s) for r in
+              skew.salted_agg(df, ["k"],
+                              [F.count(F.lit(1)).alias("pn"),
+                               F.sum("v").alias("pv")],
+                              [F.sum("pn").alias("n"),
+                               F.sum("pv").alias("s")],
+                              salt=3).collect()}
+    assert plain == salted
+
+
+@given(rows=ROWS, small=st.lists(st.tuples(KEYS, st.text("xy", max_size=2)),
+                                 min_size=1, max_size=8, unique_by=lambda t: t))
+@_slow
+def test_salted_join_is_plan_identity(spark, rows, small):
+    big = spark.createDataFrame(rows, ["k", "v"])
+    dim = spark.createDataFrame(small, ["k", "tag"])
+    plain = sorted(map(tuple, big.join(dim, "k").collect()))
+    salted = sorted(map(tuple,
+                        skew.salted_join(big, dim, on="k", salt=3)
+                        .select(*big.join(dim, "k").columns).collect()))
+    assert plain == salted
+
+
+@given(texts=st.lists(
+    st.text(alphabet="ab c", min_size=1, max_size=40).map(
+        lambda s: " ".join(s.split()) or "a"),
+    min_size=1, max_size=6))
+@_slow
+def test_quality_score_bounded(spark, texts):
+    from etl_cloud_batch_processing_spark.functions.text import quality_score
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    for r in df.select(quality_score("text").alias("q")).collect():
+        assert 0.0 <= r.q <= 1.0 + 1e-9
+
+
+@given(shared=st.text(alphabet="abcdef ", min_size=30, max_size=60).map(
+    lambda s: " ".join((s.split() + ["x"] * 8)[:12])))
+@_slow
+def test_winnowing_shared_run_shares_fingerprint(spark, shared):
+    """Winnowing guarantee: two docs sharing a ≥ k+w-1 = 6-token run
+    share at least one fingerprint."""
+    from etl_cloud_batch_processing_spark.plans.registry import REGISTRY
+    import etl_cloud_batch_processing_spark.plans.llm  # noqa: F401
+    doc_a = "p q r s t u v w " + shared
+    doc_b = shared + " z1 z2 z3 z4 z5 z6 z7 z8"
+    df = spark.createDataFrame([(1, doc_a), (2, doc_b)],
+                               ["doc_id", "text"])
+    # reuse the registered builder's internals on constructed data
+    from pyspark.sql.window import Window
+    from etl_cloud_batch_processing_spark.functions import text as T
+    toks = df.select("doc_id",
+                     F.posexplode(T.tokens("text")).alias("pos", "tok"))
+    wseq = Window.partitionBy("doc_id").orderBy("pos")
+    grams = (toks.withColumn("t1", F.lead("tok", 1).over(wseq))
+             .withColumn("t2", F.lead("tok", 2).over(wseq))
+             .filter(F.col("t2").isNotNull())
+             .select("doc_id", "pos",
+                     T.token_hash60(
+                         F.concat_ws(" ", "tok", "t1", "t2")).alias("h")))
+    wmin = (Window.partitionBy("doc_id").orderBy("pos")
+            .rowsBetween(Window.currentRow, 3))
+    fps = (grams.select("doc_id", F.min("h").over(wmin).alias("fp"))
+           .distinct().collect())
+    a = {r.fp for r in fps if r.doc_id == 1}
+    b = {r.fp for r in fps if r.doc_id == 2}
+    assert a & b, "shared token run produced no shared fingerprint"
