@@ -91,6 +91,18 @@ def decode_image(content: bytes):  # pragma: no cover - by design
         "environment; use fake_decode_features for the plumbing path")
 
 
+def resize_image(content: bytes, width: int,
+                 height: int) -> bytes:  # pragma: no cover - by design
+    """Real image resize — decode → resample → re-encode, requires an
+    image library.  STUB: a deployment wraps this in the same
+    ``mapInPandas`` batch shape as :func:`make_fake_decoder` (binary in,
+    binary out, schema ``media_id bigint, content binary``)."""
+    raise NotImplementedError(
+        "image resizing requires an image library not present in this "
+        "environment; the mapInPandas plumbing it plugs into is "
+        "extract_features/make_frame_sampler")
+
+
 def make_fake_decoder():
     """Deterministic stand-in decoder with the exact shape of a real
     one: consumes Arrow batches of (media_id, content), emits per-item

@@ -790,3 +790,42 @@ def salted_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.sum(_dec("value")).alias("pv")],
         final_aggs=[F.sum("pn").alias("n_events"),
                     F.sum("pv").cast("double").alias("total_value")])
+
+
+@query(
+    "signup_purchase_funnel",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, min(ts) AS signup_ts
+        FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT s.user_id, s.signup_ts,
+           min(p.ts) AS first_purchase_ts,
+           date_diff('day', CAST(s.signup_ts AS DATE),
+                     CAST(min(p.ts) AS DATE)) AS days_to_convert
+    FROM s LEFT JOIN p
+      ON p.user_id = s.user_id AND p.ts >= s.signup_ts
+    GROUP BY s.user_id, s.signup_ts
+    """,
+)
+def signup_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel / conversion sequence analytics: each user's first signup
+    and first purchase AT OR AFTER it — the ordered-sequence condition
+    expressed as an equi-join on user with a time bound, then min().
+    NULLs mark users who signed up but never converted.  One scan split
+    two ways, join key is the user — at 100 TB this is a shuffle on
+    user_id of two pre-filtered, pre-shrunk sides (signups are already
+    min()-aggregated before the join)."""
+    events = table(spark, sf_dir, "events")
+    s = (events.filter(F.col("event_type") == "signup")
+         .groupBy("user_id").agg(F.min("ts").alias("signup_ts")))
+    p = (events.filter(F.col("event_type") == "purchase")
+         .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")))
+    return (s.join(p, (F.col("user_id") == F.col("p_user"))
+                   & (F.col("p_ts") >= F.col("signup_ts")), "left")
+            .groupBy("user_id", "signup_ts")
+            .agg(F.min("p_ts").alias("first_purchase_ts"))
+            .select("user_id", "signup_ts", "first_purchase_ts",
+                    F.datediff(F.to_date("first_purchase_ts"),
+                               F.to_date("signup_ts"))
+                    .alias("days_to_convert")))

@@ -59,3 +59,44 @@ def test_session_windows_merge_within_gap(spark):
     assert (1, t0 + dt.timedelta(minutes=50), 1) in got
     assert (2, t0, 1) in got
     assert len(got) == 3
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """An event older than the advanced watermark arrives in a later
+    run → its (already emitted) window is NOT updated and the late row
+    is dropped — the documented append-mode trade.  Two AvailableNow
+    drains against one checkpoint make the batch split deterministic:
+    run 1 sees only the on-time file and advances the watermark; run 2
+    sees only the late file."""
+    import datetime as dt
+
+    import pandas as pd
+
+    src = tmp_path / "src"
+    src.mkdir()
+    d1 = dt.datetime(2024, 1, 1, 6, 0)
+    d3 = dt.datetime(2024, 1, 3, 6, 0)
+    late = dt.datetime(2024, 1, 1, 18, 0)          # into day-1 window
+    out, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+
+    def drain():
+        stream = (spark.readStream
+                  .schema("ts timestamp, event_type string, value double")
+                  .parquet(str(src)))
+        W.run_available_now(W.tumbling_counts(stream), out, ckpt)
+
+    pd.DataFrame({"ts": [d1, d3], "event_type": ["click", "click"],
+                  "value": [1.0, 1.0]}).to_parquet(
+        src / "a.parquet", coerce_timestamps="us")
+    drain()                      # watermark advances to Jan 3
+    pd.DataFrame({"ts": [late], "event_type": ["click"],
+                  "value": [9.0]}).to_parquet(
+        src / "b.parquet", coerce_timestamps="us")
+    drain()                      # late row < watermark -> dropped
+
+    rows = {(r.window_start, r.n_events, r.sum_value)
+            for r in spark.read.parquet(out).collect()}
+    # day-1 window emitted once, with ONLY the on-time event; the late
+    # row (value 9.0) was neither merged nor re-emitted
+    assert (dt.datetime(2024, 1, 1), 1, 1.0) in rows
+    assert all(sv not in (9.0, 10.0) for _, _, sv in rows)
