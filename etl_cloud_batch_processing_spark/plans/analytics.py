@@ -829,3 +829,56 @@ def signup_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.datediff(F.to_date("first_purchase_ts"),
                                F.to_date("signup_ts"))
                     .alias("days_to_convert")))
+
+
+@query(
+    "pivot_type_by_region_day",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS d,
+           COUNT(*) FILTER (event_type = 'click')    AS click,
+           COUNT(*) FILTER (event_type = 'error')    AS error,
+           COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (event_type = 'search')   AS search,
+           COUNT(*) FILTER (event_type = 'signup')   AS signup
+    FROM events
+    GROUP BY 1
+    """,
+)
+def pivot_type_by_region_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: one row per day, one column per event type.  The value
+    list is given explicitly (`pivot(col, values)`) — at scale the
+    implicit form costs an extra distinct-values job and risks
+    unbounded column counts; explicit values keep it one aggregation
+    pass (Spark rewrites to exactly the oracle's FILTERed aggregates)."""
+    types = ["click", "error", "purchase", "search", "signup"]
+    events = table(spark, sf_dir, "events")
+    return (events
+            .groupBy(F.to_date("ts").alias("d"))
+            .pivot("event_type", types)
+            .agg(F.count(F.lit(1)))
+            .na.fill(0, types))
+
+
+@query(
+    "unpivot_doc_metrics",
+    oracle="""
+    SELECT doc_id, metric, value FROM (
+        SELECT doc_id, 'n_chars' AS metric,
+               CAST(n_chars AS DOUBLE) AS value FROM documents
+        UNION ALL
+        SELECT doc_id, 'n_tokens',
+               CAST(len(string_split(text, ' ')) AS DOUBLE) FROM documents)
+    """,
+)
+def unpivot_doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: wide per-document metrics → long (doc, metric,
+    value) form — the shape feature stores and metric sinks ingest.
+    ``unpivot`` expands map-side (like the oracle's UNION ALL but in
+    one scan), no shuffle at all."""
+    docs = table(spark, sf_dir, "documents")
+    wide = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("n_chars"),
+        F.size(F.split("text", " ")).cast("double").alias("n_tokens"))
+    return wide.unpivot("doc_id", ["n_chars", "n_tokens"],
+                        "metric", "value")

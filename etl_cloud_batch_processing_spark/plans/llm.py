@@ -744,3 +744,37 @@ def udtf_positional_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT t.doc_id, t.pos, t.token "
         "FROM _udtf_docs, LATERAL tokenize_udtf(doc_id, text) t")
+
+
+# --------------------------------------------------------------------------
+# Train/val split + stratified sampling (corpus-curation operators).
+# --------------------------------------------------------------------------
+
+@query(
+    "train_val_split",
+    oracle="""
+    SELECT doc_id,
+           CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+                               1, 15) AS BIGINT) % 100 AS bucket,
+           CASE WHEN CAST('0x' || substr(md5('split:'
+                    || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100
+                     < 90
+                THEN 'train' ELSE 'val' END AS split
+    FROM documents
+    """,
+)
+def train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/10 train/val assignment: md5 of a salted key →
+    60-bit int → bucket 0-99.  Hash-based (not random) so the split is
+    stable across runs, machines, and engines — re-ingesting a document
+    lands it in the same split forever, the property that keeps eval
+    sets uncontaminated as a 100 TB corpus grows.  Pure projection:
+    no shuffle, no state, embarrassingly parallel."""
+    docs = table(spark, sf_dir, "documents")
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))
+              .cast("binary")), 1, 15), 16, 10).cast("bigint")
+    bucket = (h % 100).alias("bucket")
+    return docs.select(
+        "doc_id", bucket,
+        F.when(h % 100 < 90, "train").otherwise("val").alias("split"))

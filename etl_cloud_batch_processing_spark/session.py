@@ -23,6 +23,8 @@ Config decisions (SURVEY.md §4.2 "config + layout, not rules"):
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
 
@@ -86,6 +88,42 @@ def get_spark(app_name: str = "etl-cloud-batch-processing-spark",
     return builder.getOrCreate()
 
 
+# applicationIds this process has already shipped the package zip to.
+_PKG_SHIPPED: set[str] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on Python workers via ``addPyFile``.
+
+    Pandas-UDF / UDTF plans reference module-level functions, which
+    cloudpickle serializes *by reference* — workers must be able to
+    ``import etl_cloud_batch_processing_spark``.  An external driver
+    (the verify harness) may launch from any cwd without PYTHONPATH, so
+    we ship a zip of the package through Spark's file distribution
+    rather than relying on inherited environment.
+    """
+    sc = spark.sparkContext
+    app_id = sc.applicationId
+    if app_id in _PKG_SHIPPED:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    pkg_name = os.path.basename(pkg_dir)
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"{pkg_name}-{os.getpid()}.zip")
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_STORED) as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fname in files:
+                    if not fname.endswith(".py"):
+                        continue
+                    full = os.path.join(root, fname)
+                    rel = os.path.join(
+                        pkg_name, os.path.relpath(full, pkg_dir))
+                    zf.write(full, rel)
+    sc.addPyFile(zip_path)
+    _PKG_SHIPPED.add(app_id)
+
+
 def apply_engine_conf(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable engine conf to an externally-created session.
 
@@ -107,4 +145,5 @@ def apply_engine_conf(spark: SparkSession) -> SparkSession:
     )
     for k in runtime_keys:
         spark.conf.set(k, ENGINE_CONF[k])
+    _ship_package(spark)
     return spark
