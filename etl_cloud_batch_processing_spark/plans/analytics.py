@@ -882,3 +882,72 @@ def unpivot_doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split("text", " ")).cast("double").alias("n_tokens"))
     return wide.unpivot("doc_id", ["n_chars", "n_tokens"],
                         "metric", "value")
+
+
+@query(
+    "order_priority_late_ship",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND CAST(l.l_shipdate AS DATE) >
+                        CAST(o.o_orderdate AS DATE) + 30)
+    GROUP BY o_orderpriority
+    """,
+)
+def order_priority_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: count orders per priority having at least one
+    line item shipped >30 days after the order date.  The correlated
+    EXISTS is expressed directly as a left-semi join — Spark never
+    materializes the duplicate-producing inner side, and the semi join
+    short-circuits per key.  The non-equi date term rides along with
+    the equi key, so the physical plan is still a hash/sort-merge semi
+    join on l_orderkey with the date comparison as a residual filter —
+    no BNLJ, which is what keeps it viable at 100 TB."""
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    cond = ((orders.o_orderkey == li.l_orderkey) &
+            (F.to_date(li.l_shipdate) >
+             F.date_add(F.to_date(orders.o_orderdate), 30)))
+    return (orders.join(li, cond, "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count")))
+
+
+@query(
+    "users_click_and_error_intersect",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'error'
+    """,
+)
+def users_click_and_error_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op INTERSECT (SURVEY.md §2.7): users who both clicked and
+    errored.  Spark plans INTERSECT DISTINCT as an aggregate + left-semi
+    join, so both inputs are reduced to distinct keys before the join —
+    shuffle volume is O(distinct users), not O(events)."""
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    errors = ev.filter(F.col("event_type") == "error").select("user_id")
+    return clicks.intersect(errors)
+
+
+@query(
+    "parts_never_ordered",
+    oracle="""
+    SELECT p_partkey FROM part
+    EXCEPT
+    SELECT l_partkey FROM lineitem
+    """,
+)
+def parts_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op EXCEPT (SURVEY.md §2.7): catalog parts with no line item —
+    the inventory-holes query.  EXCEPT DISTINCT plans as a left-anti
+    join over distinct keys; semantically equal to the anti-join form
+    but exposed through the set-op API surface."""
+    part = table(spark, sf_dir, "part")
+    li = table(spark, sf_dir, "lineitem")
+    return part.select("p_partkey").subtract(
+        li.select(F.col("l_partkey").alias("p_partkey")))

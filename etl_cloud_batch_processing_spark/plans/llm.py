@@ -778,3 +778,58 @@ def train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", bucket,
         F.when(h % 100 < 90, "train").otherwise("val").alias("split"))
+
+
+@query(
+    "stratified_sample_by_lang",
+    oracle="""
+    SELECT doc_id, lang
+    FROM (
+        SELECT doc_id, lang,
+               CAST('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)),
+                                   1, 15) AS BIGINT) % 1000 AS bucket
+        FROM documents)
+    WHERE bucket < CASE WHEN lang = 'en' THEN 200 ELSE 500 END
+    """,
+)
+def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified downsampling with per-stratum rates — the deterministic
+    twin of ``df.sampleBy``: dominant-language text (en) is kept at 20%,
+    minority languages at 50%, the standard corpus-rebalancing move.
+    Hash-bucket membership (not RNG) makes the sample reproducible
+    across engines and incremental ingests — a document's fate never
+    changes when the corpus around it grows.  Pure narrow projection +
+    filter: no shuffle, and the filter prunes before any downstream
+    join or shuffle sees the dropped rows."""
+    docs = table(spark, sf_dir, "documents")
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))
+              .cast("binary")), 1, 15), 16, 10).cast("bigint")
+    rate = F.when(F.col("lang") == "en", 200).otherwise(500)
+    return (docs.withColumn("bucket", h % 1000)
+            .filter(F.col("bucket") < rate)
+            .select("doc_id", "lang"))
+
+
+@query(
+    "label_centroids",
+    oracle="""
+    SELECT label, i AS pos, ROUND(AVG(embedding[i + 1]), 6) AS centroid
+    FROM embeddings, range(64) t(i)
+    WHERE i < len(embedding)
+    GROUP BY 1, 2
+    """,
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid in long (label, pos, centroid) form —
+    the k-means-style aggregate that powers IVF coarse quantizers and
+    class prototypes.  ``posexplode`` turns each 64-dim vector into 64
+    rows map-side, and the single hash aggregation on (label, pos) does
+    partial aggregation before the shuffle, so shuffle volume is
+    O(labels × dims), independent of corpus size — the long form also
+    avoids re-assembling arrays through a second shuffle, which is why
+    the engine's canonical centroid output is long, not wide."""
+    emb = table(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+    return (ex.groupBy("label", F.col("pos").cast("bigint").alias("pos"))
+            .agg(F.round(F.avg("val"), 6).alias("centroid")))
