@@ -846,10 +846,12 @@ def signup_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def pivot_type_by_region_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT: one row per day, one column per event type.  The value
-    list is given explicitly (`pivot(col, values)`) — at scale the
-    implicit form costs an extra distinct-values job and risks
-    unbounded column counts; explicit values keep it one aggregation
-    pass (Spark rewrites to exactly the oracle's FILTERed aggregates)."""
+    list is given explicitly (`pivot(col, values)`) — the implicit form
+    costs an extra distinct-values *job* up front and risks unbounded
+    column counts.  Physical plan is two aggregation phases: a
+    partial+final count on (day, type), then pivotfirst on day — the
+    second exchange moves only the pre-aggregated O(days × types) rows,
+    so the full-data pass is exactly one shuffle."""
     types = ["click", "error", "purchase", "search", "signup"]
     events = table(spark, sf_dir, "events")
     return (events
@@ -951,3 +953,35 @@ def parts_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     return part.select("p_partkey").subtract(
         li.select(F.col("l_partkey").alias("p_partkey")))
+
+
+@query(
+    "promo_revenue_share",
+    oracle="""
+    SELECT CAST(l_shipdate AS DATE) AS ship_date,
+           ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / SUM(l_extendedprice * (1 - l_discount)), 6)
+               AS promo_share_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 1
+    """,
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: per-day share of revenue from PROMO parts —
+    conditional aggregation over a fact⋈dim join.  ``part`` is the
+    small side and broadcasts, so the fact table never shuffles for the
+    join; the groupBy on ship date then does partial aggregation
+    map-side.  At 100 TB the only full-data movement is the final
+    day-keyed aggregate exchange — O(days) rows after combine."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(F.broadcast(part),
+                    li.l_partkey == part.p_partkey)
+            .groupBy(F.to_date("l_shipdate").alias("ship_date"))
+            .agg(F.round(
+                100.0 * F.sum(F.when(F.col("p_type") == "PROMO", rev)
+                              .otherwise(F.lit(0.0))) / F.sum(rev), 6)
+                 .alias("promo_share_pct")))

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import contextlib
 import io
+import re
 
 import pytest
 
@@ -119,3 +120,37 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_exists_semi_join_no_nested_loop(spark):
+    """TPC-H Q4 shape: the EXISTS must plan as a hash/sort-merge
+    LeftSemi on the equi key with the date term as residual — a
+    nested-loop here would be O(orders × lineitem) at scale."""
+    plan = plan_of(spark, "order_priority_late_ship")
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_promo_share_broadcasts_dim(spark):
+    plan = plan_of(spark, "promo_revenue_share")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_stratified_sample_is_shuffle_free(spark):
+    """Hash-bucket sampling is a narrow projection + filter — any
+    Exchange in this plan means something regressed badly."""
+    plan = plan_of(spark, "stratified_sample_by_lang")
+    assert "Exchange" not in plan
+
+
+def test_pivot_has_no_distinct_values_pass(spark):
+    """Explicit pivot values ⇒ (day, type) count + pivotfirst, exactly
+    two exchanges — the second on pre-aggregated rows only.  The
+    implicit form would add a whole distinct-values job before the
+    plan even builds."""
+    plan = plan_of(spark, "pivot_type_by_region_day")
+    # formatted explain lists each node twice (tree + details section)
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 2, plan
+    assert "pivotfirst" in plan
