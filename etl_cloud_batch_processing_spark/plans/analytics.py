@@ -985,3 +985,58 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                 100.0 * F.sum(F.when(F.col("p_type") == "PROMO", rev)
                               .otherwise(F.lit(0.0))) / F.sum(rev), 6)
                  .alias("promo_share_pct")))
+
+
+@query(
+    "latest_event_per_user",
+    oracle="""
+    SELECT user_id,
+           max_by(event_type, strftime(ts, '%Y-%m-%d %H:%M:%S.%f')
+                              || '#' || lpad(CAST(event_id AS VARCHAR),
+                                             12, '0')) AS last_type,
+           min_by(event_type, strftime(ts, '%Y-%m-%d %H:%M:%S.%f')
+                              || '#' || lpad(CAST(event_id AS VARCHAR),
+                                             12, '0')) AS first_type,
+           MAX(ts) AS last_ts
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest/first row per key via ``max_by``/``min_by`` — the argmax
+    aggregate that powers SCD-style "current snapshot" tables.  Unlike
+    the row_number-window form this is a plain hash aggregate: partial
+    argmax runs map-side, one shuffle of O(users) pre-aggregated rows,
+    no per-key sort.  The ordering key is an ISO timestamp string with
+    a zero-padded event_id suffix, making tie-breaks total and
+    engine-independent (ISO-8601 is lexicographically time-ordered)."""
+    ev = table(spark, sf_dir, "events")
+    key = F.concat(F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+                   F.lit("#"),
+                   F.lpad(F.col("event_id").cast("string"), 12, "0"))
+    return (ev.groupBy("user_id")
+            .agg(F.max_by("event_type", key).alias("last_type"),
+                 F.min_by("event_type", key).alias("first_type"),
+                 F.max("ts").alias("last_ts")))
+
+
+@query(
+    "value_deciles_by_type",
+    oracle="""
+    SELECT event_id, event_type,
+           NTILE(10) OVER (PARTITION BY event_type
+                           ORDER BY value, event_id) AS decile
+    FROM events
+    """,
+)
+def value_deciles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency bucketing via ``ntile`` — the quantile-bin
+    assignment used for feature binning and per-segment score
+    normalization.  Partitioned by event_type so the window sort is
+    distributed (a global NTILE would funnel 100 TB through one task);
+    ORDER BY carries the event_id tiebreak to keep bucket boundaries
+    deterministic."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select("event_id", "event_type",
+                     F.ntile(10).over(w).alias("decile"))
