@@ -43,3 +43,54 @@ def write_append_partition(df: DataFrame, path: str, run_date: str,
        .partitionBy(partition_col)
        .format(fmt)
        .save(path))
+
+
+def write_clustered(df: DataFrame, path: str, cluster_cols: list[str],
+                    num_files: int | None = None) -> None:
+    """Write sort-clustered parquet: range-partition on ``cluster_cols``
+    then sort within each partition before writing.
+
+    Files end up covering *disjoint* ranges of the cluster key, so
+    parquet row-group min/max statistics become selective: a point or
+    range predicate on the key prunes whole files/row groups at scan
+    time instead of reading 100 TB and filtering.  This is the
+    single-dimension form of clustering (Z-order generalizes it to
+    multiple keys); at petabyte scale it is the difference between a
+    full scan and touching O(result) bytes.
+    """
+    out = (df.repartitionByRange(num_files, *cluster_cols)
+           if num_files else df.repartitionByRange(*cluster_cols))
+    (out.sortWithinPartitions(*cluster_cols)
+        .write.mode("overwrite").parquet(path))
+
+
+def compact(spark, path: str,
+            target_file_bytes: int = 128 * 1024 * 1024) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ``ceil(total_bytes / target_file_bytes)`` files.  Returns the output
+    file count.
+
+    Streaming sinks and per-run partition appends accrete small files;
+    at 1000-executor scale a table of million 1 MB files spends more
+    time opening footers than reading data.  Uses the Hadoop FileSystem
+    API (works for any supported scheme, not just local paths) to size
+    the input, then a shuffle-free ``coalesce`` to merge splits.
+    """
+    jvm = spark._jvm
+    jsc = spark._jsc
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    total = fs.getContentSummary(hpath).getLength()
+    n_files = max(1, -(-total // target_file_bytes))
+    df = spark.read.parquet(path)
+    # write to a sibling temp dir then swap — compaction must never
+    # destroy the input on failure
+    tmp = path.rstrip("/") + "._compact_tmp"
+    df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
+    fs.delete(hpath, True)
+    ok = fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hpath)
+    if not ok:
+        raise IOError(f"compact: rename {tmp} -> {path} failed")
+    status = fs.listStatus(hpath)
+    return sum(1 for s in status
+               if s.getPath().getName().endswith(".parquet"))

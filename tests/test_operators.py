@@ -205,3 +205,48 @@ def test_stateful_running_totals_equal_batch(spark, tmp_path):
     assert final[3] == (1, 7.0)
     # the log shows user 1 was emitted twice (once per touching batch)
     assert log.filter(F.col("user_id") == 1).count() == 2
+
+
+def test_clustered_write_gives_disjoint_file_ranges(spark, tmp_path):
+    """write_clustered must produce files covering disjoint key ranges —
+    the property that makes parquet min/max skipping effective."""
+    import pyarrow.parquet as pq
+    from etl_cloud_batch_processing_spark.sources.writers import write_clustered
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = str(tmp_path / "clustered")
+    write_clustered(ev.select("event_id", "user_id"), out,
+                    ["user_id"], num_files=4)
+
+    ranges = []
+    for f in sorted((tmp_path / "clustered").glob("*.parquet")):
+        meta = pq.ParquetFile(str(f)).metadata
+        idx = {meta.schema.column(i).name: i
+               for i in range(meta.num_columns)}["user_id"]
+        los = [meta.row_group(g).column(idx).statistics.min
+               for g in range(meta.num_row_groups)]
+        his = [meta.row_group(g).column(idx).statistics.max
+               for g in range(meta.num_row_groups)]
+        if los:
+            ranges.append((min(los), max(his)))
+    assert len(ranges) >= 2
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges {(lo1, hi1)} {(lo2, hi2)}"
+
+
+def test_compact_reduces_files_preserves_rows(spark, tmp_path):
+    from etl_cloud_batch_processing_spark.sources.writers import compact
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = str(tmp_path / "shredded")
+    ev.repartition(32).write.parquet(out)
+    before = len(list((tmp_path / "shredded").glob("*.parquet")))
+    checksum = ev.agg(F.sum("event_id"), F.count("*")).collect()[0]
+
+    n_after = compact(spark, out, target_file_bytes=64 * 1024 * 1024)
+
+    after_files = list((tmp_path / "shredded").glob("*.parquet"))
+    assert n_after == len(after_files) < before
+    back = spark.read.parquet(out)
+    assert back.agg(F.sum("event_id"), F.count("*")).collect()[0] == checksum
