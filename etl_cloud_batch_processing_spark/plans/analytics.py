@@ -838,8 +838,8 @@ def signup_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) FILTER (event_type = 'click')    AS click,
            COUNT(*) FILTER (event_type = 'error')    AS error,
            COUNT(*) FILTER (event_type = 'purchase') AS purchase,
-           COUNT(*) FILTER (event_type = 'search')   AS search,
-           COUNT(*) FILTER (event_type = 'signup')   AS signup
+           COUNT(*) FILTER (event_type = 'signup')   AS signup,
+           COUNT(*) FILTER (event_type = 'view')     AS view
     FROM events
     GROUP BY 1
     """,
@@ -852,7 +852,7 @@ def pivot_type_by_region_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial+final count on (day, type), then pivotfirst on day — the
     second exchange moves only the pre-aggregated O(days × types) rows,
     so the full-data pass is exactly one shuffle."""
-    types = ["click", "error", "purchase", "search", "signup"]
+    types = ["click", "error", "purchase", "signup", "view"]
     events = table(spark, sf_dir, "events")
     return (events
             .groupBy(F.to_date("ts").alias("d"))
@@ -1040,3 +1040,37 @@ def value_deciles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
     return ev.select("event_id", "event_type",
                      F.ntile(10).over(w).alias("decile"))
+
+
+@query(
+    "purchases_per_day_gapfilled",
+    oracle="""
+    WITH b AS (SELECT MIN(CAST(ts AS DATE)) AS lo,
+                      MAX(CAST(ts AS DATE)) AS hi FROM events),
+    days AS (SELECT CAST(unnest(generate_series(lo, hi,
+                                                INTERVAL '1 day')) AS DATE)
+                 AS d FROM b),
+    c AS (SELECT CAST(ts AS DATE) AS d, COUNT(*) AS purchases
+          FROM events WHERE event_type = 'purchase' GROUP BY 1)
+    SELECT days.d, COALESCE(c.purchases, 0) AS purchases
+    FROM days LEFT JOIN c USING (d)
+    """,
+)
+def purchases_per_day_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily series: a date spine (``sequence`` + ``explode``
+    over the observed min/max) left-joined to per-day counts, zeros for
+    silent days — the shape every dashboard and anomaly detector wants,
+    and the step naive GROUP BY silently gets wrong (missing days just
+    vanish).  The spine is O(days) rows built from a 1-row aggregate, so
+    it broadcasts; the fact side is pre-aggregated before the join —
+    at 100 TB the join moves O(days) rows, nothing more."""
+    ev = table(spark, sf_dir, "events")
+    spine = (ev.agg(F.min(F.to_date("ts")).alias("lo"),
+                    F.max(F.to_date("ts")).alias("hi"))
+             .select(F.explode(F.sequence("lo", "hi")).alias("d")))
+    counts = (ev.filter(F.col("event_type") == "purchase")
+              .groupBy(F.to_date("ts").alias("d"))
+              .agg(F.count(F.lit(1)).alias("purchases")))
+    return (F.broadcast(spine).join(counts, "d", "left")
+            .select("d", F.coalesce("purchases", F.lit(0))
+                    .alias("purchases")))

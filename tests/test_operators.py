@@ -250,3 +250,23 @@ def test_compact_reduces_files_preserves_rows(spark, tmp_path):
     assert n_after == len(after_files) < before
     back = spark.read.parquet(out)
     assert back.agg(F.sum("event_id"), F.count("*")).collect()[0] == checksum
+
+
+def test_quality_checks_single_pass(spark):
+    from etl_cloud_batch_processing_spark.operators import quality as Q
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    rules = [Q.not_null("event_id"), Q.unique("event_id"),
+             Q.not_null("event_type"),
+             Q.accepted_values("event_type",
+                               ["click", "error", "purchase",
+                                "signup", "view"]),
+             Q.min_rows(100)]
+    report = Q.run_checks(ev, rules)
+    assert all(r.passed for r in report), report
+
+    # and failures are detected, not swallowed
+    bad = [Q.in_range("value", 0.0, 1e-12), Q.unique("user_id"),
+           Q.min_rows(10**12)]
+    bad_report = Q.run_checks(ev, bad)
+    assert not any(r.passed for r in bad_report), bad_report
