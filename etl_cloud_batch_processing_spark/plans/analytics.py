@@ -1074,3 +1074,37 @@ def purchases_per_day_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (F.broadcast(spine).join(counts, "d", "left")
             .select("d", F.coalesce("purchases", F.lit(0))
                     .alias("purchases")))
+
+
+@query(
+    "large_volume_orders",
+    oracle="""
+    SELECT c.c_name, o.o_orderkey,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(big.sum_qty AS DOUBLE) AS sum_qty
+    FROM (SELECT l_orderkey,
+                 SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150) big
+    JOIN orders o   ON big.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total line quantity exceeds a
+    threshold (GROUP BY + HAVING), enriched with customer names.  The
+    HAVING filter runs on the aggregated side *before* either join, so
+    the joins see only the qualifying O(few) orderkeys — aggregate
+    first, join the survivors, never the reverse.  customer broadcasts;
+    the lineitem aggregation is the single wide shuffle."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = F.broadcast(table(spark, sf_dir, "customer"))
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum(_dec("l_quantity")).alias("sum_qty"))
+           .filter(F.col("sum_qty") > 150))
+    return (big.join(orders, big.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .select("c_name", "o_orderkey",
+                    F.col("o_totalprice").cast("double").alias("o_totalprice"),
+                    F.col("sum_qty").cast("double").alias("sum_qty")))
