@@ -1108,3 +1108,39 @@ def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("c_name", "o_orderkey",
                     F.col("o_totalprice").cast("double").alias("o_totalprice"),
                     F.col("sum_qty").cast("double").alias("sum_qty")))
+
+
+@query(
+    "sql_frontend_weekly_revenue",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d,
+               SUM(CAST(value AS DECIMAL(18,2))) AS day_value
+        FROM events WHERE event_type = 'purchase' GROUP BY 1)
+    SELECT d, CAST(day_value AS DOUBLE) AS day_value,
+           CAST(SUM(day_value) OVER (
+               ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+               AS DOUBLE) AS trailing_7d
+    FROM daily
+    """,
+)
+def sql_frontend_weekly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL front-end: the same Catalyst plan is reachable
+    through ``spark.sql`` over registered views — users who write SQL
+    (the reference's native idiom, dags/daily_search_history.py:57-86)
+    get identical semantics and optimization as the DataFrame API.
+    CTE + windowed trailing sum; the window input is the pre-aggregated
+    O(days) rows, so the unpartitioned frame is safe at any scale."""
+    ev = table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("_sql_events")
+    return spark.sql("""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS d,
+                   SUM(CAST(value AS DECIMAL(18,2))) AS day_value
+            FROM _sql_events WHERE event_type = 'purchase' GROUP BY 1)
+        SELECT d, CAST(day_value AS DOUBLE) AS day_value,
+               CAST(SUM(day_value) OVER (
+                   ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                   AS DOUBLE) AS trailing_7d
+        FROM daily
+    """)
