@@ -1144,3 +1144,56 @@ def sql_frontend_weekly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS DOUBLE) AS trailing_7d
         FROM daily
     """)
+
+
+@query(
+    "user_event_sequences",
+    oracle="""
+    SELECT user_id,
+           string_agg(event_type, '|' ORDER BY ts, event_id) AS seq,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered per-user event sequences — the behavioral-sequence
+    extraction every sequence model trains on.  ``collect_list`` alone
+    is partition-order-dependent (NOT deterministic); the engine's
+    canonical form collects (ts, event_id, payload) structs and
+    ``sort_array``s them post-aggregation, which is total and
+    reproducible.  One shuffle on user_id; per-user arrays stay bounded
+    because real pipelines cap or window the history (a key whose
+    sequence can't fit an executor needs sessionization first).
+    Serialized as a '|'-joined string so the result hashes identically
+    across engines."""
+    ev = table(spark, sf_dir, "events")
+    packed = F.sort_array(F.collect_list(
+        F.struct("ts", "event_id", "event_type")))
+    return (ev.groupBy("user_id")
+            .agg(F.array_join(
+                     F.transform(packed, lambda s: s["event_type"]), "|")
+                 .alias("seq"),
+                 F.count(F.lit(1)).alias("n_events")))
+
+
+@query(
+    "union_evolved_schema",
+    oracle="""
+    SELECT event_id, event_type, value FROM events WHERE event_type = 'click'
+    UNION ALL BY NAME
+    SELECT event_id, event_type FROM events WHERE event_type = 'signup'
+    """,
+)
+def union_evolved_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: a v2 extract carries a column the v1
+    extract lacks; ``unionByName(allowMissingColumns=True)`` aligns by
+    NAME and fills typed NULLs — positional ``union`` would silently
+    misalign columns, the classic accreting-table corruption.  Pure
+    narrow op: no shuffle, each side keeps its partitioning."""
+    ev = table(spark, sf_dir, "events")
+    v2 = (ev.filter(F.col("event_type") == "click")
+          .select("event_id", "event_type", "value"))
+    v1 = (ev.filter(F.col("event_type") == "signup")
+          .select("event_id", "event_type"))
+    return v2.unionByName(v1, allowMissingColumns=True)

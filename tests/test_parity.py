@@ -30,7 +30,7 @@ def _canon(value):
             return "NaN"
         # tolerate engine-level float formatting differences
         return round(value, 9)
-    if isinstance(value, list):
+    if isinstance(value, (list, tuple)) or type(value).__name__ == "ndarray":
         return tuple(_canon(v) for v in value)
     # duckdb fetchdf() renders DATE as midnight pandas Timestamps while
     # Spark toPandas() gives datetime.date — same logical value.

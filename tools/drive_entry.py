@@ -26,7 +26,8 @@ def canon(v):
         return "NaN" if math.isnan(v) else round(v, 9)
     if isinstance(v, (pd.Timestamp, datetime.datetime, datetime.date)):
         return pd.Timestamp(v).isoformat()
-    if isinstance(v, list): return tuple(canon(x) for x in v)
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return tuple(canon(x) for x in v)
     return v
 
 qs, os_ = e.queries(), e.oracle_sql()
