@@ -833,3 +833,40 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = emb.select("label", F.posexplode("embedding").alias("pos", "val"))
     return (ex.groupBy("label", F.col("pos").cast("bigint").alias("pos"))
             .agg(F.round(F.avg("val"), 6).alias("centroid")))
+
+
+@query(
+    "chunk_documents",
+    oracle="""
+    SELECT doc_id,
+           CAST(s / 40 AS BIGINT) AS chunk_id,
+           array_to_string((string_split(text, ' '))[s + 1 : s + 50], ' ')
+               AS chunk
+    FROM (SELECT doc_id, text,
+                 unnest(generate_series(0,
+                     greatest(len(string_split(text, ' ')) - 1, 0), 40)) AS s
+          FROM documents)
+    """,
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token chunking with overlap — the pretraining/RAG
+    chunker: 50-token windows every 40 tokens (10-token overlap), so no
+    boundary context is lost.  Entirely columnar: ``sequence`` builds
+    the chunk starts, ``posexplode`` fans out, ``slice`` +
+    ``array_join`` cut each window — a narrow map-side op with no
+    shuffle and no Python, which is what lets it chunk 100 TB at scan
+    speed.  Output keyed (doc_id, chunk_id) for downstream dedup/
+    embedding stages."""
+    size, stride = 50, 40
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    starts = F.sequence(F.lit(0),
+                        F.greatest(F.size(toks) - 1, F.lit(0)),
+                        F.lit(stride))
+    return (docs
+            .select("doc_id", toks.alias("toks"),
+                    F.explode(starts).alias("s"))
+            .select("doc_id",
+                    (F.col("s") / stride).cast("bigint").alias("chunk_id"),
+                    F.array_join(F.slice("toks", F.col("s") + 1, size), " ")
+                    .alias("chunk")))
