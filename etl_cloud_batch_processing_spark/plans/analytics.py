@@ -1197,3 +1197,95 @@ def union_evolved_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     v1 = (ev.filter(F.col("event_type") == "signup")
           .select("event_id", "event_type"))
     return v2.unionByName(v1, allowMissingColumns=True)
+
+
+@query(
+    "local_supplier_revenue",
+    oracle="""
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND CAST(o.o_orderdate AS DATE) >= DATE '1995-01-01'
+      AND CAST(o.o_orderdate AS DATE) <  DATE '1997-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n_name ASC
+    """,
+)
+def local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape — *local* supplier volume: revenue from lineitems
+    where the supplier and the ordering customer share a nation, for one
+    region and a 2-year window.  The interesting plan property is the
+    **non-key residual** ``c_nationkey = s_nationkey`` riding on the
+    l⋈s equi-join, plus region/nation pruning that reaches the dims
+    before any fact row moves.  supplier/nation/region (and customer —
+    15 MB at SF100) broadcast, so the only wide shuffle is
+    lineitem⋈orders; the date filter is pushed into the orders scan and
+    AQE shrinks the join's shuffle to the surviving two years."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = (table(spark, sf_dir, "orders")
+              .filter((F.to_date("o_orderdate")
+                       >= F.lit("1995-01-01").cast("date"))
+                      & (F.to_date("o_orderdate")
+                         < F.lit("1997-01-01").cast("date"))))
+    cust = F.broadcast(table(spark, sf_dir, "customer"))
+    supp = F.broadcast(table(spark, sf_dir, "supplier"))
+    nation = F.broadcast(table(spark, sf_dir, "nation"))
+    region = F.broadcast(table(spark, sf_dir, "region")
+                         .filter(F.col("r_name") == "ASIA"))
+    price, disc = _dec("l_extendedprice"), _dec("l_discount")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .join(supp, (li.l_suppkey == supp.s_suppkey)
+                  & (cust.c_nationkey == supp.s_nationkey))
+            .join(nation, supp.s_nationkey == nation.n_nationkey)
+            .join(region, nation.n_regionkey == region.r_regionkey)
+            .groupBy("n_name")
+            .agg(F.sum(price * (F.lit(1) - disc)).cast("double")
+                  .alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("n_name")))
+
+
+@query(
+    "customer_order_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+          FROM customer c
+          LEFT OUTER JOIN orders o
+            ON c.c_custkey = o.o_custkey
+           AND o.o_orderpriority <> '1-URGENT'
+          GROUP BY c.c_custkey) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape — how many customers placed 0, 1, 2… qualifying
+    orders: LEFT OUTER join with a *join-condition* filter (it must not
+    drop order-less customers, so it cannot move to WHERE), COUNT of a
+    nullable column (NULL ⇒ 0 for unmatched customers), then a second
+    aggregation over the first's output.  Two shuffles total: the outer
+    join's (AQE may broadcast the customer side at low SF) and the
+    per-custkey count's; the histogram re-aggregation is near-free
+    because its input is one row per customer."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    per_cust = (cust.join(
+                    orders,
+                    (cust.c_custkey == orders.o_custkey)
+                    & (orders.o_orderpriority != "1-URGENT"),
+                    "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist"))
+            .orderBy(F.desc("custdist"), F.desc("c_count")))

@@ -870,3 +870,53 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("s") / stride).cast("bigint").alias("chunk_id"),
                     F.array_join(F.slice("toks", F.col("s") + 1, size), " ")
                     .alias("chunk")))
+
+
+@query(
+    "tfidf_top_terms",
+    oracle="""
+    WITH tf AS (
+        SELECT doc_id, t AS token, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+              FROM documents)
+        GROUP BY doc_id, t),
+    df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.token,
+               ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6)
+                   AS tfidf
+        FROM tf JOIN df ON tf.token = df.token CROSS JOIN n)
+    SELECT doc_id, token, tfidf FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                      ORDER BY tfidf DESC, token ASC) AS rn
+        FROM scored)
+    WHERE rn <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — the classic keyword extractor
+    a curation pipeline uses for topic tagging and per-domain vocab
+    drift checks.  Three aggregations, all partial-aggregated: term
+    frequency (doc_id, token), document frequency (reusing the TF frame
+    — it is already one row per (doc, token), so DF is a count, not a
+    countDistinct), and the corpus size, which joins in as a broadcast
+    scalar rather than a driver-side ``count()`` so the whole thing
+    stays one lazy plan.  The tf⋈df join shuffles on token — Zipf-skewed
+    at 100 TB, which AQE's skew-join handles; scores are rounded to 6
+    before ranking so the row_number tiebreak (score desc, token asc)
+    is reproducible across engines."""
+    docs = ptable(spark, sf_dir, "documents")
+    tf = (docs.select("doc_id", F.explode(T.tokens("text")).alias("token"))
+          .groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf")))
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (tf.join(df_, "token")
+              .crossJoin(F.broadcast(n))
+              .select("doc_id", "token",
+                      F.round(F.col("tf") * F.log(F.col("n_docs")
+                              .cast("double") / F.col("df")), 6)
+                      .alias("tfidf")))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3).drop("rn"))

@@ -270,3 +270,17 @@ def test_quality_checks_single_pass(spark):
            Q.min_rows(10**12)]
     bad_report = Q.run_checks(ev, bad)
     assert not any(r.passed for r in bad_report), bad_report
+
+
+def test_connected_components_chain_and_islands(spark):
+    from etl_cloud_batch_processing_spark.operators.graph import (
+        connected_components)
+
+    # chain 1-2-3-4 (diameter > 1 forces multiple propagation rounds),
+    # pair 10-11, and edges given in one direction + the swap.
+    undirected = [(1, 2), (3, 2), (3, 4), (11, 10)]
+    edges = spark.createDataFrame(
+        undirected + [(b, a) for a, b in undirected], ["src", "dst"])
+    got = {(r.id, r.comp)
+           for r in connected_components(edges).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
