@@ -247,3 +247,116 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rnk") <= 5)
             .select("query_id", "vec_id", "label",
                     F.round("raw_cos", 6).alias("cos_sim"), "rnk"))
+
+
+# ---------------------------------------------------------------------------
+# K-means (Lloyd) — trains the coarse quantizer that ivf_ann_topk's
+# "sampled centroids, zero iterations" variant stubs out.
+# ---------------------------------------------------------------------------
+
+K_CLUSTERS = 4
+
+_D_SQDIST = ("list_sum(list_transform(range(1, 65), "
+             "d -> (e.emb[d] - c.cvec[d]) * (e.emb[d] - c.cvec[d])))")
+
+
+def _assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: cross join against the broadcast
+    centroid table (K rows — a few KB even at K=65k), squared-L2 via
+    zip_with/aggregate (JVM codegen, no Python), argmin by
+    row_number(dist asc, cid asc) so ties are deterministic."""
+    dist = F.aggregate(
+        F.zip_with(F.col("emb"), F.col("cvec"),
+                   lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    w = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cid"))
+    return (emb.crossJoin(F.broadcast(centroids))
+            .select("vec_id", "emb", "cid", dist.alias("dist"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "emb", "cid"))
+
+
+def _update(assigned: DataFrame) -> DataFrame:
+    """Centroid update: per-(cid, pos) mean re-packed into an ordered
+    array.  One partial-aggregated shuffle of (cid, pos) pairs; the
+    re-pack groupBy moves K×DIM rows."""
+    return (assigned
+            .select("cid", F.posexplode("emb").alias("pos", "val"))
+            .groupBy("cid", "pos").agg(F.avg("val").alias("m"))
+            .groupBy("cid")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"]).alias("cvec")))
+
+
+@query(
+    "kmeans_lloyd_centroids",
+    oracle=f"""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, v -> CAST(v AS DOUBLE))
+                          AS emb
+               FROM embeddings),
+    c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,
+                  emb AS cvec
+           FROM e ORDER BY vec_id LIMIT {K_CLUSTERS}),
+    a1 AS (SELECT vec_id, cid FROM (
+               SELECT e.vec_id, c.cid,
+                      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                          ORDER BY {_D_SQDIST} ASC, c.cid ASC) AS rn
+               FROM e CROSS JOIN c0 c) WHERE rn = 1),
+    c1 AS (SELECT cid, list(m ORDER BY pos) AS cvec FROM (
+               SELECT a.cid, r.d AS pos, AVG(e.emb[r.d]) AS m
+               FROM a1 a JOIN e ON a.vec_id = e.vec_id
+               CROSS JOIN (SELECT unnest(range(1, 65)) AS d) r
+               GROUP BY a.cid, r.d)
+           GROUP BY cid),
+    a2 AS (SELECT vec_id, cid FROM (
+               SELECT e.vec_id, c.cid,
+                      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                          ORDER BY {_D_SQDIST} ASC, c.cid ASC) AS rn
+               FROM e CROSS JOIN c1 c) WHERE rn = 1),
+    f AS (SELECT a.cid AS cluster_id, r.d - 1 AS pos,
+                 ROUND(AVG(e.emb[r.d]), 6) AS coord
+          FROM a2 a JOIN e ON a.vec_id = e.vec_id
+          CROSS JOIN (SELECT unnest(range(1, 65)) AS d) r
+          GROUP BY a.cid, r.d),
+    cnt AS (SELECT cid AS cluster_id, COUNT(*) AS n_members
+            FROM a2 GROUP BY cid)
+    SELECT f.cluster_id, cnt.n_members, f.pos, f.coord
+    FROM f JOIN cnt ON f.cluster_id = cnt.cluster_id
+    """,
+)
+def kmeans_lloyd_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means, two unrolled Lloyd iterations: deterministic
+    seeds (the K lowest vec_ids), assign → update → assign → update,
+    emitting the trained centroids in long (cluster_id, n_members, pos,
+    coord) form.  The whole thing is ONE lazy plan — centroid tables
+    flow as broadcast frames between iterations, never through the
+    driver — and every iteration costs one cross-join scan plus one
+    partial-aggregated (cid, pos) shuffle.  At 100 TB this is exactly
+    MLlib KMeans' per-iteration dataflow; the unrolled form exists so
+    the iterative algorithm is *value-checked* against a DuckDB twin
+    (the driver-loop variant with convergence tests would hide
+    wrong-but-plausible centroids).  Feeds ivf_ann_topk's quantizer
+    (see its docstring: trained centroids swap in as the same tiny
+    broadcast table)."""
+    emb = (ptable(spark, sf_dir, "embeddings")
+           .select("vec_id",
+                   F.transform("embedding",
+                               lambda v: v.cast("double")).alias("emb")))
+    w0 = Window.orderBy("vec_id")
+    c0 = (emb.orderBy("vec_id").limit(K_CLUSTERS)
+          .select((F.row_number().over(w0) - 1).cast("bigint").alias("cid"),
+                  F.col("emb").alias("cvec")))
+    a1 = _assign(emb, c0)
+    c1 = _update(a1)
+    a2 = _assign(emb, c1)
+    f = (a2.select("cid", F.posexplode("emb").alias("pos", "val"))
+         .groupBy(F.col("cid").alias("cluster_id"),
+                  F.col("pos").cast("bigint").alias("pos"))
+         .agg(F.round(F.avg("val"), 6).alias("coord")))
+    cnt = (a2.groupBy(F.col("cid").alias("cluster_id"))
+           .agg(F.count(F.lit(1)).alias("n_members")))
+    return (f.join(F.broadcast(cnt), "cluster_id")
+            .select("cluster_id", "n_members", "pos", "coord"))

@@ -1289,3 +1289,113 @@ def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (per_cust.groupBy("c_count")
             .agg(F.count(F.lit(1)).alias("custdist"))
             .orderBy(F.desc("custdist"), F.desc("c_count")))
+
+
+@query(
+    "small_quantity_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               / 7.0 AS avg_yearly,
+           COUNT(*) AS n_small
+    FROM lineitem l
+    JOIN (SELECT l_partkey, 0.5 * AVG(l_quantity) AS qty_cut
+          FROM lineitem GROUP BY l_partkey) t
+      ON l.l_partkey = t.l_partkey
+    WHERE l.l_quantity < t.qty_cut
+    """,
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — revenue lost to small orders: every lineitem
+    compared against a *per-part correlated aggregate* (half the part's
+    average quantity).  The correlated scalar subquery decorrelates into
+    an aggregate-then-join: one partial-aggregated shuffle builds the
+    per-part cutoffs, and since that frame is one row per part (~20 B
+    each — a few GB even at SF100k) it broadcasts, so the fact table is
+    never shuffled at all.  The final global sum is a single-row
+    reduction."""
+    li = table(spark, sf_dir, "lineitem")
+    cuts = (li.groupBy("l_partkey")
+            .agg((F.lit(0.5) * F.avg("l_quantity")).alias("qty_cut"))
+            .withColumnRenamed("l_partkey", "pk"))
+    return (li.join(F.broadcast(cuts), li.l_partkey == cuts.pk)
+            .filter(F.col("l_quantity") < F.col("qty_cut"))
+            .agg((F.sum(_dec("l_extendedprice")).cast("double") / 7.0)
+                 .alias("avg_yearly"),
+                 F.count(F.lit(1)).alias("n_small")))
+
+
+@query(
+    "disjunctive_brand_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS revenue,
+           COUNT(*) AS n_matched
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#20' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 35)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 20 AND 50)
+    """,
+)
+def disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape — OR-of-ANDs predicate spanning both join sides.
+    Catalyst pulls the common join key out and pushes the
+    single-side conjuncts it can derive (`p_size`/`l_quantity` range
+    unions) toward the scans, leaving the cross-side disjunction as a
+    post-join filter on a broadcast join — the pattern that turns a
+    'can't push ORs' query into one that still prunes row groups via
+    min/max stats on quantity."""
+    li = table(spark, sf_dir, "lineitem")
+    part = F.broadcast(table(spark, sf_dir, "part"))
+    j = li.join(part, part.p_partkey == li.l_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#20") & F.col("p_size").between(10, 30)
+           & F.col("l_quantity").between(10, 35))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(20, 50)
+           & F.col("l_quantity").between(20, 50)))
+    price, disc = _dec("l_extendedprice"), _dec("l_discount")
+    return (j.filter(cond)
+            .agg(F.sum(price * (F.lit(1) - disc)).cast("double")
+                 .alias("revenue"),
+                 F.count(F.lit(1)).alias("n_matched")))
+
+
+@query(
+    "idle_rich_customers",
+    oracle="""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_custs,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_acctbal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                         WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_mktsegment
+    """,
+)
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape — positive-balance customers richer than the
+    average who have never ordered: an uncorrelated scalar-aggregate
+    subquery (broadcast as a 1-row frame — no driver round-trip, the
+    whole thing is one lazy plan) + NOT EXISTS as a **left anti join**
+    on custkey, then a segment rollup.  At scale the anti join's
+    orders side projects to the single join column before shuffling;
+    AQE broadcasts whichever side ends up small."""
+    cust = table(spark, sf_dir, "customer")
+    avg_bal = (cust.filter(F.col("c_acctbal") > 0.0)
+               .agg(F.avg("c_acctbal").alias("bal_cut")))
+    orders = table(spark, sf_dir, "orders").select("o_custkey")
+    return (cust.crossJoin(F.broadcast(avg_bal))
+            .filter(F.col("c_acctbal") > F.col("bal_cut"))
+            .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_custs"),
+                 F.sum(_dec("c_acctbal")).cast("double")
+                 .alias("total_acctbal")))

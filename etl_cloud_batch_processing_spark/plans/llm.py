@@ -920,3 +920,34 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
     return (scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= 3).drop("rn"))
+
+
+@query(
+    "pii_redaction",
+    oracle=f"""
+    SELECT event_id,
+           regexp_replace(
+               regexp_replace(msg, '{T.EMAIL_RE}', '[EMAIL]', 'g'),
+               '{T.PHONE_RE}', '[PHONE]', 'g') AS message_clean
+    FROM (SELECT event_id,
+                 'reach user' || CAST(user_id AS VARCHAR)
+                     || '@mail.example.com or +1-555-0'
+                     || CAST(event_id AS VARCHAR)
+                     || ' ref ' || event_type AS msg
+          FROM events)
+    """,
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over a message column: emails → [EMAIL], phone numbers
+    → [PHONE] (functions/text.redact_pii).  The fixture corpus carries
+    no contact strings, so the query *constructs* one per event from
+    row ids — making the redaction provably transforming (the oracle
+    builds and scrubs the identical string) rather than a vacuous
+    identity.  Pure narrow regexp_replace map stage: no shuffle, runs
+    at scan speed on 100 TB."""
+    ev = table(spark, sf_dir, "events")
+    msg = F.concat(F.lit("reach user"), F.col("user_id").cast("string"),
+                   F.lit("@mail.example.com or +1-555-0"),
+                   F.col("event_id").cast("string"),
+                   F.lit(" ref "), F.col("event_type"))
+    return ev.select("event_id", T.redact_pii(msg).alias("message_clean"))
