@@ -1399,3 +1399,80 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_custs"),
                  F.sum(_dec("c_acctbal")).cast("double")
                  .alias("total_acctbal")))
+
+
+@query(
+    "top_supplier_revenue",
+    oracle="""
+    WITH rev AS (
+        SELECT l_suppkey AS supplier_no,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                    AS DOUBLE) AS total_revenue
+        FROM lineitem
+        WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+          AND CAST(l_shipdate AS DATE) <  DATE '1996-04-01'
+        GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+)
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape — the quarter's top supplier: an aggregated
+    view referenced twice (once for rows, once for its MAX).  Spark
+    expresses the self-reference as one lazy plan where the revenue
+    frame fans out into two consumers; the MAX side collapses to a
+    1-row broadcast, so the second reference costs a reduction, not a
+    re-shuffle — and AQE reuses the exchange feeding both branches.
+    Equality on a decimal-summed revenue is exact, so the 'ties all
+    returned' semantics are deterministic."""
+    li = table(spark, sf_dir, "lineitem")
+    rev = (li.filter((F.to_date("l_shipdate")
+                      >= F.lit("1996-01-01").cast("date"))
+                     & (F.to_date("l_shipdate")
+                        < F.lit("1996-04-01").cast("date")))
+           .groupBy(F.col("l_suppkey").alias("supplier_no"))
+           .agg(F.sum(_dec("l_extendedprice")
+                      * (F.lit(1) - _dec("l_discount"))).cast("double")
+                .alias("total_revenue")))
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    supp = F.broadcast(table(spark, sf_dir, "supplier"))
+    return (rev.crossJoin(F.broadcast(mx))
+            .filter(F.col("total_revenue") == F.col("mx"))
+            .join(supp, F.col("supplier_no") == supp.s_suppkey)
+            .select("s_suppkey", "s_name", "total_revenue"))
+
+
+@query(
+    "important_part_share",
+    oracle="""
+    WITH per_part AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                    AS DOUBLE) AS part_rev
+        FROM lineitem GROUP BY l_partkey)
+    SELECT l_partkey, part_rev
+    FROM per_part
+    WHERE part_rev > (SELECT 0.002 * SUM(part_rev) FROM per_part)
+    ORDER BY part_rev DESC, l_partkey ASC
+    """,
+)
+def important_part_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape — parts whose revenue exceeds a fraction of the
+    corpus total: GROUP BY + HAVING against a scalar aggregate *of the
+    same aggregation*.  One shuffle builds per-part revenue; the global
+    total is a 1-row reduction of that frame broadcast back as the
+    HAVING threshold — the aggregate is computed once and read twice,
+    never recomputed from the fact table."""
+    li = table(spark, sf_dir, "lineitem")
+    per_part = (li.groupBy("l_partkey")
+                .agg(F.sum(_dec("l_extendedprice")
+                           * (F.lit(1) - _dec("l_discount"))).cast("double")
+                     .alias("part_rev")))
+    total = per_part.agg((F.lit(0.002) * F.sum("part_rev")).alias("cut"))
+    return (per_part.crossJoin(F.broadcast(total))
+            .filter(F.col("part_rev") > F.col("cut"))
+            .select("l_partkey", "part_rev")
+            .orderBy(F.desc("part_rev"), F.asc("l_partkey")))

@@ -951,3 +951,43 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.col("event_id").cast("string"),
                    F.lit(" ref "), F.col("event_type"))
     return ev.select("event_id", T.redact_pii(msg).alias("message_clean"))
+
+
+@query(
+    "doc_repetition_scores",
+    oracle="""
+    SELECT doc_id,
+           ROUND(1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh), 6)
+               AS rep_ratio,
+           (1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh)) <= 0.2
+               AS keep
+    FROM (SELECT doc_id,
+                 list_transform(
+                     range(1, len(string_split(text, ' ')) - 1),
+                     i -> string_split(text, ' ')[i] || ' ' ||
+                          string_split(text, ' ')[i+1] || ' ' ||
+                          string_split(text, ' ')[i+2]) AS sh
+          FROM documents
+          WHERE len(string_split(text, ' ')) >= 3)
+    """,
+)
+def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-ratio quality gate (Gopher-style duplicate-n-gram
+    fraction): 1 − distinct-trigrams ∕ total-trigrams per document, with
+    the ≤ 0.2 keep flag a curation pipeline filters on — boilerplate and
+    looping generations score high and get dropped.  Pure columnar array
+    expressions (transform/array_distinct/size) over one scan; no
+    shuffle, no Python — the filter runs at scan speed on 100 TB."""
+    docs = ptable(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    sh = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 2),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i),
+                              F.element_at(toks, i + 1),
+                              F.element_at(toks, i + 2)))
+    docs = (docs.filter(F.size(toks) >= 3)
+            .select("doc_id", sh.alias("sh")))
+    ratio = (F.lit(1.0) - F.size(F.array_distinct("sh")).cast("double")
+             / F.size("sh"))
+    return docs.select("doc_id", F.round(ratio, 6).alias("rep_ratio"),
+                       (ratio <= 0.2).alias("keep"))

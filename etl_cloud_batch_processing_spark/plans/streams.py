@@ -165,3 +165,59 @@ def hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum("value"), 6).alias("sum_value"))
             .select(F.col("w.start").alias("window_start"),
                     "event_type", "n_events", "sum_value"))
+
+
+@query(
+    "streaming_enriched_segments",
+    oracle="""
+    SELECT e.event_id, e.event_type, c.c_mktsegment
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def streaming_enriched_segments(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Stream-static join: the incremental event stream enriched
+    against the static customer dimension — the canonical streaming
+    enrichment (each micro-batch broadcast-joins the dim; no streaming
+    state at all, so append mode needs no watermark).  The dim is
+    re-resolved per micro-batch, which at scale means a slowly-changing
+    dimension picks up updates between batches.  Drained AvailableNow
+    into a parquet sink and read back, so the whole streaming path —
+    source, join, exactly-once sink — sits under the batch oracle."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="enrich_sink_")
+    ckpt = tempfile.mkdtemp(prefix="enrich_ckpt_")
+    cust = F.broadcast(table(spark, sf_dir, "customer")
+                       .select("c_custkey", "c_mktsegment"))
+    ev = W.events_stream(spark, sf_dir)
+    enriched = (ev.join(cust, ev.user_id == cust.c_custkey)
+                .select("event_id", "event_type", "c_mktsegment"))
+    W.run_available_now(enriched, out, ckpt)
+    return spark.read.parquet(out)
+
+
+@query(
+    "streaming_distinct_user_event_types",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def streaming_distinct_user_event_types(spark: SparkSession,
+                                        sf_dir: str) -> DataFrame:
+    """Streaming deduplication: ``dropDuplicates`` over the stream keeps
+    the first arrival per (user_id, event_type) in checkpointed state
+    and emits exactly one row per key — projected to the key columns so
+    the output is the *set* of distinct keys regardless of which
+    physical row arrived first (arrival order is not part of the
+    contract).  The streaming twin of exact dedup (NS1): at 100 TB the
+    state store holds one compact entry per live key; bounding it with
+    ``withWatermark`` + a ts column in the subset is the documented
+    retention knob when keys churn."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="dedup_sink_")
+    ckpt = tempfile.mkdtemp(prefix="dedup_ckpt_")
+    ev = W.events_stream(spark, sf_dir)
+    deduped = (ev.dropDuplicates(["user_id", "event_type"])
+               .select("user_id", "event_type"))
+    W.run_available_now(deduped, out, ckpt)
+    return spark.read.parquet(out)
