@@ -1476,3 +1476,141 @@ def important_part_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("part_rev") > F.col("cut"))
             .select("l_partkey", "part_rev")
             .orderBy(F.desc("part_rev"), F.asc("l_partkey")))
+
+
+@query(
+    "nation_trade_volume",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           EXTRACT(year FROM CAST(l_shipdate AS DATE)) AS l_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey  = c.c_custkey
+    JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+    JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape — bilateral trade volume between two nations by
+    year: a 6-table join whose selective predicate is a *disjunction
+    over a pair of dimensions* ((s→A, c→B) OR (s→B, c→A)).  The nation
+    dim is pre-filtered to the two nations before it broadcasts, so the
+    inner joins themselves prune suppliers and customers to the two
+    countries and the residual disjunction only rejects the A-A / B-B
+    combinations.  The only wide shuffle is lineitem⋈orders; at 100 TB
+    AQE sizes it after both broadcast prunes have cut the fact side."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    two = F.col("n_name").isin("NATION_3", "NATION_7")
+    n1 = F.broadcast(table(spark, sf_dir, "nation").filter(two)
+                     .select(F.col("n_nationkey").alias("n1_key"),
+                             F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(table(spark, sf_dir, "nation").filter(two)
+                     .select(F.col("n_nationkey").alias("n2_key"),
+                             F.col("n_name").alias("cust_nation")))
+    supp = F.broadcast(table(spark, sf_dir, "supplier"))
+    cust = F.broadcast(table(spark, sf_dir, "customer"))
+    price, disc = _dec("l_extendedprice"), _dec("l_discount")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .join(supp, li.l_suppkey == supp.s_suppkey)
+            .join(n1, supp.s_nationkey == F.col("n1_key"))
+            .join(n2, cust.c_nationkey == F.col("n2_key"))
+            .filter(F.col("supp_nation") != F.col("cust_nation"))
+            .groupBy("supp_nation", "cust_nation",
+                     F.year(F.to_date("l_shipdate")).cast("bigint")
+                     .alias("l_year"))
+            .agg(F.sum(price * (F.lit(1) - disc)).cast("double")
+                 .alias("revenue"))
+            .orderBy("supp_nation", "cust_nation", "l_year"))
+
+
+@query(
+    "returned_item_customers",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND CAST(o.o_orderdate AS DATE) >= DATE '1995-10-01'
+      AND CAST(o.o_orderdate AS DATE) <  DATE '1996-01-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape — top-20 customers by revenue lost to returns in
+    a quarter.  lineitem⋈orders is the one wide shuffle (the orders
+    side arrives pre-filtered to the quarter, so AQE sees a small build
+    side); customer and nation broadcast; the final ORDER BY+LIMIT
+    fuses to TakeOrderedAndProject, so only 20 rows per partition ever
+    reach the driver-side merge.  Deterministic via the c_custkey
+    tiebreak on exact decimal-summed revenue."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = (table(spark, sf_dir, "orders")
+              .filter((F.to_date("o_orderdate")
+                       >= F.lit("1995-10-01").cast("date"))
+                      & (F.to_date("o_orderdate")
+                         < F.lit("1996-01-01").cast("date"))))
+    cust = F.broadcast(table(spark, sf_dir, "customer"))
+    nation = F.broadcast(table(spark, sf_dir, "nation"))
+    price, disc = _dec("l_extendedprice"), _dec("l_discount")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .join(nation, cust.c_nationkey == nation.n_nationkey)
+            .groupBy("c_custkey", "c_name", "n_name")
+            .agg(F.sum(price * (F.lit(1) - disc)).cast("double")
+                 .alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+            .limit(20))
+
+
+@query(
+    "priority_linestatus_counts",
+    oracle="""
+    SELECT l_linestatus,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(l_shipdate AS DATE) <  DATE '1997-01-01'
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+)
+def priority_linestatus_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape — conditional two-way CASE counting over a
+    fact⋈fact join: lineitems shipped in a year, classified by whether
+    their order was high-priority.  The CASE lives in the aggregate, so
+    partial (map-side) aggregation collapses each shuffle partition to
+    ≤2 rows before the exchange — the join, not the agg, is the only
+    real data movement, and the year filter is pushed into the lineitem
+    scan to shrink it first."""
+    li = (table(spark, sf_dir, "lineitem")
+          .filter((F.to_date("l_shipdate")
+                   >= F.lit("1996-01-01").cast("date"))
+                  & (F.to_date("l_shipdate")
+                     < F.lit("1997-01-01").cast("date"))))
+    orders = table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("l_linestatus")
+            .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+                 F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"))
+            .orderBy("l_linestatus"))

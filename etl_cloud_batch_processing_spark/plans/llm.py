@@ -991,3 +991,178 @@ def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
              / F.size("sh"))
     return docs.select("doc_id", F.round(ratio, 6).alias("rep_ratio"),
                        (ratio <= 0.2).alias("keep"))
+
+
+@query(
+    "contamination_flags",
+    oracle="""
+    WITH g AS (
+        SELECT doc_id, source,
+               unnest(list_distinct(list_transform(
+                   range(1, len(t) - 3),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+                        || t[i+3] || ' ' || t[i+4]))) AS gram
+        FROM (SELECT doc_id, source, string_split(text, ' ') AS t
+              FROM documents)
+        WHERE len(t) >= 5),
+    bench AS (SELECT DISTINCT gram FROM g WHERE source = 'src0')
+    SELECT g.doc_id,
+           COUNT(*) AS n_distinct_grams,
+           COUNT(b.gram) AS n_contaminated,
+           COUNT(b.gram) > 0 AS contaminated
+    FROM g LEFT JOIN bench b ON g.gram = b.gram
+    WHERE g.source <> 'src0'
+    GROUP BY g.doc_id
+    """,
+)
+def contamination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (Dolma/GPT-3 style): flag training
+    documents sharing any 5-gram with a held-out benchmark set (here:
+    ``source = 'src0'``).  The benchmark's distinct n-gram set is tiny
+    relative to the corpus, so it broadcasts and the training side
+    never shuffles for the membership probe — per doc we report
+    distinct-gram count, contaminated-gram count, and the boolean gate.
+    At 100 TB this is the standard decontam sweep: one scan, one
+    broadcast hash probe, one partial-aggregated groupBy on doc_id."""
+    docs = ptable(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    five = F.transform(
+        F.sequence(F.lit(1), F.size("t") - 4),
+        lambda i: F.concat_ws(" ", F.element_at(F.col("t"), i),
+                              F.element_at(F.col("t"), i + 1),
+                              F.element_at(F.col("t"), i + 2),
+                              F.element_at(F.col("t"), i + 3),
+                              F.element_at(F.col("t"), i + 4)))
+    grams = (docs.filter(F.size(toks) >= 5)
+             .select("doc_id", "source", toks.alias("t"))
+             .select("doc_id", "source",
+                     F.explode(F.array_distinct(five)).alias("gram")))
+    bench = F.broadcast(grams.filter(F.col("source") == "src0")
+                        .select(F.col("gram").alias("bgram")).distinct())
+    return (grams.filter(F.col("source") != "src0")
+            .join(bench, F.col("gram") == F.col("bgram"), "left")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_distinct_grams"),
+                 F.count("bgram").alias("n_contaminated"),
+                 (F.count("bgram") > 0).alias("contaminated")))
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+    SELECT vec_id,
+           ROUND(m, 6) AS max_abs,
+           list_transform(d, x -> CAST(round(x * 127.0 / m) AS BIGINT)) AS q
+    FROM (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d,
+                 list_max(list_transform(embedding,
+                                         x -> abs(CAST(x AS DOUBLE)))) AS m
+          FROM embeddings)
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization for ANN index shipping:
+    scale each embedding by 127∕max|xᵢ| and round — 4× smaller than
+    float32, the standard memory/bandwidth lever for billion-vector
+    indexes (recall loss is negligible at 8 bits).  Pure higher-order
+    array expressions (transform/array_max) in one projection — no
+    shuffle, no Python; the de-quantization scale (max_abs) rides along
+    so consumers can reconstruct approximate floats."""
+    emb = ptable(spark, sf_dir, "embeddings")
+    d = F.transform("embedding", lambda x: x.cast("double"))
+    out = emb.select("vec_id", d.alias("d"),
+                     F.array_max(F.transform(d, F.abs)).alias("m"))
+    q = F.transform("d", lambda x: F.round(x * 127.0 / F.col("m"))
+                    .cast("bigint"))
+    return out.select("vec_id", F.round("m", 6).alias("max_abs"),
+                      q.alias("q"))
+
+
+@query(
+    "pack_training_sequences",
+    oracle="""
+    SELECT doc_id, lang, n_tokens,
+           CAST(FLOOR((run - n_tokens) / 512.0) AS BIGINT) AS pack_id
+    FROM (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens,
+                 SUM(len(string_split(text, ' ')))
+                     OVER (PARTITION BY lang ORDER BY doc_id ASC
+                           ROWS UNBOUNDED PRECEDING) AS run
+          FROM documents)
+    """,
+)
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining: assign documents to fixed
+    512-token training packs by running token count within each lang
+    stream (docs in deterministic doc_id order; a doc starts in the
+    pack its cumulative predecessor count falls into).  This is the
+    scalable streaming approximation of first-fit packing — one window
+    shuffle per lang partition, no sequential driver loop — and the
+    pack_id is exactly reproducible across runs, which training-data
+    lineage requires."""
+    docs = table(spark, sf_dir, "documents")
+    n_tok = F.size(T.tokens("text"))
+    w = (Window.partitionBy("lang").orderBy(F.asc("doc_id"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (docs.select("doc_id", "lang", n_tok.alias("n_tokens"))
+            .withColumn("run", F.sum("n_tokens").over(w))
+            .select("doc_id", "lang", "n_tokens",
+                    F.floor((F.col("run") - F.col("n_tokens")) / 512.0)
+                    .cast("bigint").alias("pack_id")))
+
+
+@query(
+    "curation_pipeline",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm,
+               string_split(text, ' ') AS t
+        FROM documents),
+    scored AS (
+        SELECT doc_id, lang, norm, len(t) AS n_tokens,
+               1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh) AS rep
+        FROM (SELECT doc_id, lang, norm, t,
+                     list_transform(range(1, len(t) - 1),
+                                    i -> t[i] || ' ' || t[i+1] || ' '
+                                         || t[i+2]) AS sh
+              FROM toks WHERE len(t) >= 3)),
+    kept AS (
+        SELECT doc_id, lang, n_tokens,
+               ROW_NUMBER() OVER (PARTITION BY norm
+                                  ORDER BY doc_id ASC) AS rn
+        FROM scored
+        WHERE n_tokens BETWEEN 5 AND 1000
+          AND rep <= 0.2
+          AND lang IN ('en', 'es', 'fr', 'de'))
+    SELECT doc_id, lang, n_tokens FROM kept WHERE rn = 1
+    """,
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation in ONE lazy plan: token-length gate
+    (5–1000) → repetition gate (duplicate-trigram ratio ≤ 0.2, as in
+    doc_repetition_scores) → language allowlist → exact dedup on
+    normalized text keeping the lowest doc_id.  All gates are columnar
+    expressions evaluated in the same scan; the only shuffle is the
+    dedup window on norm-text hash — i.e. the whole multi-stage
+    pipeline costs one pass + one exchange at 100 TB, instead of four
+    materialized intermediate datasets."""
+    docs = ptable(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    base = (docs.filter(F.size(toks) >= 3)
+            .select("doc_id", "lang", T.normalize("text").alias("norm"),
+                    toks.alias("t")))
+    sh = F.transform(
+        F.sequence(F.lit(1), F.size("t") - 2),
+        lambda i: F.concat_ws(" ", F.element_at(F.col("t"), i),
+                              F.element_at(F.col("t"), i + 1),
+                              F.element_at(F.col("t"), i + 2)))
+    scored = base.select(
+        "doc_id", "lang", "norm", F.size("t").alias("n_tokens"),
+        (F.lit(1.0) - F.size(F.array_distinct(sh)).cast("double")
+         / F.size(sh)).alias("rep"))
+    kept = (scored.filter(F.col("n_tokens").between(5, 1000)
+                          & (F.col("rep") <= 0.2)
+                          & F.col("lang").isin("en", "es", "fr", "de"))
+            .withColumn("rn", F.row_number().over(
+                Window.partitionBy("norm").orderBy(F.asc("doc_id")))))
+    return kept.filter(F.col("rn") == 1).select("doc_id", "lang", "n_tokens")

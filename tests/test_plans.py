@@ -154,3 +154,37 @@ def test_pivot_has_no_distinct_values_pass(spark):
     n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n_exchanges == 2, plan
     assert "pivotfirst" in plan
+
+
+def test_returned_items_topk_fuses(spark):
+    plan = plan_of(spark, "returned_item_customers")
+    assert "TakeOrderedAndProject" in plan
+    # quarter filter pushed into the orders scan, not applied post-join
+    assert "PushedFilters: [IsNotNull(o_orderdate)" in plan or \
+        "o_orderdate" in "".join(
+            ln for ln in plan.splitlines() if "PushedFilters" in ln)
+
+
+def test_contamination_probe_is_broadcast(spark):
+    # the benchmark n-gram set must broadcast; a shuffled join here
+    # would move the whole training corpus for a membership probe
+    plan = plan_of(spark, "contamination_flags")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_quantize_has_no_shuffle_after_source(spark):
+    # pure projection: the only Exchange allowed is the ptable
+    # round-robin repartition of the single-file fixture source
+    plan = plan_of(spark, "embedding_quantize_int8")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1
+    assert "Python" not in plan            # all JVM-side array exprs
+
+
+def test_curation_pipeline_single_exchange_for_dedup(spark):
+    # four gates + dedup must not stack shuffles: one round-robin
+    # source repartition + one hash partition for the dedup window
+    plan = plan_of(spark, "curation_pipeline")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
+    # the language allowlist reaches the parquet scan
+    assert "In(lang" in plan
