@@ -1614,3 +1614,168 @@ def priority_linestatus_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
                  F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"))
             .orderBy("l_linestatus"))
+
+
+@query(
+    "discount_revenue_gain",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue_gain
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(l_shipdate AS DATE) <  DATE '1997-01-01'
+      AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN 0.05 AND 0.07
+      AND CAST(l_quantity AS DECIMAL(18,2)) < 24
+    """,
+)
+def discount_revenue_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape — the what-if revenue gain of dropping mid-range
+    discounts: a pure scan-and-reduce with three conjunctive predicates
+    and no grouping.  Everything pushes into the parquet scan (date,
+    discount band, quantity all min/max-skippable), the aggregate is a
+    partial+final SUM over a 4-column ReadSchema — the query the
+    columnar format exists for; at 100 TB it is I/O-bound and
+    embarrassingly parallel."""
+    li = table(spark, sf_dir, "lineitem")
+    disc = _dec("l_discount")
+    return (li.filter((F.to_date("l_shipdate")
+                       >= F.lit("1996-01-01").cast("date"))
+                      & (F.to_date("l_shipdate")
+                         < F.lit("1997-01-01").cast("date"))
+                      & disc.between(F.lit(0.05), F.lit(0.07))
+                      & (_dec("l_quantity") < 24))
+            .agg(F.sum(_dec("l_extendedprice") * disc).cast("double")
+                 .alias("revenue_gain")))
+
+
+@query(
+    "nation_year_profit",
+    oracle="""
+    SELECT n_name AS nation,
+           EXTRACT(year FROM CAST(o_orderdate AS DATE)) AS o_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS profit
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    GROUP BY n_name, o_year
+    ORDER BY n_name ASC, o_year DESC
+    """,
+)
+def nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape — product-line profit by supplier nation and
+    order year.  The selective LIKE filter rides the part dim *before*
+    it broadcasts, so the fact table is thinned by a broadcast
+    semi-ish probe ahead of the one wide lineitem⋈orders shuffle;
+    supplier and nation broadcast too.  Group keys are (nation, year) —
+    25×7 groups — so partial aggregation collapses the shuffle to
+    nothing."""
+    part = F.broadcast(table(spark, sf_dir, "part")
+                       .filter(F.col("p_name").like("%widget%")))
+    supp = F.broadcast(table(spark, sf_dir, "supplier"))
+    nation = F.broadcast(table(spark, sf_dir, "nation"))
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    price, disc = _dec("l_extendedprice"), _dec("l_discount")
+    return (li.join(part, li.l_partkey == part.p_partkey)
+            .join(supp, li.l_suppkey == supp.s_suppkey)
+            .join(nation, supp.s_nationkey == nation.n_nationkey)
+            .join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy(F.col("n_name").alias("nation"),
+                     F.year(F.to_date("o_orderdate")).cast("bigint")
+                     .alias("o_year"))
+            .agg(F.sum(price * (F.lit(1) - disc)).cast("double")
+                 .alias("profit"))
+            .orderBy(F.asc("nation"), F.desc("o_year")))
+
+
+@query(
+    "supplier_part_variety",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#13'
+      AND p_size IN (5, 10, 15, 20)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+    """,
+)
+def supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape — how many distinct suppliers can serve each
+    (brand, type, size) bucket, excluding an exclusion list (here:
+    suppliers in arrears) expressed as NOT IN.  The exclusion list is a
+    broadcast anti join (NULL-safe because s_suppkey is a key — the
+    NOT IN NULL trap doesn't apply); part prunes by brand/size before
+    broadcasting; COUNT(DISTINCT) becomes a two-phase aggregate
+    (dedup on (group, suppkey), then count) — both phases partial-
+    aggregated, one logical shuffle."""
+    li = table(spark, sf_dir, "lineitem")
+    part = F.broadcast(table(spark, sf_dir, "part")
+                       .filter((F.col("p_brand") != "Brand#13")
+                               & F.col("p_size").isin(5, 10, 15, 20)))
+    bad = F.broadcast(table(spark, sf_dir, "supplier")
+                      .filter(F.col("s_acctbal") < 0)
+                      .select("s_suppkey"))
+    return (li.join(part, li.l_partkey == part.p_partkey)
+            .join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+            .orderBy(F.desc("supplier_cnt"), F.asc("p_brand"),
+                     F.asc("p_type"), F.asc("p_size")))
+
+
+@query(
+    "excess_shipment_suppliers",
+    oracle="""
+    WITH sp AS (
+        SELECT l_suppkey, l_partkey,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_name LIKE '%widget%'
+        GROUP BY l_suppkey, l_partkey),
+    pa AS (SELECT l_partkey, SUM(qty) AS total_qty,
+                  COUNT(*) AS n_supp
+           FROM sp GROUP BY l_partkey)
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+        SELECT sp.l_suppkey FROM sp JOIN pa ON sp.l_partkey = pa.l_partkey
+        WHERE 2 * sp.qty * pa.n_supp > 3 * pa.total_qty)
+    ORDER BY s_suppkey ASC
+    """,
+)
+def excess_shipment_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape — a nested semi-join chain: suppliers who
+    shipped more than 1.5× the per-supplier average of some widget
+    part.  The threshold compare is kept in *exact* decimal integer
+    form (2·qty·n > 3·total instead of qty > 1.5·avg) so no engine's
+    division rounding can flip a boundary row.  Physical shape: one
+    shuffle builds (supp, part) quantities, a re-aggregation by part
+    derives the denominators (reusing the same partitioning — no
+    second wide shuffle of the fact table), and the surviving suppkeys
+    semi-join the supplier dim."""
+    part = F.broadcast(table(spark, sf_dir, "part")
+                       .filter(F.col("p_name").like("%widget%")))
+    li = table(spark, sf_dir, "lineitem")
+    sp = (li.join(part, li.l_partkey == part.p_partkey)
+          .groupBy("l_suppkey", "l_partkey")
+          .agg(F.sum(_dec("l_quantity")).alias("qty")))
+    pa = (sp.groupBy(F.col("l_partkey").alias("pk"))
+          .agg(F.sum("qty").alias("total_qty"),
+               F.count(F.lit(1)).alias("n_supp")))
+    hot = (sp.join(pa, sp.l_partkey == pa.pk)
+           .filter(F.lit(2) * F.col("qty") * F.col("n_supp")
+                   > F.lit(3) * F.col("total_qty"))
+           .select("l_suppkey"))
+    supp = table(spark, sf_dir, "supplier")
+    return (supp.join(hot, supp.s_suppkey == hot.l_suppkey, "left_semi")
+            .select("s_suppkey", "s_name")
+            .orderBy(F.asc("s_suppkey")))

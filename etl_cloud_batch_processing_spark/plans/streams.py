@@ -221,3 +221,51 @@ def streaming_distinct_user_event_types(spark: SparkSession,
                .select("user_id", "event_type"))
     W.run_available_now(deduped, out, ckpt)
     return spark.read.parquet(out)
+
+
+@query(
+    "streaming_click_purchase_attribution",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 30 MINUTE
+     AND c.ts <= p.ts
+    """,
+)
+def streaming_click_purchase_attribution(spark: SparkSession,
+                                         sf_dir: str) -> DataFrame:
+    """Stream-stream interval join — last-touch attribution: every
+    purchase joined to the same user's clicks in the preceding 30
+    minutes.  Both sides carry watermarks and the join condition bounds
+    event time in both directions, which is exactly what lets the state
+    store evict: a buffered click older than (watermark − 30 min) can
+    never match a future purchase and is dropped.  Unbounded-state
+    stream joins are rejected by Spark outright — the time bound is
+    correctness AND the 100 TB memory story.  Drained AvailableNow into
+    a parquet sink under the batch self-join oracle."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="attr_sink_")
+    ckpt = tempfile.mkdtemp(prefix="attr_ckpt_")
+    purchases = (W.events_stream(spark, sf_dir)
+                 .filter(F.col("event_type") == "purchase")
+                 .select(F.col("event_id").alias("purchase_id"),
+                         F.col("user_id").alias("p_user"),
+                         F.col("ts").alias("p_ts"))
+                 .withWatermark("p_ts", "1 hour"))
+    clicks = (W.events_stream(spark, sf_dir)
+              .filter(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_id"),
+                      F.col("user_id").alias("c_user"),
+                      F.col("ts").alias("c_ts"))
+              .withWatermark("c_ts", "1 hour"))
+    joined = (purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")))
+        .select("purchase_id", "click_id", F.col("p_user").alias("user_id")))
+    W.run_available_now(joined, out, ckpt)
+    return spark.read.parquet(out)
