@@ -1779,3 +1779,204 @@ def excess_shipment_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (supp.join(hot, supp.s_suppkey == hot.l_suppkey, "left_semi")
             .select("s_suppkey", "s_name")
             .orderBy(F.asc("s_suppkey")))
+
+
+@query(
+    "min_cost_part_supplier",
+    oracle="""
+    WITH offer AS (
+        SELECT l_partkey, l_suppkey,
+               MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        JOIN part     ON l_partkey = p_partkey
+        WHERE r_name = 'EUROPE' AND p_size = 15
+        GROUP BY l_partkey, l_suppkey)
+    SELECT s_acctbal, s_name, n_name AS nation, p_partkey, p_name,
+           CAST(o.cost AS DOUBLE) AS cost
+    FROM offer o
+    JOIN part     ON o.l_partkey = p_partkey
+    JOIN supplier ON o.l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE o.cost = (SELECT MIN(o2.cost) FROM offer o2
+                    WHERE o2.l_partkey = o.l_partkey)
+    ORDER BY s_acctbal DESC, nation ASC, s_name ASC, p_partkey ASC
+    LIMIT 100
+    """,
+)
+def min_cost_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape — for each size-15 part, the European supplier(s)
+    quoting the minimum price (the offer relation is lineitem rolled up
+    to (part, supplier), standing in for PARTSUPP).  Q2's correlated
+    scalar MIN subquery becomes a per-part MIN window over the already
+    3-orders-of-magnitude-smaller offer aggregate — both the part
+    filter and the region filter ride broadcast dims BELOW the rollup,
+    so the correlation never touches fact-table rows.  The window
+    repartitions only the offer set (pennies); dim attributes join
+    back broadcast after winners are chosen, keeping the aggregate's
+    shuffle width to 3 columns."""
+    region = F.broadcast(table(spark, sf_dir, "region")
+                         .filter(F.col("r_name") == "EUROPE"))
+    nation = table(spark, sf_dir, "nation")
+    supp = table(spark, sf_dir, "supplier")
+    euro_supp = F.broadcast(
+        supp.join(region.join(nation,
+                              region.r_regionkey == nation.n_regionkey),
+                  supp.s_nationkey == F.col("n_nationkey"))
+        .select("s_suppkey"))
+    part15 = F.broadcast(table(spark, sf_dir, "part")
+                         .filter(F.col("p_size") == 15)
+                         .select("p_partkey"))
+    li = table(spark, sf_dir, "lineitem")
+    offers = (li.join(part15, li.l_partkey == part15.p_partkey)
+              .join(euro_supp, li.l_suppkey == euro_supp.s_suppkey)
+              .groupBy("l_partkey", "l_suppkey")
+              .agg(F.min(_dec("l_extendedprice")).alias("cost")))
+    best = (offers.withColumn(
+        "min_cost", F.min("cost").over(Window.partitionBy("l_partkey")))
+        .filter(F.col("cost") == F.col("min_cost")))
+    part = F.broadcast(table(spark, sf_dir, "part")
+                       .select("p_partkey", "p_name"))
+    sn = F.broadcast(
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(table(spark, sf_dir, "nation")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal",
+                F.col("n_name").alias("nation")))
+    return (best.join(part, best.l_partkey == part.p_partkey)
+            .join(sn, best.l_suppkey == sn.s_suppkey)
+            .select("s_acctbal", "s_name", "nation", "p_partkey", "p_name",
+                    F.col("cost").cast("double").alias("cost"))
+            .orderBy(F.desc("s_acctbal"), F.asc("nation"), F.asc("s_name"),
+                     F.asc("p_partkey"))
+            .limit(100))
+
+
+@query(
+    "nation_market_share",
+    oracle="""
+    SELECT EXTRACT(year FROM CAST(o_orderdate AS DATE)) AS o_year,
+           CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
+                         THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                         ELSE 0 END) AS DOUBLE)
+           / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS mkt_share
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey AND p_type = 'PROMO'
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region   ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    GROUP BY o_year
+    ORDER BY o_year ASC
+    """,
+)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape — NATION_3's share of PROMO-part revenue sold
+    into ASIA, by order year.  The numerator is conditional
+    aggregation (CASE inside SUM), so ONE pass computes both sums —
+    no self-join, no second scan.  Join strategy at 100 TB: part
+    (filtered) and the supplier→nation map broadcast onto lineitem;
+    customer thins to an ASIA key set via broadcast nation⋈region
+    before its shuffle join with orders, so the wide orders⋈lineitem
+    shuffle moves only region-qualified orders.  Both decimal sums
+    stay exact until one final double division."""
+    nr = (F.broadcast(table(spark, sf_dir, "region")
+                      .filter(F.col("r_name") == "ASIA"))
+          .join(table(spark, sf_dir, "nation"),
+                F.col("r_regionkey") == F.col("n_regionkey")))
+    cust = table(spark, sf_dir, "customer")
+    asia_cust = (cust.join(F.broadcast(nr),
+                           cust.c_nationkey == nr.n_nationkey)
+                 .select("c_custkey"))
+    orders = table(spark, sf_dir, "orders")
+    asia_orders = (orders.join(asia_cust,
+                               orders.o_custkey == asia_cust.c_custkey)
+                   .select("o_orderkey", "o_orderdate"))
+    promo = F.broadcast(table(spark, sf_dir, "part")
+                        .filter(F.col("p_type") == "PROMO")
+                        .select("p_partkey"))
+    supp_nation = F.broadcast(
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(table(spark, sf_dir, "nation")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    li = table(spark, sf_dir, "lineitem")
+    vol = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (li.join(promo, li.l_partkey == promo.p_partkey)
+            .join(supp_nation, li.l_suppkey == supp_nation.s_suppkey)
+            .join(asia_orders, li.l_orderkey == asia_orders.o_orderkey)
+            .groupBy(F.year(F.to_date("o_orderdate")).cast("bigint")
+                     .alias("o_year"))
+            .agg((F.sum(F.when(F.col("supp_nation") == "NATION_3", vol)
+                        .otherwise(F.lit(0).cast(DEC))).cast("double")
+                  / F.sum(vol).cast("double")).alias("mkt_share"))
+            .orderBy(F.asc("o_year")))
+
+
+@query(
+    "sole_late_supplier_waits",
+    oracle="""
+    SELECT s_name, COUNT(*) AS numwait
+    FROM lineitem l1
+    JOIN orders   ON l1.l_orderkey = o_orderkey AND o_orderstatus = 'F'
+    JOIN supplier ON l1.l_suppkey = s_suppkey
+    WHERE CAST(l1.l_shipdate AS DATE)
+              > CAST(o_orderdate AS DATE) + INTERVAL 90 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND CAST(l3.l_shipdate AS DATE)
+                    > CAST(o3.o_orderdate AS DATE) + INTERVAL 90 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name ASC
+    LIMIT 100
+    """,
+)
+def sole_late_supplier_waits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — suppliers who were the SOLE late shipper in a
+    finished multi-supplier order.  The double correlated EXISTS /
+    NOT EXISTS becomes a per-order aggregate: "another supplier
+    exists" (distinct suppliers ≥ 2) and "no other supplier was late"
+    (distinct LATE suppliers = 1, and l1 is late).  Deliberately NOT
+    countDistinct×2 — that plans an Expand that doubles every fact
+    row before its shuffle.  Instead a two-level aggregation: dedupe
+    to (order, supplier, any_late) with map-side combine (the only
+    fact-width shuffle, 3 columns), then roll up the tiny
+    supplier-level frame to per-order counts."""
+    orders_f = (table(spark, sf_dir, "orders")
+                .filter(F.col("o_orderstatus") == "F")
+                .select("o_orderkey", "o_orderdate"))
+    li = table(spark, sf_dir, "lineitem")
+    lo = (li.join(orders_f, li.l_orderkey == orders_f.o_orderkey)
+          .select("l_orderkey", "l_suppkey",
+                  (F.to_date("l_shipdate")
+                   > F.date_add(F.to_date("o_orderdate"), 90))
+                  .alias("late")))
+    per_supp = (lo.groupBy("l_orderkey", "l_suppkey")
+                .agg(F.max("late").alias("supp_late")))
+    per_order = (per_supp.groupBy(F.col("l_orderkey").alias("ok"))
+                 .agg(F.count(F.lit(1)).alias("n_supp"),
+                      F.sum(F.col("supp_late").cast("int"))
+                      .alias("n_late_supp")))
+    sole = (lo.filter(F.col("late"))
+            .join(per_order, lo.l_orderkey == per_order.ok)
+            .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)))
+    supp = F.broadcast(table(spark, sf_dir, "supplier")
+                       .select("s_suppkey", "s_name"))
+    return (sole.join(supp, sole.l_suppkey == supp.s_suppkey)
+            .groupBy("s_name")
+            .agg(F.count(F.lit(1)).alias("numwait"))
+            .orderBy(F.desc("numwait"), F.asc("s_name"))
+            .limit(100))

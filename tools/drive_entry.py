@@ -31,6 +31,8 @@ def canon(v):
     return v
 
 qs, os_ = e.queries(), e.oracle_sql()
+if len(sys.argv) > 1:  # optional name filters: substring match, OR'd
+    qs = {n: f for n, f in qs.items() if any(a in n for a in sys.argv[1:])}
 ok = bad = 0
 for name, fn in sorted(qs.items()):
     sdf = fn(spark, SF).toPandas()
