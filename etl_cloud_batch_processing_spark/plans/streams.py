@@ -269,3 +269,110 @@ def streaming_click_purchase_attribution(spark: SparkSession,
         .select("purchase_id", "click_id", F.col("p_user").alias("user_id")))
     W.run_available_now(joined, out, ckpt)
     return spark.read.parquet(out)
+
+
+@query(
+    "streaming_session_windows",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts)
+                         > INTERVAL 30 MINUTE
+                    OR lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events),
+    islands AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess
+        FROM gaps)
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM islands
+    GROUP BY user_id, sess
+    HAVING MAX(ts) + INTERVAL 30 MINUTE
+               <= (SELECT max(ts) FROM events)
+    """,
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization: the SAME ``session_window`` body as the
+    batch twin (`session_windows_30m`), run incrementally.  Sessions are
+    the one window type whose extent is data-dependent — the state store
+    merges windows as gap-bridging events arrive, and the watermark is
+    what makes that sound: a session can only emit once no future event
+    could extend it (watermark past its end), hence the oracle's HAVING
+    clause withholding the still-open tail sessions.  State per key is
+    O(open sessions), not O(events) — the 100 TB story."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="sess_sink_")
+    ckpt = tempfile.mkdtemp(prefix="sess_ckpt_")
+    result = W.session_windows(W.events_stream(spark, sf_dir))
+    W.run_available_now(result, out, ckpt)
+    return spark.read.parquet(out)
+
+
+@query(
+    "streaming_foreachbatch_upsert",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def streaming_foreachbatch_upsert(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """``foreachBatch`` incremental upsert — the pattern for sinks with
+    no native streaming writer (JDBC, key-value stores, plain parquet):
+    each micro-batch's partial aggregate merges into a keyed state
+    table.  Count and decimal-sum partials are associative, so
+    merge = union + re-aggregate; state versions are keyed by batch_id,
+    making a retried batch overwrite its own version (idempotent
+    against at-least-once delivery).  The input is split 4 ways and
+    throttled to 1 file per trigger to force a genuinely multi-batch
+    run.  At 100 TB the merge cost is O(|keys|) per batch, independent
+    of history length."""
+    import tempfile
+
+    src = tempfile.mkdtemp(prefix="upsert_src_")
+    state_root = tempfile.mkdtemp(prefix="upsert_state_")
+    ckpt = tempfile.mkdtemp(prefix="upsert_ckpt_")
+    events = table(spark, sf_dir, "events")
+    events.repartition(4).write.mode("overwrite").parquet(src)
+
+    stream = (spark.readStream.schema(events.schema)
+              .option("maxFilesPerTrigger", "1")
+              .option("pathGlobFilter", "*.parquet")
+              .parquet(src))
+    latest: dict[str, str] = {}
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        agg = (batch.groupBy("user_id")
+               .agg(F.count(F.lit(1)).alias("n_events"),
+                    F.sum(F.col("value").cast("decimal(18,6)"))
+                    .alias("total_value")))
+        if "path" in latest:
+            prev = batch.sparkSession.read.parquet(latest["path"])
+            agg = (prev.unionByName(agg)
+                   .groupBy("user_id")
+                   .agg(F.sum("n_events").alias("n_events"),
+                        F.sum("total_value").cast("decimal(18,6)")
+                        .alias("total_value")))
+        version = f"{state_root}/v{batch_id}"
+        agg.write.mode("overwrite").parquet(version)
+        latest["path"] = version
+
+    q = (stream.writeStream.foreachBatch(upsert)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return (spark.read.parquet(latest["path"])
+            .select("user_id", "n_events",
+                    F.col("total_value").cast("double").alias("total_value")))

@@ -142,6 +142,10 @@ def apply_engine_conf(spark: SparkSession) -> SparkSession:
         "spark.sql.parquet.filterPushdown",
         "spark.sql.autoBroadcastJoinThreshold",
         "spark.sql.legacy.parquet.nanosAsLong",
+        # Streaming stateful ops pin state to this many partitions at
+        # checkpoint creation and never consult AQE; without it an
+        # externally-created session runs 200 state tasks on 8 cores.
+        "spark.sql.shuffle.partitions",
     )
     for k in runtime_keys:
         spark.conf.set(k, ENGINE_CONF[k])
