@@ -1175,3 +1175,40 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("rn", F.row_number().over(
                 Window.partitionBy("norm").orderBy(F.asc("doc_id")))))
     return kept.filter(F.col("rn") == 1).select("doc_id", "lang", "n_tokens")
+
+
+@query(
+    "doc_cross_entropy_unigram",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents),
+    vocab AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+    total AS (SELECT COUNT(*) AS n FROM tok)
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           round(AVG(-ln(CAST(cnt AS DOUBLE) / n)), 6) AS cross_entropy
+    FROM tok JOIN vocab USING (tok) CROSS JOIN total
+    GROUP BY doc_id
+    """,
+)
+def doc_cross_entropy_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-model quality score: each document's mean
+    negative log-likelihood under the corpus's own unigram
+    distribution.  Low cross-entropy = formulaic/common tokens; high =
+    rare-token soup — both tails are what LLM curation drops.  A
+    two-pass corpus statistic: pass 1 builds the unigram model
+    (token shuffle with map-side combine), pass 2 scores docs by
+    joining tokens to their frequencies.  The token⋈vocab join is the
+    skew hot spot at 100 TB (Zipf: 'the' dominates) — AQE skew-join
+    splits it; the corpus-size scalar rides a broadcast single row."""
+    docs = ptable(spark, sf_dir, "documents")
+    exploded = docs.select(
+        "doc_id", F.explode(T.tokens("text")).alias("tok"))
+    vocab = exploded.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = F.broadcast(exploded.agg(F.count(F.lit(1)).alias("n")))
+    return (exploded.join(vocab, "tok").crossJoin(total)
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.round(F.avg(-F.log(F.col("cnt").cast("double")
+                                      / F.col("n"))), 6)
+                 .alias("cross_entropy")))

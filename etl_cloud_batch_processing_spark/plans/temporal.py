@@ -105,3 +105,38 @@ def user_event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("value").over(w).alias("prev_value"),
         F.lead("value").over(w).alias("next_value"),
         (F.col("value") - F.lag("value").over(w)).alias("delta"))
+
+
+@query(
+    "rollup_plus_tail_counts",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n_events
+    FROM events
+    GROUP BY day, event_type
+    """,
+)
+def rollup_plus_tail_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate (hypertable-rollup) pattern: historical days
+    are served from a materialized daily rollup table; only the raw
+    tail (the still-open current day) is aggregated at query time, and
+    the two halves union.  This is the lambda shape that makes
+    dashboard aggregates O(tail) instead of O(history) at 100 TB — the
+    rollup is written once per closed day (here: materialized inside
+    the query to keep it self-contained) and day-partitioned groups are
+    disjoint, so union needs no re-aggregation.  The cutoff scalar
+    joins as a broadcast single row — no collect()."""
+    import tempfile
+
+    events = table(spark, sf_dir, "events")
+    day = F.to_date("ts").alias("day")
+    cut = F.broadcast(events.agg(F.max(F.to_date("ts")).alias("cutoff")))
+    tagged = events.select(day, "event_type").crossJoin(cut)
+    rollup_dir = tempfile.mkdtemp(prefix="rollup_")
+    (tagged.filter(F.col("day") < F.col("cutoff"))
+     .groupBy("day", "event_type")
+     .agg(F.count(F.lit(1)).alias("n_events"))
+     .write.mode("overwrite").parquet(rollup_dir))
+    tail = (tagged.filter(F.col("day") >= F.col("cutoff"))
+            .groupBy("day", "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events")))
+    return spark.read.parquet(rollup_dir).unionByName(tail)
