@@ -1212,3 +1212,41 @@ def doc_cross_entropy_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.avg(-F.log(F.col("cnt").cast("double")
                                       / F.col("n"))), 6)
                  .alias("cross_entropy")))
+
+
+@query(
+    "incremental_ingest_dedup",
+    oracle=f"""
+    WITH fp AS (
+        SELECT doc_id, md5({_DUCK_NORM}) AS fingerprint FROM documents)
+    SELECT n.doc_id, n.fingerprint
+    FROM fp n
+    WHERE n.doc_id >= 400
+      AND NOT EXISTS (SELECT 1 FROM fp h
+                      WHERE h.doc_id < 400
+                        AND h.fingerprint = n.fingerprint)
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY n.fingerprint
+                               ORDER BY n.doc_id ASC) = 1
+    """,
+)
+def incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus ingestion — the shape every growing training
+    corpus needs: dedupe ONLY the incoming batch (here: doc_id ≥ 400
+    standing in for today's crawl) against the accumulated history's
+    fingerprint table, never re-shuffling the history's full text.
+    Two stages: (1) anti join incoming fingerprints against history —
+    16-byte hashes, so the probe side shuffles ~constant bytes/row
+    regardless of document size (and in a real deployment the history
+    side is a bucketed fingerprint table: zero history shuffle at all);
+    (2) a window dedup WITHIN the batch, since two copies arriving in
+    the same batch both survive the history probe.  Cost per day is
+    O(batch + matched buckets), not O(corpus)."""
+    docs = table(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", T.md5_fingerprint("text").alias("fingerprint"))
+    history = fp.filter(F.col("doc_id") < 400).select("fingerprint")
+    incoming = fp.filter(F.col("doc_id") >= 400)
+    fresh = incoming.join(history, "fingerprint", "left_anti")
+    w = Window.partitionBy("fingerprint").orderBy(F.asc("doc_id"))
+    return (fresh.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", "fingerprint"))
