@@ -1250,3 +1250,84 @@ def incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (fresh.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select("doc_id", "fingerprint"))
+
+
+@query(
+    "levenshtein_near_pairs",
+    oracle=f"""
+    WITH n AS (SELECT doc_id, lang, {_DUCK_NORM} AS norm FROM documents)
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           levenshtein(substr(a.norm, 1, 60), substr(b.norm, 1, 60))
+               AS edit_dist
+    FROM n a JOIN n b
+      ON a.lang = b.lang
+     AND length(a.norm) // 16 = length(b.norm) // 16
+     AND a.doc_id < b.doc_id
+    WHERE levenshtein(substr(a.norm, 1, 60), substr(b.norm, 1, 60)) <= 25
+    """,
+)
+def levenshtein_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NS2 edit-distance near-dup: candidate pairs from equi-join
+    blocking on (lang, length-bucket) — a pure hash-partitioned join,
+    NO cross product — then exact Levenshtein on a 60-char prefix as
+    the verifier.  Blocking is what makes O(n²)-per-pair edit distance
+    survive scale: candidates are bounded per block, and the length
+    bucket is sound because edit distance ≥ length difference.  The
+    prefix cap bounds per-pair cost at 60² cell updates regardless of
+    document size."""
+    docs = ptable(spark, sf_dir, "documents")
+    n = docs.select("doc_id", "lang", T.normalize("text").alias("norm"))
+    n = n.withColumn("blk", F.floor(F.length("norm") / 16))
+    a = n.select(F.col("doc_id").alias("a_id"), F.col("lang").alias("a_lang"),
+                 F.col("blk").alias("a_blk"),
+                 F.substring("norm", 1, 60).alias("a_pre"))
+    b = n.select(F.col("doc_id").alias("b_id"), F.col("lang").alias("b_lang"),
+                 F.col("blk").alias("b_blk"),
+                 F.substring("norm", 1, 60).alias("b_pre"))
+    dist = F.levenshtein("a_pre", "b_pre")
+    return (a.join(b, (F.col("a_lang") == F.col("b_lang"))
+                   & (F.col("a_blk") == F.col("b_blk"))
+                   & (F.col("a_id") < F.col("b_id")))
+            .filter(dist <= 25)
+            .select("a_id", "b_id", dist.alias("edit_dist")))
+
+
+@query(
+    "null_imputation",
+    oracle="""
+    WITH masked AS (
+        SELECT event_id, event_type,
+               CASE WHEN value >= 1 THEN value END AS v
+        FROM events),
+    means AS (
+        SELECT event_type,
+               round(AVG(v), 6) AS type_mean
+        FROM masked GROUP BY event_type)
+    SELECT event_id, m.event_type,
+           round(COALESCE(v, type_mean), 6) AS value_imputed,
+           v IS NULL AS was_imputed
+    FROM masked m JOIN means USING (event_type)
+    """,
+)
+def null_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-cleaning surface: mask invalid measurements to NULL
+    (values < 1 here, standing in for sentinel junk), then impute with
+    the per-group mean — the standard feature-cleaning op.  The group
+    means are a tiny aggregate broadcast back onto the fact table, so
+    imputation costs one scan plus a map-side join; `na.fill`-style
+    constant fills are the degenerate case (literal instead of the
+    joined mean).  NULL semantics, not NaN — the reference's np.NaN
+    markers (transaction_data.py:38-44) are exactly what this engine
+    replaces with real SQL NULLs (SURVEY.md X10)."""
+    events = table(spark, sf_dir, "events")
+    masked = events.select(
+        "event_id", "event_type",
+        F.when(F.col("value") >= 1, F.col("value")).alias("v"))
+    means = F.broadcast(
+        masked.groupBy("event_type")
+        .agg(F.round(F.avg("v"), 6).alias("type_mean")))
+    return (masked.join(means, "event_type")
+            .select("event_id", "event_type",
+                    F.round(F.coalesce("v", "type_mean"), 6)
+                    .alias("value_imputed"),
+                    F.col("v").isNull().alias("was_imputed")))

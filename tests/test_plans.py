@@ -188,3 +188,33 @@ def test_curation_pipeline_single_exchange_for_dedup(spark):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
     # the language allowlist reaches the parquet scan
     assert "In(lang" in plan
+
+
+def test_partition_pruning_on_dt_layout(spark, tmp_path):
+    """A dt=-partitioned table read with a dt filter must prune at the
+    file-listing level: PartitionFilters carries the predicate and the
+    scan touches one partition directory, not the table (SURVEY.md §4.2,
+    L7 layout — the property that makes scheduled reads O(one day) at
+    100 TB)."""
+    from pyspark.sql import functions as F
+
+    from etl_cloud_batch_processing_spark.sources.writers import (
+        write_append_partition,
+    )
+
+    events = spark.read.parquet(f"{SF}/events.parquet").limit(300)
+    path = str(tmp_path / "dt_table")
+    for ds in ("2021-03-10", "2021-03-11", "2021-03-12"):
+        write_append_partition(events, path, ds)
+
+    df = spark.read.parquet(path).filter(F.col("dt") == "2021-03-11")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "dt" in pf[0], plan
+    # dt must be partition-pruned, not a post-scan data filter
+    assert not any("dt" in ln for ln in plan.splitlines()
+                   if "PushedFilters" in ln), plan
+    assert df.count() == 300  # one partition's rows, not 900
