@@ -1980,3 +1980,86 @@ def sole_late_supplier_waits(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("numwait"))
             .orderBy(F.desc("numwait"), F.asc("s_name"))
             .limit(100))
+
+
+@query(
+    "scd1_balance_refresh",
+    oracle="""
+    WITH src AS (
+        SELECT o_custkey AS c_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS c_acctbal
+        FROM orders
+        WHERE EXTRACT(year FROM CAST(o_orderdate AS DATE)) = 1995
+        GROUP BY o_custkey)
+    SELECT c.c_custkey, c.c_name,
+           COALESCE(s.c_acctbal, c.c_acctbal) AS c_acctbal,
+           s.c_custkey IS NOT NULL AS refreshed
+    FROM customer c LEFT JOIN src s USING (c_custkey)
+    """,
+)
+def scd1_balance_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (SCD type-1) under an oracle: refresh the customer
+    dimension's balance from a source batch (1995 spend per customer);
+    matched customers take the new balance, unmatched keep theirs.
+    Runs through ``operators/merge.py merge_upsert`` — the full-outer
+    join + presence-flag formulation whose insert path (source-only
+    keys) is exercised in unit tests; here source keys ⊆ target keys,
+    which the oracle's LEFT JOIN mirrors exactly."""
+    from etl_cloud_batch_processing_spark.operators.merge import merge_upsert
+
+    cust = (table(spark, sf_dir, "customer")
+            .select("c_custkey", "c_name", "c_acctbal"))
+    orders = table(spark, sf_dir, "orders")
+    src = (orders.filter(F.year(F.to_date("o_orderdate")) == 1995)
+           .groupBy("o_custkey")
+           .agg(F.sum(_dec("o_totalprice")).cast("double")
+                .alias("c_acctbal"))
+           .withColumnRenamed("o_custkey", "c_custkey"))
+    merged = merge_upsert(cust, src, keys=["c_custkey"],
+                          update_cols=["c_acctbal"])
+    flags = src.select("c_custkey").withColumn("refreshed", F.lit(True))
+    return (merged.join(flags, "c_custkey", "left")
+            .select("c_custkey", "c_name", "c_acctbal",
+                    F.coalesce("refreshed", F.lit(False)).alias("refreshed")))
+
+
+@query(
+    "scd2_user_type_history",
+    oracle="""
+    WITH chg AS (
+        SELECT user_id, event_type, ts,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM events),
+    seg AS (SELECT user_id, event_type, ts AS valid_from
+            FROM chg WHERE prev IS NULL OR prev <> event_type)
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from) AS valid_to,
+           lead(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from) IS NULL AS is_current
+    FROM seg
+    """,
+)
+def scd2_user_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension build: collapse each user's event stream
+    into validity intervals — one row per run of equal event_type, with
+    [valid_from, valid_to) bounds and an is_current flag.  Classic
+    gaps-and-islands via lag to find change points and lead to close
+    intervals; both windows share the (user_id, time) partitioning, so
+    the whole history build is ONE shuffle + sort — at 100 TB this is
+    the pattern for deriving a slowly-changing dimension from an event
+    log without a stateful engine.  Total order within ties comes from
+    (ts, event_id)."""
+    events = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = events.withColumn("prev", F.lag("event_type").over(w))
+    seg = (chg.filter(F.col("prev").isNull()
+                      | (F.col("prev") != F.col("event_type")))
+           .select("user_id", "event_type",
+                   F.col("ts").alias("valid_from")))
+    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    vt = F.lead("valid_from").over(w2)
+    return seg.select("user_id", "event_type", "valid_from",
+                      vt.alias("valid_to"), vt.isNull().alias("is_current"))

@@ -284,3 +284,76 @@ def test_connected_components_chain_and_islands(spark):
     got = {(r.id, r.comp)
            for r in connected_components(edges).collect()}
     assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+
+
+def test_zorder_write_tightens_ranges_on_both_keys(spark, tmp_path):
+    """write_zordered must give BOTH cluster columns locality: each
+    file's min/max span on each key is a fraction of the global span
+    (single-key clustering gives this only for its leading key).  Also
+    preserves rows exactly and leaves no helper columns behind."""
+    import pyarrow.parquet as pq
+    from etl_cloud_batch_processing_spark.sources.writers import write_zordered
+
+    ev = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+          .select("event_id", "user_id", "value"))
+    out = str(tmp_path / "zorder")
+    write_zordered(ev, out, ["user_id", "value"], num_files=16)
+
+    back = spark.read.parquet(out)
+    assert back.count() == ev.count()
+    assert sorted(back.columns) == sorted(ev.columns)
+
+    spans = {"user_id": [], "value": []}
+    glo = {c: (float("inf"), float("-inf")) for c in spans}
+    for f in sorted((tmp_path / "zorder").glob("*.parquet")):
+        meta = pq.ParquetFile(str(f)).metadata
+        idx = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
+        for c in spans:
+            st = [meta.row_group(g).column(idx[c]).statistics
+                  for g in range(meta.num_row_groups)]
+            if not st:
+                continue
+            lo = min(s.min for s in st)
+            hi = max(s.max for s in st)
+            spans[c].append(float(hi) - float(lo))
+            glo[c] = (min(glo[c][0], float(lo)), max(glo[c][1], float(hi)))
+    for c in spans:
+        assert len(spans[c]) >= 8
+        global_span = glo[c][1] - glo[c][0]
+        mean_span = sum(spans[c]) / len(spans[c])
+        # 16 files z-ordered on 2 keys → ~4 distinct cells per dim;
+        # require at least a 2x tightening on BOTH dims
+        assert mean_span < 0.5 * global_span, (c, mean_span, global_span)
+
+
+def test_merge_upsert_all_three_paths(spark):
+    """merge_upsert must honor MERGE semantics: matched rows take the
+    source value (including explicit source NULL), target-only rows
+    are untouched, source-only rows insert (target-only columns NULL)."""
+    from etl_cloud_batch_processing_spark.operators.merge import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None)],
+        "k int, name string, bal double")
+    source = spark.createDataFrame(
+        [(2, 99.0), (3, None), (4, 40.0)], "k int, bal double")
+    got = {r["k"]: r for r in
+           merge_upsert(target, source, keys=["k"]).collect()}
+    assert got[1]["bal"] == 10.0 and got[1]["name"] == "a"   # kept
+    assert got[2]["bal"] == 99.0                             # updated
+    assert got[3]["bal"] is None                             # source NULL wins
+    assert got[4]["bal"] == 40.0 and got[4]["name"] is None  # inserted
+    assert len(got) == 4
+
+
+def test_observed_write_reports_metrics_without_second_scan(spark, tmp_path):
+    from etl_cloud_batch_processing_spark.operators.quality import (
+        observed_write,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None), (3, "z"), (4, None)], "id int, s string")
+    out = str(tmp_path / "observed")
+    metrics = observed_write(df, out, metric_cols=["s"])
+    assert metrics == {"rows": 4, "nulls_s": 2}
+    assert spark.read.parquet(out).count() == 4
