@@ -357,3 +357,22 @@ def test_observed_write_reports_metrics_without_second_scan(spark, tmp_path):
     metrics = observed_write(df, out, metric_cols=["s"])
     assert metrics == {"rows": 4, "nulls_s": 2}
     assert spark.read.parquet(out).count() == 4
+
+
+def test_hll_rollup_converges_to_exact(spark):
+    """The sketch-union rollup must track the exact per-day distinct
+    user count within HLL's error envelope (lgK=12 → ~2% rel. std)."""
+    import pyspark.sql.functions as F
+    from etl_cloud_batch_processing_spark.plans.registry import REGISTRY
+
+    approx = {r["day"]: r["approx_users"] for r in
+              REGISTRY["hll_user_rollup"]
+              .builder(spark, "/root/testdata/sf0.01").collect()}
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    exact = {r["day"]: r["n"] for r in
+             (ev.groupBy(F.to_date("ts").alias("day"))
+              .agg(F.countDistinct("user_id").alias("n")).collect())}
+    assert set(approx) == set(exact)
+    for d, e in exact.items():
+        assert abs(approx[d] - e) <= max(2, 0.05 * e), (d, approx[d], e)
