@@ -23,3 +23,18 @@ def test_every_query_is_in_plans_md():
     missing = [n for n in plans.REGISTRY if f"| {n} " not in text]
     assert not missing, (
         f"queries absent from PLANS.md (run tools/explain_all.py): {missing}")
+
+
+def test_no_driver_materialization_in_engine_paths():
+    """SURVEY.md §4.3: no collect()/toPandas() in any engine path.  The
+    single allowed exception is quality.run_checks, which collects its
+    ONE-ROW aggregated report (the check verdicts), never data."""
+    pkg = ROOT / "etl_cloud_batch_processing_spark"
+    offenders = []
+    for f in pkg.rglob("*.py"):
+        for i, line in enumerate(f.read_text().splitlines(), 1):
+            if ".collect()" in line or ".toPandas()" in line:
+                if f.name == "quality.py" and ".agg(" in line:
+                    continue  # the one-row report collect
+                offenders.append(f"{f.relative_to(ROOT)}:{i}")
+    assert not offenders, offenders

@@ -170,3 +170,19 @@ def test_case_b_rerun_idempotent(spark, tmp_path):
     case_b.run(spark, "2021-03-21", f"{src}/unified_events.parquet", wh)
     final = read_parquet(spark, f"{wh}/{case_b.FINAL_TABLE}")
     assert final.count() == 2        # dt partition overwritten, not doubled
+
+
+def test_cli_runs_case_b_single_date(spark, tmp_path):
+    """python -m etl_cloud_batch_processing_spark case_b --ds ... must
+    run one pipeline date end-to-end and reuse the active session."""
+    from etl_cloud_batch_processing_spark.__main__ import main
+
+    src = str(tmp_path / "src")
+    wh = str(tmp_path / "wh")
+    _case_b_events(spark).write.parquet(f"{src}/unified_events.parquet")
+    main(["case_b", "--ds", "2021-03-21",
+          "--source", f"{src}/unified_events.parquet",
+          "--warehouse", wh])
+    out = read_parquet(spark, f"{wh}/{case_b.FINAL_TABLE}")
+    assert out.count() > 0
+    assert spark.sparkContext._jsc is not None  # session survived
