@@ -40,8 +40,17 @@ def merge_upsert(target: DataFrame, source: DataFrame,
     """
     update_cols = [c for c in (update_cols or source.columns)
                    if c not in keys and c in target.columns]
+    src_cols = set(source.columns)
+    # Prefix-rename non-key source columns BEFORE the join: every output
+    # column then resolves by plain name, so chained merges (target
+    # lineage already containing this source) never trip Spark's
+    # ambiguous-self-join detection the way df[c] references do.
+    src = source.select(
+        *[F.col(c) for c in keys],
+        *[F.col(c).alias(f"__src_{c}") for c in source.columns
+          if c not in keys],
+        F.lit(1).alias(_SRC_FLAG))
     tgt = target.withColumn(_TGT_FLAG, F.lit(1))
-    src = source.withColumn(_SRC_FLAG, F.lit(1))
     joined = tgt.join(src, keys, "full_outer")
     has_src = F.col(_SRC_FLAG).isNotNull()
     src_only = F.col(_TGT_FLAG).isNull()
@@ -51,10 +60,12 @@ def merge_upsert(target: DataFrame, source: DataFrame,
             out.append(F.col(c))      # key: list-form join coalesces sides
         elif c in update_cols:
             # matched AND source-only rows take the source value
-            out.append(F.when(has_src, src[c]).otherwise(tgt[c]).alias(c))
-        elif c in source.columns:
+            out.append(F.when(has_src, F.col(f"__src_{c}"))
+                       .otherwise(F.col(c)).alias(c))
+        elif c in src_cols:
             # excluded from updates: source value only for inserted rows
-            out.append(F.when(src_only, src[c]).otherwise(tgt[c]).alias(c))
+            out.append(F.when(src_only, F.col(f"__src_{c}"))
+                       .otherwise(F.col(c)).alias(c))
         else:
-            out.append(tgt[c])        # target-only column; inserts get NULL
+            out.append(F.col(c))      # target-only column; inserts get NULL
     return joined.select(*out)

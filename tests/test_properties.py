@@ -91,3 +91,39 @@ def test_winnowing_shared_run_shares_fingerprint(spark, shared):
     a = {r.fp for r in fps if r.doc_id == 1}
     b = {r.fp for r in fps if r.doc_id == 2}
     assert a & b, "shared token run produced no shared fingerprint"
+
+
+MERGE_TGT = st.lists(
+    st.tuples(st.integers(0, 9), st.one_of(st.none(),
+                                           st.integers(-100, 100))),
+    min_size=0, max_size=12, unique_by=lambda t: t[0])
+MERGE_SRC = st.lists(
+    st.tuples(st.integers(0, 14), st.one_of(st.none(),
+                                            st.integers(-100, 100))),
+    min_size=0, max_size=12, unique_by=lambda t: t[0])
+
+
+@given(tgt=MERGE_TGT, src=MERGE_SRC)
+@_slow
+def test_merge_upsert_is_idempotent_and_total(spark, tgt, src):
+    """MERGE invariants for any target/source: (1) applying the same
+    source twice equals applying it once (idempotence — the retry
+    guarantee); (2) output keys = target keys ∪ source keys; (3) keys
+    untouched by the source keep their exact target row."""
+    from etl_cloud_batch_processing_spark.operators.merge import merge_upsert
+
+    schema = "k int, v int"
+    t = spark.createDataFrame(tgt, schema) if tgt \
+        else spark.createDataFrame([], schema)
+    s = spark.createDataFrame(src, schema) if src \
+        else spark.createDataFrame([], schema)
+    once = merge_upsert(t, s, keys=["k"])
+    twice = merge_upsert(once, s, keys=["k"])
+    r1 = {r.k: r.v for r in once.collect()}
+    r2 = {r.k: r.v for r in twice.collect()}
+    assert r1 == r2
+    assert set(r1) == {k for k, _ in tgt} | {k for k, _ in src}
+    src_keys = {k for k, _ in src}
+    for k, v in tgt:
+        if k not in src_keys:
+            assert r1[k] == v
