@@ -376,3 +376,61 @@ def streaming_foreachbatch_upsert(spark: SparkSession,
     return (spark.read.parquet(latest["path"])
             .select("user_id", "n_events",
                     F.col("total_value").cast("double").alias("total_value")))
+
+
+@query(
+    "streaming_unattributed_purchases",
+    oracle="""
+    WITH p AS (SELECT event_id AS purchase_id, user_id AS p_user, ts AS p_ts
+               FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT event_id AS click_id, user_id AS c_user, ts AS c_ts
+          FROM events WHERE event_type = 'click'),
+    wm AS (SELECT least((SELECT max(p_ts) FROM p),
+                        (SELECT max(c_ts) FROM c)) AS w),
+    j AS (SELECT purchase_id, p_user, p_ts, click_id
+          FROM p LEFT JOIN c
+            ON p_user = c_user
+           AND c_ts >= p_ts - INTERVAL 30 MINUTE
+           AND c_ts <= p_ts)
+    SELECT purchase_id, p_user AS user_id, p_ts, click_id
+    FROM j, wm
+    WHERE click_id IS NOT NULL OR p_ts < w
+    """,
+)
+def streaming_unattributed_purchases(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — attribution including
+    the purchases with NO preceding click.  The outer side is where
+    watermarks earn their keep: a null-match row can only emit once the
+    GLOBAL watermark (the min over both inputs' event-time maxima,
+    minus delay) strictly passes the purchase's timestamp — before
+    that, a matching click could still arrive.  The oracle encodes
+    exactly that emission rule, so the withheld boundary rows are part
+    of the specified semantics, not slop: matched rows all emit;
+    null rows emit iff p_ts < least(max p_ts, max c_ts)."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="unattr_sink_")
+    ckpt = tempfile.mkdtemp(prefix="unattr_ckpt_")
+    purchases = (W.events_stream(spark, sf_dir)
+                 .filter(F.col("event_type") == "purchase")
+                 .select(F.col("event_id").alias("purchase_id"),
+                         F.col("user_id").alias("p_user"),
+                         F.col("ts").alias("p_ts"))
+                 .withWatermark("p_ts", "0 seconds"))
+    clicks = (W.events_stream(spark, sf_dir)
+              .filter(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_id"),
+                      F.col("user_id").alias("c_user"),
+                      F.col("ts").alias("c_ts"))
+              .withWatermark("c_ts", "0 seconds"))
+    joined = (purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "left_outer")
+        .select("purchase_id", F.col("p_user").alias("user_id"),
+                "p_ts", "click_id"))
+    W.run_available_now(joined, out, ckpt)
+    return spark.read.parquet(out)
