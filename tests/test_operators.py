@@ -376,3 +376,25 @@ def test_hll_rollup_converges_to_exact(spark):
     assert set(approx) == set(exact)
     for d, e in exact.items():
         assert abs(approx[d] - e) <= max(2, 0.05 * e), (d, approx[d], e)
+
+
+def test_python_datasource_partitioned_and_deterministic(spark):
+    """The custom Python DataSource must (1) expose the declared schema,
+    (2) split into the requested number of input partitions, (3) yield
+    identical data on re-read (task-retry safety)."""
+    from etl_cloud_batch_processing_spark.sources import pysource
+
+    pysource.register(spark)
+    df = (spark.read.format("synthetic_events")
+          .option("rows", 1000).option("numPartitions", 8).load())
+    assert [f.name for f in df.schema.fields] == [
+        "event_id", "user_id", "event_type", "value"]
+    assert df.rdd.getNumPartitions() == 8
+    assert df.count() == 1000
+    a = sorted(map(tuple, df.collect()))
+    b = sorted(map(tuple, (spark.read.format("synthetic_events")
+                           .option("rows", 1000).option("numPartitions", 8)
+                           .load()).collect()))
+    assert a == b
+    assert a[0] == (0, 0, "click", 0.0)
+    assert a[97][1] == 0  # user_id cycles mod 97
