@@ -2085,3 +2085,51 @@ def hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("approx_users"),
                  F.count(F.lit(1)).alias("n_types"))
             .orderBy("day"))
+
+
+@query(
+    "snapshot_diff_customers",
+    oracle="""
+    WITH v1 AS (SELECT c_custkey, c_name, c_acctbal FROM customer
+                WHERE c_custkey % 7 <> 0),
+    v2 AS (SELECT c_custkey, c_name,
+                  CASE WHEN c_custkey % 3 = 0
+                       THEN round(c_acctbal + 100.0, 2)
+                       ELSE c_acctbal END AS c_acctbal
+           FROM customer WHERE c_custkey % 11 <> 0)
+    SELECT COALESCE(v1.c_custkey, v2.c_custkey) AS c_custkey,
+           CASE WHEN v1.c_custkey IS NULL THEN 'added'
+                WHEN v2.c_custkey IS NULL THEN 'removed'
+                WHEN v1.c_acctbal <> v2.c_acctbal THEN 'changed'
+                ELSE 'unchanged' END AS change_type,
+           v1.c_acctbal AS old_acctbal, v2.c_acctbal AS new_acctbal
+    FROM v1 FULL JOIN v2 ON v1.c_custkey = v2.c_custkey
+    """,
+)
+def snapshot_diff_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — the audit primitive for versioned tables without
+    a transaction log: classify every key across two table versions as
+    added / removed / changed / unchanged via ONE full-outer join on
+    the key.  (Two simulated versions are carved deterministically from
+    the customer fixture; in production v1/v2 are two table paths.)
+    At 100 TB both sides shuffle once on the key — or zero times if
+    snapshots are bucketed (the write layout a diff-heavy deployment
+    chooses); value comparison on a wide row would hash columns first
+    (md5 of concat) to keep the compare O(1) per row."""
+    cust = table(spark, sf_dir, "customer")
+    v1 = (cust.filter(F.col("c_custkey") % 7 != 0)
+          .select(F.col("c_custkey").alias("k1"),
+                  F.col("c_acctbal").alias("old_acctbal")))
+    v2 = (cust.filter(F.col("c_custkey") % 11 != 0)
+          .select(F.col("c_custkey").alias("k2"),
+                  F.when(F.col("c_custkey") % 3 == 0,
+                         F.round(F.col("c_acctbal") + 100.0, 2))
+                  .otherwise(F.col("c_acctbal")).alias("new_acctbal")))
+    j = v1.join(v2, v1.k1 == v2.k2, "full_outer")
+    return j.select(
+        F.coalesce("k1", "k2").alias("c_custkey"),
+        F.when(F.col("k1").isNull(), "added")
+        .when(F.col("k2").isNull(), "removed")
+        .when(F.col("old_acctbal") != F.col("new_acctbal"), "changed")
+        .otherwise("unchanged").alias("change_type"),
+        "old_acctbal", "new_acctbal")

@@ -1331,3 +1331,41 @@ def null_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.coalesce("v", "type_mean"), 6)
                     .alias("value_imputed"),
                     F.col("v").isNull().alias("was_imputed")))
+
+
+@query(
+    "mixture_sampling",
+    oracle="""
+    WITH rated AS (
+        SELECT doc_id, source,
+               CASE source WHEN 'web' THEN 8000 WHEN 'books' THEN 5000
+                           WHEN 'wiki' THEN 10000 ELSE 2500 END AS keep_bp,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) % 10000 AS bucket
+        FROM documents)
+    SELECT doc_id, source, bucket
+    FROM rated WHERE bucket < keep_bp
+    """,
+)
+def mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture reweighting: per-source keep rates (basis
+    points) applied via a DETERMINISTIC md5 bucket of the document id —
+    the way corpus mixes ('2× wiki, 0.25× crawl') are materialized
+    reproducibly.  Unlike rand()-based sampling, membership is a pure
+    function of doc_id: re-runs, retried tasks, and incremental
+    appends all agree on every document's fate, and the same bucket
+    drives consistent train/val carve-outs downstream.  Shuffle-free:
+    a scan + filter at any scale; rates live in a CASE (or a broadcast
+    rate table when sources are many)."""
+    docs = table(spark, sf_dir, "documents")
+    keep_bp = (F.when(F.col("source") == "web", 8000)
+               .when(F.col("source") == "books", 5000)
+               .when(F.col("source") == "wiki", 10000)
+               .otherwise(2500))
+    bucket = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                                 1, 15), 16, 10)
+              .cast("bigint") % 10000)
+    return (docs.select("doc_id", "source", bucket.alias("bucket"),
+                        keep_bp.alias("keep_bp"))
+            .filter(F.col("bucket") < F.col("keep_bp"))
+            .select("doc_id", "source", "bucket"))
