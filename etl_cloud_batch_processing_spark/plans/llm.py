@@ -1196,17 +1196,22 @@ def doc_cross_entropy_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     negative log-likelihood under the corpus's own unigram
     distribution.  Low cross-entropy = formulaic/common tokens; high =
     rare-token soup — both tails are what LLM curation drops.  A
-    two-pass corpus statistic: pass 1 builds the unigram model
-    (token shuffle with map-side combine), pass 2 scores docs by
-    joining tokens to their frequencies.  The token⋈vocab join is the
-    skew hot spot at 100 TB (Zipf: 'the' dominates) — AQE skew-join
-    splits it; the corpus-size scalar rides a broadcast single row."""
+    corpus statistic applied per document: token frequencies come from
+    a COUNT window over the tok partition, so ONE exchange on tok is
+    both the model build and the scoring probe (the groupBy+join form
+    costs three).  Zipf skew ('the' dominates) lands on that exchange
+    either way — at 100 TB, pre-aggregating (doc, tok) pairs map-side
+    first bounds the hot partition; the corpus-size scalar rides a
+    broadcast single row."""
     docs = ptable(spark, sf_dir, "documents")
     exploded = docs.select(
         "doc_id", F.explode(T.tokens("text")).alias("tok"))
-    vocab = exploded.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    # Token frequency as a COUNT window over the tok partition instead
+    # of a groupBy + self-join: one exchange on tok serves as both the
+    # model build and the scoring probe (join form: three exchanges).
+    cnt = F.count(F.lit(1)).over(Window.partitionBy("tok"))
     total = F.broadcast(exploded.agg(F.count(F.lit(1)).alias("n")))
-    return (exploded.join(vocab, "tok").crossJoin(total)
+    return (exploded.withColumn("cnt", cnt).crossJoin(total)
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_tokens"),
                  F.round(F.avg(-F.log(F.col("cnt").cast("double")
