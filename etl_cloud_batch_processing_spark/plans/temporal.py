@@ -140,3 +140,47 @@ def rollup_plus_tail_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("day", "event_type")
             .agg(F.count(F.lit(1)).alias("n_events")))
     return spark.read.parquet(rollup_dir).unionByName(tail)
+
+
+@query(
+    "trailing_week_active_users",
+    oracle="""
+    WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+                FROM events),
+    bounds AS (SELECT min(CAST(ts AS DATE)) AS lo,
+                      max(CAST(ts AS DATE)) AS hi FROM events),
+    expanded AS (
+        SELECT unnest(generate_series(day, day + INTERVAL 6 DAY,
+                                      INTERVAL 1 DAY))::DATE AS report_day,
+               user_id
+        FROM du)
+    SELECT report_day, COUNT(DISTINCT user_id) AS active_users
+    FROM expanded, bounds
+    WHERE report_day BETWEEN lo AND hi
+    GROUP BY report_day
+    """,
+)
+def trailing_week_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day — the sliding-window
+    DISTINCT that naive windowing cannot express (distinct is not
+    summable across overlapping frames).  Exact form: dedupe to
+    (day, user) grain, then EXPLODE each presence onto the 7 report
+    days it covers and count distinct per day.  The 7× row expansion
+    happens AFTER the dedup, so it scales with active (day, user)
+    pairs, not raw events; the deliberate trade versus the approximate
+    path (`hll_user_rollup` merges 7 daily sketches with no expansion)
+    — keep both, pick per use. Report days clamp to the observed range
+    so edge windows match the oracle exactly."""
+    events = table(spark, sf_dir, "events")
+    du = (events.select(F.to_date("ts").alias("day"), "user_id")
+          .distinct())
+    bounds = F.broadcast(events.agg(
+        F.min(F.to_date("ts")).alias("lo"),
+        F.max(F.to_date("ts")).alias("hi")))
+    expanded = du.select(
+        F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6)))
+        .alias("report_day"), "user_id")
+    return (expanded.crossJoin(bounds)
+            .filter(F.col("report_day").between(F.col("lo"), F.col("hi")))
+            .groupBy("report_day")
+            .agg(F.countDistinct("user_id").alias("active_users")))
