@@ -184,3 +184,65 @@ def trailing_week_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("report_day").between(F.col("lo"), F.col("hi")))
             .groupBy("report_day")
             .agg(F.countDistinct("user_id").alias("active_users")))
+
+
+@query(
+    "asof_cogroup_pandas",
+    oracle="""
+    WITH r AS (
+        SELECT o_custkey, CAST(o_orderdate AS DATE) AS order_date,
+               max(o_orderkey) AS o_orderkey
+        FROM orders GROUP BY 1, 2),
+    l AS (
+        SELECT event_id, user_id, CAST(ts AS DATE) AS event_date
+        FROM events)
+    SELECT l.event_id, l.user_id, l.event_date,
+           r.o_orderkey AS asof_orderkey
+    FROM l ASOF LEFT JOIN r
+      ON l.user_id = r.o_custkey AND l.event_date >= r.order_date
+    """,
+)
+def asof_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME as-of semantics as `asof_latest_order_per_event`, via
+    the cogrouped-map pandas API: both sides hash-partition on the key,
+    each key's two Arrow batches meet in one Python worker, and
+    ``pd.merge_asof`` does the per-key alignment.  Same shuffle profile
+    as the union+window JVM form (one exchange per side), plus the
+    Arrow transfer — the JVM form wins when expressible, and the
+    oracle proves them interchangeable; cogroup is the escape hatch
+    for per-key logic with no columnar encoding (model scoring per
+    entity, custom sequence alignment).  Completes the §2.10 UDF
+    surface: scalar / grouped-map / mapInPandas / UDTF / cogrouped-map."""
+    orders = table(spark, sf_dir, "orders")
+    events = table(spark, sf_dir, "events")
+    r = (orders.groupBy(F.col("o_custkey").alias("key"),
+                        F.to_date("o_orderdate").alias("order_date"))
+         .agg(F.max("o_orderkey").alias("o_orderkey")))
+    l = events.select(F.col("user_id").alias("key"), "event_id",
+                      F.to_date("ts").alias("event_date"))
+
+    def merge(left, right):
+        import pandas as pd
+
+        # Arrow hands date columns over as object dtype; merge_asof
+        # needs a sortable numeric/datetime key.
+        left = left.assign(_t=pd.to_datetime(left["event_date"]))
+        left = left.sort_values(["_t", "event_id"])
+        if right.empty:
+            out = left.copy()
+            out["asof_orderkey"] = pd.array([None] * len(left),
+                                            dtype="Int64")
+        else:
+            right = right.assign(_t=pd.to_datetime(right["order_date"]))
+            out = pd.merge_asof(
+                left, right.sort_values("_t"), on="_t",
+                direction="backward", allow_exact_matches=True)
+            out = out.rename(columns={"o_orderkey": "asof_orderkey"})
+            out["key"] = out["key_x"]
+        out["user_id"] = out["key"]
+        return out[["event_id", "user_id", "event_date", "asof_orderkey"]]
+
+    return (l.groupBy("key").cogroup(r.groupBy("key"))
+            .applyInPandas(merge,
+                           schema="event_id long, user_id long, "
+                                  "event_date date, asof_orderkey long"))
