@@ -2133,3 +2133,28 @@ def snapshot_diff_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("old_acctbal") != F.col("new_acctbal"), "changed")
         .otherwise("unchanged").alias("change_type"),
         "old_acctbal", "new_acctbal")
+
+
+@query(
+    "value_distribution_ranks",
+    oracle="""
+    SELECT event_id, event_type,
+           round(percent_rank() OVER w, 9) AS pct_rank,
+           round(cume_dist()    OVER w, 9) AS cume
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """,
+)
+def value_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-position windows: percent_rank (rank-1)/(n-1) and
+    cume_dist — the normalized forms feature pipelines use for
+    per-group percentile features without a second pass over group
+    sizes.  Shares one WindowExec with both functions (same partition
+    and order), so the cost is one shuffle + sort on (event_type);
+    (value, event_id) ordering makes ties deterministic."""
+    events = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return events.select(
+        "event_id", "event_type",
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"))

@@ -357,3 +357,37 @@ def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get(v, "$.k", "bigint").alias("k_int"),
         F.variant_get(v, "$.k", "string").alias("k_str"),
     )
+
+
+@query(
+    "props_map_functions",
+    oracle="""
+    SELECT event_id,
+           ['k'] AS prop_keys,
+           [TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)]
+               AS prop_vals,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) + 1
+               AS k_plus_one,
+           2 AS n_entries
+    FROM events
+    """,
+)
+def props_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-function namespace over the props JSON: parse to
+    MAP<STRING,BIGINT>, then map_keys / map_values / element access /
+    map_concat + size — the X8 variant-extraction surface when the
+    key set is open (a fixed struct schema can't hold arbitrary
+    per-event parameters; BigQuery's event_params array serves the
+    same role in the reference, transaction_data.py:26-45).  All
+    JVM-side map expressions; maps shuffle as compact binary, and the
+    open schema costs nothing at scan time because parquet stores
+    props as one string column."""
+    events = table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    merged = F.map_concat(m, F.create_map(F.lit("stamped"), F.lit(1)))
+    return events.select(
+        "event_id",
+        F.map_keys(m).alias("prop_keys"),
+        F.map_values(m).alias("prop_vals"),
+        (F.element_at(m, "k") + 1).alias("k_plus_one"),
+        F.size(merged).alias("n_entries"))
