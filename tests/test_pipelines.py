@@ -186,3 +186,38 @@ def test_cli_runs_case_b_single_date(spark, tmp_path):
     out = read_parquet(spark, f"{wh}/{case_b.FINAL_TABLE}")
     assert out.count() > 0
     assert spark.sparkContext._jsc is not None  # session survived
+
+
+def test_llm_corpus_pipeline_gate_curate_mix_write(spark, tmp_path):
+    from etl_cloud_batch_processing_spark.pipelines import llm_corpus
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    wh = str(tmp_path / "wh")
+    m1 = llm_corpus.run(spark, "2021-03-10", src, wh)
+    assert m1["rows"] > 0 and m1["nulls_lang"] == 0
+    out = read_parquet(spark, f"{wh}/{llm_corpus.CORPUS_TABLE}")
+    assert out.filter("dt = '2021-03-10'").count() == m1["rows"]
+    # deterministic mixture + dedup: re-run replaces, not duplicates
+    m2 = llm_corpus.run(spark, "2021-03-10", src, wh)
+    assert m2["rows"] == m1["rows"]
+    out = read_parquet(spark, f"{wh}/{llm_corpus.CORPUS_TABLE}")
+    assert out.count() == m1["rows"]
+    # every kept doc respects the curation bounds
+    from pyspark.sql import functions as F
+
+    kept = out.select(F.min("n_tokens"), F.max("n_tokens")).collect()[0]
+    assert kept[0] >= 5 and kept[1] <= 1000
+
+
+def test_llm_corpus_pipeline_gate_fails_on_bad_batch(spark, tmp_path):
+    import pytest
+
+    from etl_cloud_batch_processing_spark.pipelines import llm_corpus
+
+    bad = spark.createDataFrame(
+        [(1, "a b c d e f", "en", "web"), (1, "dup key", "en", "web")],
+        "doc_id long, text string, lang string, source string")
+    p = str(tmp_path / "bad.parquet")
+    bad.write.parquet(p)
+    with pytest.raises(llm_corpus.QualityGateError):
+        llm_corpus.run(spark, "2021-03-10", p, str(tmp_path / "wh"))
