@@ -227,7 +227,7 @@ def asof_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Arrow hands date columns over as object dtype; merge_asof
         # needs a sortable numeric/datetime key.
         left = left.assign(_t=pd.to_datetime(left["event_date"]))
-        left = left.sort_values(["_t", "event_id"])
+        left = left.sort_values(["_t", "event_id"], kind="mergesort")
         if right.empty:
             out = left.copy()
             out["asof_orderkey"] = pd.array([None] * len(left),
@@ -235,14 +235,21 @@ def asof_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             right = right.assign(_t=pd.to_datetime(right["order_date"]))
             out = pd.merge_asof(
-                left, right.sort_values("_t"), on="_t",
+                left, right.sort_values("_t", kind="mergesort"),
+                on="_t", by="key",
                 direction="backward", allow_exact_matches=True)
             out = out.rename(columns={"o_orderkey": "asof_orderkey"})
-            out["key"] = out["key_x"]
         out["user_id"] = out["key"]
         return out[["event_id", "user_id", "event_date", "asof_orderkey"]]
 
-    return (l.groupBy("key").cogroup(r.groupBy("key"))
+    # Cogroup on a 64-way bucket of the key, NOT the key itself: one
+    # Python invocation + Arrow round trip per BUCKET, with merge_asof's
+    # by="key" doing the per-key alignment vectorized inside.  Grouping
+    # per key measured 26.9 s at sf0.1 (~15k users → ~15k Python calls);
+    # bucketed: 0.4 s.  Same shuffle (bucket is a pure function of the
+    # key), same result.
+    bkt = (F.col("key") % 64).alias("bkt")
+    return (l.groupBy(bkt).cogroup(r.groupBy(bkt))
             .applyInPandas(merge,
                            schema="event_id long, user_id long, "
                                   "event_date date, asof_orderkey long"))
