@@ -556,10 +556,18 @@ def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile — one-pass bounded-memory quantiles, the form
     that scales (exact percentile materializes each group's values)."""
     events = table(spark, sf_dir, "events")
+    # One sketch per group (single aggregate over the probability array),
+    # then scalar projections: the driver's canonicalizer sorts column
+    # values and chokes on array cells, so the row shape stays flat.
     return (events.groupBy("event_type")
             .agg(F.expr("approx_percentile(value, array(0.25, 0.5, 0.75), "
-                        "10000)").alias("approx_quartiles"),
-                 F.count(F.lit(1)).alias("n_events")))
+                        "10000)").alias("q"),
+                 F.count(F.lit(1)).alias("n_events"))
+            .select("event_type",
+                    F.col("q")[0].alias("approx_p25"),
+                    F.col("q")[1].alias("approx_p50"),
+                    F.col("q")[2].alias("approx_p75"),
+                    "n_events"))
 
 
 # --------------------------------------------------------------------------
@@ -1583,10 +1591,10 @@ def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "priority_linestatus_counts",
     oracle="""
     SELECT l_linestatus,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
       AND CAST(l_shipdate AS DATE) <  DATE '1997-01-01'

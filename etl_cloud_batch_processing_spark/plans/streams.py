@@ -16,6 +16,19 @@ from etl_cloud_batch_processing_spark.plans.registry import query, table
 from etl_cloud_batch_processing_spark.streaming import windows as W
 
 
+def _ntz(df: DataFrame) -> DataFrame:
+    """Cast TIMESTAMP columns back to TIMESTAMP_NTZ.
+
+    The streaming source casts the fixture's naive event time to
+    TIMESTAMP (watermarks demand it); results read back from the sink
+    carry that tz-aware type while the batch tables — and the DuckDB
+    oracle — stay naive.  Session tz is pinned UTC, so the round trip
+    is value-preserving and this restores type parity for comparison."""
+    casts = [F.col(c).cast("timestamp_ntz").alias(c) if t == "timestamp"
+             else F.col(c) for c, t in df.dtypes]
+    return df.select(*casts)
+
+
 @query(
     "tumbling_window_counts",
     oracle="""
@@ -97,7 +110,7 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
     result = W.tumbling_counts(W.events_stream(spark, sf_dir))
     W.run_available_now(result, out, ckpt)
-    return spark.read.parquet(out)
+    return _ntz(spark.read.parquet(out))
 
 
 @query(
@@ -313,7 +326,7 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = tempfile.mkdtemp(prefix="sess_ckpt_")
     result = W.session_windows(W.events_stream(spark, sf_dir))
     W.run_available_now(result, out, ckpt)
-    return spark.read.parquet(out)
+    return _ntz(spark.read.parquet(out))
 
 
 @query(
@@ -433,4 +446,4 @@ def streaming_unattributed_purchases(spark: SparkSession,
         .select("purchase_id", F.col("p_user").alias("user_id"),
                 "p_ts", "click_id"))
     W.run_available_now(joined, out, ckpt)
-    return spark.read.parquet(out)
+    return _ntz(spark.read.parquet(out))

@@ -42,10 +42,17 @@ def events_stream(spark: SparkSession, sf_dir: str,
           .option("maxFilesPerTrigger", str(max_files_per_trigger))
           .option("pathGlobFilter", "events.parquet")
           .parquet(sf_dir))
-    # Fixture ts is TIMESTAMP(NANOS) read as int64 nanos
-    # (legacy.parquet.nanosAsLong) — same conversion as the batch reader.
-    if dict(df.dtypes).get("ts") == "bigint":
+    # Fixture ts variants seen across driver generations: TIMESTAMP(NANOS)
+    # read as int64 nanos (legacy.parquet.nanosAsLong), or naive
+    # timestamp[us] read as TIMESTAMP_NTZ.  Watermarks require TIMESTAMP
+    # (with tz); with the session tz pinned to UTC the NTZ→TZ cast is
+    # value-preserving, so batch twins (which keep NTZ) see identical
+    # window boundaries.
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

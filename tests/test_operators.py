@@ -125,7 +125,11 @@ def test_asof_join_semantics(spark):
     checked = 0
     for r in events.limit(200).collect():
         e = ev[r.event_id]
-        d = dt.datetime.utcfromtimestamp(r.ts // 10**9).date()
+        ts = r.ts
+        if isinstance(ts, dt.datetime):       # fixture ts is TIMESTAMP
+            d = ts.date()
+        else:                                  # older fixtures: epoch-ns int
+            d = dt.datetime.utcfromtimestamp(ts // 10**9).date()
         cands = [(cd, ok) for cd, ok in by_cust.get(r.user_id, [])
                  if cd <= d]
         if not cands:
@@ -369,7 +373,8 @@ def test_hll_rollup_converges_to_exact(spark):
               REGISTRY["hll_user_rollup"]
               .builder(spark, "/root/testdata/sf0.01").collect()}
     ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
-    ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if dict(ev.dtypes).get("ts") == "bigint":  # older epoch-ns fixtures
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     exact = {r["day"]: r["n"] for r in
              (ev.groupBy(F.to_date("ts").alias("day"))
               .agg(F.countDistinct("user_id").alias("n")).collect())}
