@@ -21,6 +21,37 @@ def tokens(text: Column | str) -> Column:
     return F.split(F.col(text) if isinstance(text, str) else text, " ")
 
 
+# Word-trigram shingles — shared by the MinHash/Jaccard dedup family
+# (operators/dedup.py) and the cross-doc duplication gate
+# (plans/corpus.py), so every gate agrees on what a "shingle" is.
+# Lives here (not in operators/) because the operators package imports
+# the plans registry: module-level oracle SQL in plans/ referencing
+# these from operators/ would hit a partially-initialized module when a
+# Python worker unpickles a UDF (worker import order is operators →
+# registry → plans → corpus).
+D_TOKS_SQL = "string_split(text, ' ')"
+D_SHINGLES_SQL = (f"list_distinct(list_transform("
+                  f"range(1, len({D_TOKS_SQL}) - 1), "
+                  f"i -> {D_TOKS_SQL}[i] || ' ' || {D_TOKS_SQL}[i+1] || "
+                  f"' ' || {D_TOKS_SQL}[i+2]))")
+
+
+def shingles_from_tokens(toks: Column) -> Column:
+    """Distinct word-trigram shingles from a materialized token array.
+
+    Taking the *array* (not the text) matters for the plan: Catalyst does
+    not common-subexpression-eliminate ``split(text)`` inside transform
+    lambdas, so building shingles straight from text re-splits the whole
+    document for every ``element_at`` — O(tokens²) per row.  Callers
+    project ``tokens(text)`` into a column once, then shingle that
+    (measured ~30% faster on the shingle pass at sf0.1)."""
+    return F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 2),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i),
+                              F.element_at(toks, i + 1),
+                              F.element_at(toks, i + 2))))
+
+
 def normalize(text: Column | str) -> Column:
     """Canonical text form for fingerprinting: lowercase, trimmed,
     runs of whitespace collapsed."""

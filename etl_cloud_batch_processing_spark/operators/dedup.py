@@ -50,20 +50,9 @@ A = [_const(f"a{i}", 1, 1 << 30) for i in range(N_HASHES)]
 B = [_const(f"b{i}", 0, 1 << 30) for i in range(N_HASHES)]
 
 
-def shingles_from_tokens(toks: Column) -> Column:
-    """Distinct word-trigram shingles from a materialized token array.
-
-    Taking the *array* (not the text) matters for the plan: Catalyst does
-    not common-subexpression-eliminate ``split(text)`` inside transform
-    lambdas, so building shingles straight from text re-splits the whole
-    document for every ``element_at`` — O(tokens²) per row.  Callers
-    project ``tokens(text)`` into a column once, then shingle that
-    (measured ~30% faster on the shingle pass at sf0.1)."""
-    return F.array_distinct(F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 2),
-        lambda i: F.concat_ws(" ", F.element_at(toks, i),
-                              F.element_at(toks, i + 1),
-                              F.element_at(toks, i + 2))))
+# Shared shingle construction lives in functions/text.py (import-order
+# rationale documented there); re-exported here for the dedup family.
+shingles_from_tokens = T.shingles_from_tokens
 
 
 def shingles(text: Column | str) -> Column:
@@ -125,11 +114,8 @@ def band_key_exprs() -> list[Column]:
 # ---------------------------------------------------------------------------
 # DuckDB twins (documents table, ``text`` column).
 # ---------------------------------------------------------------------------
-_D_TOKS = "string_split(text, ' ')"
-_D_SHINGLES = (f"list_distinct(list_transform("
-               f"range(1, len({_D_TOKS}) - 1), "
-               f"i -> {_D_TOKS}[i] || ' ' || {_D_TOKS}[i+1] || ' ' || "
-               f"{_D_TOKS}[i+2]))")
+_D_TOKS = T.D_TOKS_SQL
+_D_SHINGLES = T.D_SHINGLES_SQL
 _D_HS = f"""
     SELECT doc_id,
            CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h

@@ -3,6 +3,7 @@
 from etl_cloud_batch_processing_spark.plans import (  # noqa: F401
     analytics,
     core,
+    corpus,
     llm,
     streams,
     temporal,

@@ -49,6 +49,12 @@ ENGINE_CONF: dict[str, str] = {
     # `normalize_timestamps`) — DuckDB truncates ns→µs identically.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Runtime bloom-filter join pruning: when one join side is
+    # selective but too big to broadcast, inject a bloom filter of its
+    # keys into the other side's scan — at 100 TB this prunes shuffle
+    # input for exactly the fact⋈filtered-fact shapes (Q21-style) where
+    # neither side broadcasts.  No-op on already-broadcast joins.
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     "spark.sql.shuffle.partitions": _LOCAL_SHUFFLE_PARTITIONS,
     # Keep scan splits reasonable on wide clusters; 128 MB is the
     # parquet-friendly default and survives 100x scale-up because split
@@ -141,6 +147,7 @@ def apply_engine_conf(spark: SparkSession) -> SparkSession:
         "spark.sql.execution.arrow.pyspark.enabled",
         "spark.sql.parquet.filterPushdown",
         "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled",
         "spark.sql.legacy.parquet.nanosAsLong",
         # Streaming stateful ops pin state to this many partitions at
         # checkpoint creation and never consult AQE; without it an

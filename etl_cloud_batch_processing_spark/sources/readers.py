@@ -57,6 +57,18 @@ def read_json(spark: SparkSession, path: str, schema: StructType,
     return spark.read.schema(schema).options(**options).json(path)
 
 
+def read_orc(spark: SparkSession, path: str,
+             schema: StructType | None = None) -> DataFrame:
+    """ORC scan — footer-authoritative like parquet (schema optional);
+    vectorized reader + predicate pushdown come from the same
+    DataSource-v2 machinery, so ORC-resident corpora plug into every
+    engine plan unchanged."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
 @dataclass
 class Catalog:
     """Name → DataFrame resolution over one or more parquet roots.
