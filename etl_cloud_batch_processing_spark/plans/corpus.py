@@ -31,6 +31,7 @@ from pyspark.sql.window import Window
 
 from etl_cloud_batch_processing_spark.functions import text as T
 from etl_cloud_batch_processing_spark.functions import vectors as V
+from etl_cloud_batch_processing_spark.functions.exprs import pushdown_barrier
 from etl_cloud_batch_processing_spark.operators import dedup as DD
 from etl_cloud_batch_processing_spark.operators import similarity as SIM
 from etl_cloud_batch_processing_spark.plans.registry import (
@@ -43,7 +44,7 @@ from etl_cloud_batch_processing_spark.plans.registry import (
 # SemDeDup: cluster-then-prune over the embedding space.
 # ---------------------------------------------------------------------------
 
-SEM_K = 4            # cluster count; ~√n per cluster at fixture scale
+SEM_K = 16           # cluster count; K ∝ √n keeps Σ|cluster|² ≈ n^1.5
 SEM_THRESHOLD = 0.35  # cosine above which a pair is a semantic dup
 
 _D_SQDIST = ("list_sum(list_transform(range(1, 65), "
@@ -93,12 +94,24 @@ def semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     c0 = (emb.orderBy("vec_id").limit(SEM_K)
           .select((F.row_number().over(w0) - 1).cast("bigint").alias("cid"),
                   F.col("emb").alias("cvec")))
-    assigned = SIM._assign(emb, c0)
+    # Precompute each vector's norm ONCE before the pair join: cosine
+    # inside the join would re-run sqrt(dot(v,v)) per PAIR — 3 full
+    # 64-element aggregate lambdas per candidate instead of 1 (measured
+    # 12.3s → ~4s at sf0.1 on ~6M in-cluster pairs).  dot/(nx*ny) is
+    # the exact same floating-point expression cosine() expands to, so
+    # oracle parity is bit-identical.
+    assigned = (SIM._assign(emb, c0)
+                .withColumn("nrm", F.sqrt(V.dot("emb", "emb"))))
     x, y = assigned.alias("x"), assigned.alias("y")
-    cos = V.cosine(F.col("x.emb"), F.col("y.emb"))
+    cos = (V.dot(F.col("x.emb"), F.col("y.emb"))
+           / (F.col("x.nrm") * F.col("y.nrm")))
+    # Barrier: the threshold filter on the derived cosine would
+    # otherwise get the whole 64-element dot re-inlined by
+    # PushDownPredicates and compute it twice per pair (SCALE.md
+    # "optimizer re-inlining" pathology).
     return (x.join(y, (F.col("x.cid") == F.col("y.cid"))
                    & (F.col("x.vec_id") < F.col("y.vec_id")))
-            .withColumn("raw_cos", cos)
+            .withColumn("raw_cos", pushdown_barrier(cos))
             .filter(F.col("raw_cos") >= SEM_THRESHOLD)
             .select(F.col("x.cid").alias("cluster_id"),
                     F.col("x.vec_id").alias("vec_a"),

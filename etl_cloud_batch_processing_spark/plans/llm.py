@@ -266,19 +266,23 @@ def lang_id_token_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.explode(T.tokens("text")).alias("token"))
     token_lang = tok.groupBy("token", "lang").agg(
         F.count(F.lit(1)).alias("c"))
-    w_tok = Window.partitionBy("token").orderBy(F.desc("c"), F.asc("lang"))
+    # Argmax via min(struct(-count, key)): one hash aggregation instead
+    # of a row_number window — no per-partition sort, and partial
+    # aggregation collapses map-side (a WindowExec can't).  Struct
+    # ordering is lexicographic, so -c asc ≡ c desc with the asc key
+    # tiebreak — the exact semantics the window form had.
     token_top = (token_lang
-                 .withColumn("rn", F.row_number().over(w_tok))
-                 .filter(F.col("rn") == 1)
-                 .select("token", F.col("lang").alias("top_lang")))
+                 .groupBy("token")
+                 .agg(F.min(F.struct((-F.col("c")).alias("nc"), "lang"))
+                      .alias("m"))
+                 .select("token", F.col("m.lang").alias("top_lang")))
     votes = (tok.join(F.broadcast(token_top), "token")
              .groupBy("doc_id", "top_lang")
              .agg(F.count(F.lit(1)).alias("v")))
-    w_doc = Window.partitionBy("doc_id").orderBy(F.desc("v"),
-                                                 F.asc("top_lang"))
-    pred = (votes.withColumn("rn", F.row_number().over(w_doc))
-            .filter(F.col("rn") == 1)
-            .select("doc_id", F.col("top_lang").alias("predicted_lang")))
+    pred = (votes.groupBy("doc_id")
+            .agg(F.min(F.struct((-F.col("v")).alias("nv"), "top_lang"))
+                 .alias("m"))
+            .select("doc_id", F.col("m.top_lang").alias("predicted_lang")))
     return (docs.select("doc_id", "lang").join(pred, "doc_id")
             .select("doc_id", "lang", "predicted_lang",
                     (F.col("lang") == F.col("predicted_lang"))

@@ -99,13 +99,12 @@ def ptable(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # ``plans/__init__`` while operator queries are still unregistered —
 # an import-time reorder breaks every Arrow-UDF task.
 GRADED_FIRST = [
+    # -- the graded 50: one representative per §2 capability family --
     # flagship + TPC-H join/agg shapes
     "topk_per_day", "pricing_summary", "shipping_priority",
-    "local_supplier_revenue", "discount_revenue_gain",
-    "nation_market_share", "nation_year_profit", "returned_item_customers",
-    "priority_linestatus_counts", "promo_revenue_share",
-    "small_quantity_revenue", "large_volume_orders",
-    "disjunctive_brand_revenue", "customer_order_distribution",
+    "local_supplier_revenue", "nation_market_share", "nation_year_profit",
+    "returned_item_customers", "priority_linestatus_counts",
+    "large_volume_orders",
     # join variants: semi/anti/full-outer/as-of/range
     "customers_with_1995_orders", "customers_without_1995_orders",
     "purchase_error_full_outer", "asof_latest_order_per_event",
@@ -118,22 +117,29 @@ GRADED_FIRST = [
     "salted_daily_counts",
     # temporal / SCD / MERGE
     "scd2_user_type_history", "scd1_balance_refresh",
-    # NS1/NS2 dedup
+    # NS1/NS2 dedup (exact, windowed, MinHash, SimHash, Jaccard,
+    # connected components, SemDeDup, cross-doc shingle pressure)
     "dedup_exact_text", "incremental_ingest_dedup",
     "minhash_lsh_near_dup", "simhash_signatures",
-    "ngram_jaccard_top_pairs", "near_dup_clusters",
+    "ngram_jaccard_top_pairs", "near_dup_clusters", "semdedup_pairs",
+    "cross_doc_ngram_dup_share", "dedup_first_event_per_week",
     # NS3 similarity search
     "knn_cosine_topk", "ivf_ann_topk", "ann_lsh_topk",
-    "embedding_near_dup_blocked",
+    "embedding_near_dup_blocked", "embedding_norm_outliers",
     # NS4 text analysis + curation
     "doc_quality_scores", "lang_id_token_vote", "token_counts_bpe",
-    "tfidf_top_terms", "winnowing_fingerprints", "curation_pipeline",
+    "bpe_merge_candidates", "tfidf_top_terms", "winnowing_fingerprints",
+    "curation_pipeline",
     # NS5 multimodal
     "multimodal_manifest", "multimodal_frame_sample",
-    # streaming end-to-end + UDF surface
+    # streaming end-to-end
     "streaming_tumbling_counts", "streaming_user_totals_stateful",
+    # -- beyond the 50-cap: still prioritized if the cap ever rises --
     "streaming_click_purchase_attribution", "session_windows_30m",
     "udtf_positional_tokens", "per_lang_length_model",
+    "discount_revenue_gain", "promo_revenue_share",
+    "disjunctive_brand_revenue", "customer_order_distribution",
+    "small_quantity_revenue",
 ]
 
 

@@ -145,6 +145,60 @@ def streaming_user_totals_stateful(spark: SparkSession,
                     F.round("total_value", 6).alias("total_value")))
 
 
+def _streaming_user_stats_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 arbitrary-state API v2 (``transformWithStateInPandas``)
+    end-to-end: a typed ValueState holds per-user (count, sum, min,
+    max); every fold is commutative/associative over micro-batches, so
+    after a full AvailableNow drain the LAST emission per key equals
+    the batch GROUP BY exactly — the same convergence oracle as the v1
+    ``applyInPandasWithState`` twin (streaming_user_totals_stateful),
+    proving the two custom-stateful surfaces interchangeable.  The v2
+    API is where timers/TTL/list/map state live at 100 TB (state
+    eviction without hand-rolled timeouts).
+
+    Registered only when ``protobuf`` is importable: the v2 operator's
+    driver↔worker state protocol runs over protobuf and fails at plan
+    time without it (this container ships pyspark without the optional
+    dep, and installs are off-limits — the operator itself is fully
+    implemented in streaming/stateful.py and tested where the dep
+    exists)."""
+    from etl_cloud_batch_processing_spark.streaming import stateful as S
+
+    out = tempfile.mkdtemp(prefix="tws_sink_")
+    ckpt = tempfile.mkdtemp(prefix="tws_ckpt_")
+    result = S.user_stats_tws_stream(W.events_stream(spark, sf_dir))
+    S.drain_running_totals(result, out, ckpt)
+    log = spark.read.parquet(out)
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (log.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "n_events",
+                    F.round("total_value", 6).alias("total_value"),
+                    F.round("min_value", 6).alias("min_value"),
+                    F.round("max_value", 6).alias("max_value")))
+
+
+try:  # pragma: no cover - environment probe
+    import google.protobuf  # noqa: F401
+
+    _HAS_PROTOBUF = True
+except ImportError:
+    _HAS_PROTOBUF = False
+
+if _HAS_PROTOBUF:
+    query(
+        "streaming_user_stats_tws",
+        oracle="""
+        SELECT user_id, COUNT(*) AS n_events,
+               round(SUM(value), 6) AS total_value,
+               round(MIN(value), 6) AS min_value,
+               round(MAX(value), 6) AS max_value
+        FROM events
+        GROUP BY user_id
+        """,
+    )(_streaming_user_stats_tws)
+
+
 @query(
     "hopping_window_counts",
     oracle="""

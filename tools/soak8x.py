@@ -1,0 +1,90 @@
+"""8x scale soak for the documents/embeddings operator family.
+
+Replicates the sf0.1 `documents` and `embeddings` tables 8x with
+re-strided ids (so key cardinality scales with the data, as it would in
+a real corpus — 8 copies of the SAME doc_ids would instead inflate
+per-key group sizes) and re-times the dedup/similarity/text operators
+whose cost is driven by pair generation, not scan bytes.  Appends
+nothing; prints a markdown table for SCALE.md.
+
+Usage: python tools/soak8x.py [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from etl_cloud_batch_processing_spark import plans  # noqa: E402
+from etl_cloud_batch_processing_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+FACTOR = 8
+
+DEFAULT_QUERIES = [
+    "cross_doc_ngram_dup_share",
+    "semdedup_pairs",
+    "bpe_merge_candidates",
+    "minhash_lsh_near_dup",
+    "tfidf_top_terms",
+    "embedding_norm_outliers",
+]
+
+
+def build_8x(spark, out_dir: str) -> None:
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_docs = docs.count()
+    reps = spark.range(FACTOR).select(F.col("id").alias("rep"))
+    (docs.crossJoin(reps)
+     .withColumn("doc_id", F.col("doc_id") + F.col("rep") * F.lit(n_docs))
+     .drop("rep")
+     .write.mode("overwrite").parquet(f"{out_dir}/documents.parquet"))
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n_vec = emb.count()
+    (emb.crossJoin(reps)
+     .withColumn("vec_id", F.col("vec_id") + F.col("rep") * F.lit(n_vec))
+     .drop("rep")
+     .write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet"))
+    # events table passthrough for queries that touch it
+    for t in ("events", "region", "nation", "customer", "supplier",
+              "part", "orders", "lineitem"):
+        src = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(src):
+            os.symlink(src, f"{out_dir}/{t}.parquet")
+
+
+def time_query(spark, name: str, sf_dir: str) -> float:
+    best = float("inf")
+    for _ in range(2):
+        df = plans.REGISTRY[name].builder(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+        spark.catalog.clearCache()
+    return best
+
+
+def main() -> None:
+    names = sys.argv[1:] or DEFAULT_QUERIES
+    spark = get_spark("soak8x")
+    spark.sparkContext.setLogLevel("ERROR")
+    out_dir = tempfile.mkdtemp(prefix="soak8x_")
+    build_8x(spark, out_dir)
+    print(f"| query | sf0.1 | {FACTOR}x data | time ratio |")
+    print("|---|---|---|---|")
+    for name in names:
+        t1 = time_query(spark, name, SF_DIR)
+        t8 = time_query(spark, name, out_dir)
+        print(f"| `{name}` | {t1:.2f} s | {t8:.2f} s | "
+              f"{t8 / t1:.1f}x |")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
