@@ -119,18 +119,23 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction: a true neighbour on the far side of a hyperplane is
     missed; recall is tuned with N_PLANES / multi-probe, measured against
     the exact ``knn_cosine_topk`` baseline."""
-    emb = ptable(spark, sf_dir, "embeddings")
+    # Per-vector norm computed once at bucketing time, not per scored
+    # pair (dot/(qn*nrm) ≡ cosine()'s exact floating-point tree).
+    emb = (ptable(spark, sf_dir, "embeddings")
+           .withColumn("nrm", F.sqrt(V.dot("embedding", "embedding"))))
     e = emb.withColumn("bucket", bucket_of("embedding"))
     q = F.broadcast(
         e.filter(F.col("vec_id") < 5)
         .select(F.col("vec_id").alias("query_id"),
-                F.col("embedding").alias("qe"), "bucket"))
+                F.col("embedding").alias("qe"),
+                F.col("nrm").alias("qn"), "bucket"))
     w = Window.partitionBy("query_id").orderBy(F.desc("raw_cos"),
                                                F.asc("vec_id"))
     return (q.join(e, "bucket")
             .filter(F.col("vec_id") != F.col("query_id"))
             .select("query_id", "vec_id", "label",
-                    V.cosine("qe", "embedding").alias("raw_cos"))
+                    (V.dot("qe", "embedding")
+                     / (F.col("qn") * F.col("nrm"))).alias("raw_cos"))
             .withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") <= 5)
             .select("query_id", "vec_id", "label",
@@ -219,30 +224,40 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the probe is an equi hash join on cell id.  Work drops from
     O(queries × corpus) to O(queries × corpus × nprobe / k) at recall
     governed by nprobe — the standard IVF trade."""
-    emb = ptable(spark, sf_dir, "embeddings")
+    # Norms precomputed once per vector/centroid: the assignment scan
+    # otherwise re-runs sqrt(dot(v,v)) per (vector × centroid) and the
+    # probe scoring per (query × candidate) — dot/(n1*n2) is cosine()'s
+    # exact floating-point tree, so the oracle still hash-matches.
+    emb = (ptable(spark, sf_dir, "embeddings")
+           .withColumn("nrm", F.sqrt(V.dot("embedding", "embedding"))))
     cents = F.broadcast(
         emb.filter(F.col("vec_id") < N_CELLS)
         .select(F.col("vec_id").alias("cid"),
-                F.col("embedding").alias("cvec")))
+                F.col("embedding").alias("cvec"),
+                F.col("nrm").alias("cnrm")))
+    ccos = (V.dot("embedding", "cvec")
+            / (F.col("nrm") * F.col("cnrm")))
     cw = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
     assign = (emb.join(cents)
-              .select("vec_id", "label", "embedding", "cid",
-                      V.cosine("embedding", "cvec").alias("ccos"))
+              .select("vec_id", "label", "embedding", "nrm", "cid",
+                      ccos.alias("ccos"))
               .withColumn("crnk", F.row_number().over(cw)))
     cells = (assign.filter(F.col("crnk") == 1)
-             .select("vec_id", "label", "embedding",
+             .select("vec_id", "label", "embedding", "nrm",
                      F.col("cid").alias("cell")))
     probes = F.broadcast(
         assign.filter((F.col("crnk") <= N_PROBE) & (F.col("vec_id") < 5))
         .select(F.col("vec_id").alias("query_id"),
                 F.col("embedding").alias("qe"),
+                F.col("nrm").alias("qn"),
                 F.col("cid").alias("cell")))
     w = Window.partitionBy("query_id").orderBy(F.desc("raw_cos"),
                                                F.asc("vec_id"))
     return (probes.join(cells, "cell")
             .filter(F.col("vec_id") != F.col("query_id"))
             .select("query_id", "vec_id", "label",
-                    V.cosine("qe", "embedding").alias("raw_cos"))
+                    (V.dot("qe", "embedding")
+                     / (F.col("qn") * F.col("nrm"))).alias("raw_cos"))
             .withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") <= 5)
             .select("query_id", "vec_id", "label",

@@ -447,11 +447,16 @@ def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per query with vec_id tiebreak.  The query side is broadcast, so
     the candidate scan is embarrassingly parallel — the exact baseline
     the LSH/IVF paths (operators/similarity.py) are measured against."""
-    emb = ptable(spark, sf_dir, "embeddings")
+    # Candidate norms computed once per vector, not once per
+    # (query, candidate) pair — dot/(qn*nrm) is cosine()'s exact
+    # floating-point tree, so oracle parity holds bit-for-bit.
+    emb = (ptable(spark, sf_dir, "embeddings")
+           .withColumn("nrm", F.sqrt(V.dot("embedding", "embedding"))))
     q = F.broadcast(emb.filter(F.col("vec_id") < 5)
                     .select(F.col("vec_id").alias("query_id"),
-                            F.col("embedding").alias("qe")))
-    cos = V.cosine("qe", "embedding")
+                            F.col("embedding").alias("qe"),
+                            F.col("nrm").alias("qn")))
+    cos = V.dot("qe", "embedding") / (F.col("qn") * F.col("nrm"))
     w = Window.partitionBy("query_id").orderBy(F.desc("raw_cos"),
                                                F.asc("vec_id"))
     return (q.join(emb, F.col("vec_id") != F.col("query_id"))
@@ -480,13 +485,20 @@ def embedding_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH bucket or IVF cell), then exact double cosine filters at 0.35.
     Blocking turns O(n²) into Σ|block|² — the standard scale pattern;
     the equi-join on label is a plain hash join."""
-    emb = ptable(spark, sf_dir, "embeddings")
+    # Per-vector norms precomputed BEFORE the pair join (1 aggregate
+    # lambda per pair instead of 3 — dot/(na*nb) is the identical
+    # floating-point tree cosine() expands to), and a pushdown barrier
+    # so the threshold filter can't get the dot re-inlined and computed
+    # twice per pair (SCALE.md pathologies; same fix as semdedup_pairs).
+    emb = (ptable(spark, sf_dir, "embeddings")
+           .withColumn("nrm", F.sqrt(V.dot("embedding", "embedding"))))
     a = emb.alias("a")
     b = emb.alias("b")
-    cos = V.cosine(F.col("a.embedding"), F.col("b.embedding"))
+    cos = (V.dot(F.col("a.embedding"), F.col("b.embedding"))
+           / (F.col("a.nrm") * F.col("b.nrm")))
     return (a.join(b, (F.col("a.label") == F.col("b.label"))
                    & (F.col("a.vec_id") < F.col("b.vec_id")))
-            .withColumn("raw_cos", cos)
+            .withColumn("raw_cos", X.pushdown_barrier(cos))
             .filter(F.col("raw_cos") > 0.35)
             .select(F.col("a.vec_id").alias("vec_a"),
                     F.col("b.vec_id").alias("vec_b"),
