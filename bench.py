@@ -57,19 +57,25 @@ def main() -> None:
     # number.  Caches are cleared between runs so the second execution
     # re-runs the full plan, not a memoized one.
     timings: dict[str, float] = {}
+    failed: list[str] = []
     for name, spec in sorted(plans.REGISTRY.items()):
         if name in SKIP:
             continue
         best = float("inf")
-        for _ in range(2):
-            df = spec.builder(spark, SF_DIR)
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-            # Queries may persist() intermediates used by several plan
-            # branches; drop them so no run's timing inherits another's
-            # cache (or its memory pressure).
-            spark.catalog.clearCache()
+        try:
+            for _ in range(2):
+                df = spec.builder(spark, SF_DIR)
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+                # Queries may persist() intermediates used by several
+                # plan branches; drop them so no run's timing inherits
+                # another's cache (or its memory pressure).
+                spark.catalog.clearCache()
+        except Exception as exc:  # one bad query must not zero the round
+            failed.append(name)
+            print(f"FAILED {name}: {exc}", file=sys.stderr)
+            continue
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
@@ -82,11 +88,13 @@ def main() -> None:
                            "BENCH_FULL.json"), "w") as f:
         json.dump({"metric": "total_wall_sec_all_queries", "value": total,
                    "unit": "sec", "n_queries": len(timings),
+                   "failed": failed,
                    "queries": timings, "sf": sf}, f, indent=1, sort_keys=True)
 
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1]))
     out = {"metric": "total_wall_sec_all_queries", "value": total,
-           "unit": "sec", "n_queries": len(timings), "queries": {}, "sf": sf}
+           "unit": "sec", "n_queries": len(timings), "n_failed": len(failed),
+           "queries": {}, "sf": sf}
     for name, sec in slowest.items():
         out["queries"][name] = sec
         if len(json.dumps(out)) > 1700:

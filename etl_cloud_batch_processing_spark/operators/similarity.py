@@ -278,31 +278,37 @@ _D_SQDIST = ("list_sum(list_transform(range(1, 65), "
 def _assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     """Nearest-centroid assignment: cross join against the broadcast
     centroid table (K rows — a few KB even at K=65k), squared-L2 via
-    zip_with/aggregate (JVM codegen, no Python), argmin by
-    row_number(dist asc, cid asc) so ties are deterministic."""
+    zip_with/aggregate (JVM codegen, no Python), argmin via
+    ``min(struct(dist, cid, emb))`` — one hash aggregation with
+    map-side partials instead of a row_number window (which would sort
+    every partition; SCALE.md "window-vs-argmax" rule).  Struct
+    ordering compares dist first then cid, so ties resolve to the
+    lowest cid exactly as the window form did; the comparison never
+    reaches the emb field because cid is unique per candidate row."""
     dist = F.aggregate(
         F.zip_with(F.col("emb"), F.col("cvec"),
                    lambda a, b: (a - b) * (a - b)),
         F.lit(0.0), lambda acc, x: acc + x)
-    w = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cid"))
     return (emb.crossJoin(F.broadcast(centroids))
-            .select("vec_id", "emb", "cid", dist.alias("dist"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "emb", "cid"))
+            .select("vec_id", dist.alias("dist"), "cid", "emb")
+            .groupBy("vec_id")
+            .agg(F.min(F.struct("dist", "cid", "emb")).alias("m"))
+            .select("vec_id", F.col("m.emb").alias("emb"),
+                    F.col("m.cid").alias("cid")))
 
 
 def _update(assigned: DataFrame) -> DataFrame:
-    """Centroid update: per-(cid, pos) mean re-packed into an ordered
-    array.  One partial-aggregated shuffle of (cid, pos) pairs; the
-    re-pack groupBy moves K×DIM rows."""
-    return (assigned
-            .select("cid", F.posexplode("emb").alias("pos", "val"))
-            .groupBy("cid", "pos").agg(F.avg("val").alias("m"))
-            .groupBy("cid")
-            .agg(F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                lambda s: s["m"]).alias("cvec")))
+    """Centroid update: one groupBy(cid) with DIM positional ``avg``
+    aggregates, re-packed into an ordered array.  The earlier
+    posexplode form shuffled one ROW per (vector, position) — n×DIM
+    rows; this shuffles one row per map partition per cid carrying DIM
+    partial sums (n×DIM → K×DIM values, rows ÷DIM), and drops the
+    second re-pack shuffle entirely."""
+    avgs = [F.avg(F.col("emb")[i]).alias(f"m{i}") for i in range(DIM)]
+    return (assigned.groupBy("cid").agg(*avgs)
+            .select("cid",
+                    F.array(*[F.col(f"m{i}") for i in range(DIM)])
+                    .alias("cvec")))
 
 
 @query(
@@ -367,11 +373,17 @@ def kmeans_lloyd_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     a1 = _assign(emb, c0)
     c1 = _update(a1)
     a2 = _assign(emb, c1)
-    f = (a2.select("cid", F.posexplode("emb").alias("pos", "val"))
-         .groupBy(F.col("cid").alias("cluster_id"),
-                  F.col("pos").cast("bigint").alias("pos"))
-         .agg(F.round(F.avg("val"), 6).alias("coord")))
-    cnt = (a2.groupBy(F.col("cid").alias("cluster_id"))
-           .agg(F.count(F.lit(1)).alias("n_members")))
-    return (f.join(F.broadcast(cnt), "cluster_id")
-            .select("cluster_id", "n_members", "pos", "coord"))
+    # Final stats in ONE aggregation pass (DIM avgs + the member count
+    # share a groupBy), long form via posexplode over just K result
+    # rows — the n×DIM posexplode this replaces was the widest shuffle
+    # in the plan.
+    avgs = [F.round(F.avg(F.col("emb")[i]), 6).alias(f"m{i}")
+            for i in range(DIM)]
+    upd = a2.groupBy(F.col("cid").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_members"), *avgs)
+    return (upd.select(
+        "cluster_id", "n_members",
+        F.posexplode(F.array(*[F.col(f"m{i}") for i in range(DIM)]))
+        .alias("pos", "coord"))
+        .select("cluster_id", "n_members",
+                F.col("pos").cast("bigint").alias("pos"), "coord"))

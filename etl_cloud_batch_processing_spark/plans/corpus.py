@@ -211,6 +211,61 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Tokenizer vocabulary coverage.
+# ---------------------------------------------------------------------------
+
+VOCAB_TOP = 30
+
+
+@query(
+    "tokenizer_vocab_coverage",
+    oracle=f"""
+    WITH tf AS (SELECT t AS token, COUNT(*) AS n
+                FROM (SELECT unnest(string_split(text, ' ')) AS t
+                      FROM documents)
+                GROUP BY t),
+    tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM tf),
+    top AS (SELECT token, n FROM tf
+            ORDER BY n DESC, token ASC LIMIT {VOCAB_TOP})
+    SELECT ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS vocab_rank,
+           token,
+           n AS token_count,
+           ROUND(CAST(SUM(n) OVER (ORDER BY n DESC, token ASC
+                                   ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                 / total, 6) AS cum_share
+    FROM top, tot
+    """,
+)
+def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative corpus coverage of the top-V vocabulary — the curve
+    that sizes a tokenizer vocab (how many types cover 95/99% of
+    tokens) and flags OOV pressure per corpus snapshot.
+
+    Scale shape: token counts are one partial-aggregated shuffle; the
+    top-V selection is TakeOrderedAndProject (never a global sort of
+    the vocabulary), and the cumulative window then runs over only V
+    rows — a single tiny partition BY CONSTRUCTION, so the
+    single-partition WindowExec that would be a cliff over the full
+    vocab (~10⁸ types at 100 TB) touches 30 rows here.  The corpus
+    total joins in as a broadcast scalar."""
+    docs = ptable(spark, sf_dir, "documents")
+    tf = (docs.select(F.explode(T.tokens("text")).alias("token"))
+          .groupBy("token").agg(F.count(F.lit(1)).alias("n")))
+    total = tf.agg(F.sum("n").cast("double").alias("total"))
+    top = tf.orderBy(F.desc("n"), F.asc("token")).limit(VOCAB_TOP)
+    w = (Window.orderBy(F.desc("n"), F.asc("token"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (top.crossJoin(F.broadcast(total))
+            .select(F.row_number().over(
+                        Window.orderBy(F.desc("n"), F.asc("token")))
+                    .alias("vocab_rank"),
+                    "token",
+                    F.col("n").alias("token_count"),
+                    F.round(F.sum("n").over(w).cast("double")
+                            / F.col("total"), 6).alias("cum_share")))
+
+
+# ---------------------------------------------------------------------------
 # Windowed dedup: first event per (user, type, 7-day window).
 # ---------------------------------------------------------------------------
 
