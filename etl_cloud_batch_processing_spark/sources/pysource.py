@@ -17,7 +17,9 @@ semantics.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (DataSource, DataSourceReader,
+                                    InputPartition,
+                                    SimpleDataSourceStreamReader)
 from pyspark.sql.types import (DoubleType, LongType, StringType, StructField,
                                StructType)
 
@@ -40,9 +42,8 @@ class SyntheticEventsReader(DataSourceReader):
                 for i in range(0, self.rows, step)]
 
     def read(self, partition: _Slice):
-        for i in range(partition.start, partition.end):
-            # pure function of i: stable under retries and re-reads
-            yield (i, i % 97, _TYPES[i % len(_TYPES)], float(i % 1000) / 10)
+        # pure function of i: stable under retries and re-reads
+        return _gen_rows(partition.start, partition.end)
 
 
 class SyntheticEventsSource(DataSource):
@@ -62,6 +63,46 @@ class SyntheticEventsSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return SyntheticEventsReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType):
+        return SyntheticEventsStreamReader(self.options)
+
+
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming face of the same source (Spark 4
+    ``SimpleDataSourceStreamReader``): offsets are plain row indices,
+    each micro-batch emits the next ``batchRows`` rows.  Because row
+    content is the same pure function of the row index as the batch
+    reader, replaying any offset range after a failure regenerates
+    identical data — exactly-once for free, and batch/stream parity by
+    construction (the property tests/test_operators.py checks).
+
+    The "simple" variant reads on the driver and is bounded by design —
+    the documented bridge for low-volume control streams; a partitioned
+    ``DataSourceStreamReader`` (executor-side, like the batch reader's
+    slices) is the 100 TB form and shares this offset scheme."""
+
+    def __init__(self, options) -> None:
+        self.rows = int(options.get("rows", 1000))
+        self.batch_rows = int(options.get("batchRows", 100))
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def read(self, start: dict):
+        lo = int(start["index"])
+        hi = min(lo + self.batch_rows, self.rows)
+        # list-backed iterator: Spark's prefetch cache copy.copy()s it,
+        # which a generator cannot survive
+        return iter(list(_gen_rows(lo, hi))), {"index": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(list(_gen_rows(int(start["index"]), int(end["index"]))))
+
+
+def _gen_rows(lo: int, hi: int):
+    for i in range(lo, hi):
+        yield (i, i % 97, _TYPES[i % len(_TYPES)], float(i % 1000) / 10)
 
 
 def register(spark) -> None:
