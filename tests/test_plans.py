@@ -218,3 +218,53 @@ def test_partition_pruning_on_dt_layout(spark, tmp_path):
     assert not any("dt" in ln for ln in plan.splitlines()
                    if "PushedFilters" in ln), plan
     assert df.count() == 300  # one partition's rows, not 900
+
+
+def test_bpe_pairs_topk_fuses_and_partial_aggregates(spark):
+    plan = plan_of(spark, "bpe_merge_candidates")
+    assert "TakeOrderedAndProject" in plan          # no global sort
+    assert "partial_count" in plan                  # map-side combine
+
+
+def test_windowed_dedup_is_single_aggregation(spark):
+    """dedup_first_event_per_week must be one hash aggregation (argmin
+    via min(struct)), never a WindowExec sort."""
+    plan = plan_of(spark, "dedup_first_event_per_week")
+    assert "Window" not in plan
+    assert _n_nodes(plan, "Exchange") <= 1          # partial→final agg
+
+
+def _n_nodes(plan: str, node: str) -> int:
+    """Count physical-plan nodes in `formatted` output (each node is
+    listed once in the footer as "(N) NodeName")."""
+    return len(re.findall(rf"^\(\d+\) {node}\b", plan, re.MULTILINE))
+
+
+def test_tfidf_df_reuses_token_exchange(spark):
+    """DF-via-window form: one exchange keyed on token feeds both the
+    TF aggregation's output and the DF count window — a separate DF
+    aggregate + join would add more shuffle exchanges."""
+    plan = plan_of(spark, "tfidf_top_terms")
+    assert _n_nodes(plan, "Exchange") <= 6, plan
+
+
+def test_semdedup_blocks_on_cluster_id(spark):
+    """The pair join must be an equi hash join on cid (the blocking
+    key) — never a nested-loop/cartesian pair scan."""
+    plan = plan_of(spark, "semdedup_pairs")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
+        or "BroadcastHashJoin" in plan
+
+
+def test_kmeans_assignment_has_no_window_sort(spark):
+    """Per-vector argmin is a hash aggregation; the only Window nodes
+    left are the two K-row seed-numbering windows (bounded by
+    K_CLUSTERS rows by construction), never an n-row assignment sort."""
+    plan = plan_of(spark, "kmeans_lloyd_centroids")
+    assert _n_nodes(plan, "Window") <= 2, plan
+
+
+def test_vocab_coverage_takes_topk_before_window(spark):
+    plan = plan_of(spark, "tokenizer_vocab_coverage")
+    assert "TakeOrderedAndProject" in plan          # top-V, no vocab sort
