@@ -135,6 +135,7 @@ GRADED_FIRST = [
     # streaming end-to-end
     "streaming_tumbling_counts", "streaming_user_totals_stateful",
     # -- beyond the 50-cap: still prioritized if the cap ever rises --
+    "streaming_pysource_event_counts",
     "streaming_click_purchase_attribution", "session_windows_30m",
     "udtf_positional_tokens", "per_lang_length_model",
     "discount_revenue_gain", "promo_revenue_share",

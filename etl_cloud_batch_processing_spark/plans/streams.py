@@ -178,6 +178,60 @@ def _streaming_user_stats_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("max_value", 6).alias("max_value")))
 
 
+@query(
+    "streaming_pysource_event_counts",
+    oracle="""
+    WITH g AS (SELECT unnest(range(0, 400)) AS i)
+    SELECT (['click', 'view', 'purchase', 'signup', 'error'])[(i % 5) + 1]
+               AS event_type,
+           COUNT(*) AS n_events,
+           round(SUM((i % 1000) / 10.0), 6) AS total_value
+    FROM g
+    GROUP BY 1
+    """,
+)
+def streaming_pysource_event_counts(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """End-to-end streaming aggregation over the CUSTOM Python
+    streaming source (sources/pysource.py SimpleDataSourceStreamReader):
+    complete-mode per-type counts/sums, drained through foreachBatch
+    overwrites until the offset log goes quiescent.
+
+    Two things are under test at once: the Spark 4 Python streaming
+    DataSource API (index offsets, replay-identical batches), and
+    checkpointed aggregation state CONTINUING across query restarts —
+    the simple reader prefetches one micro-batch per AvailableNow
+    start, so the final totals only come out right if each restart
+    resumes both the source offset and the aggregation state.  The
+    source is a pure function of the row index, which is what makes a
+    generated-series DuckDB oracle possible with no fixture table at
+    all.  (sf_dir is unused: the source synthesizes its input.)"""
+    from etl_cloud_batch_processing_spark.sources import pysource
+
+    pysource.register(spark)
+    out = tempfile.mkdtemp(prefix="pysrc_sink_")
+    ckpt = tempfile.mkdtemp(prefix="pysrc_ckpt_")
+    rows, batch_rows = 400, 200
+
+    agg = (spark.readStream.format("synthetic_events")
+           .option("rows", str(rows)).option("batchRows", str(batch_rows))
+           .load()
+           .groupBy("event_type")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 6).alias("total_value")))
+
+    for _ in range(rows // batch_rows + 1):
+        q = (agg.writeStream
+             .foreachBatch(lambda b, _id:
+                           b.write.mode("overwrite").parquet(out))
+             .option("checkpointLocation", ckpt)
+             .outputMode("complete")
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+    return spark.read.parquet(out)
+
+
 try:  # pragma: no cover - environment probe
     import google.protobuf  # noqa: F401
 
