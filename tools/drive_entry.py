@@ -1,5 +1,5 @@
 """Mini-driver: simulates the external verify harness against /root/repo."""
-import sys, math, datetime
+import os, sys, math, datetime
 sys.path.insert(0, "/root/repo")
 from pyspark.sql import SparkSession
 import duckdb, pandas as pd
@@ -15,7 +15,7 @@ rows = df.count()
 print(f"ENTRY: rows={rows} schema={df.schema.simpleString()}")
 assert rows > 0
 
-SF = "/root/testdata/sf0.01"
+SF = os.environ.get("SPARK_GRAFT_VERIFY_SF_DIR", "/root/testdata/sf0.01")
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
     con.execute(f"create view {t} as select * from read_parquet('{SF}/{t}.parquet')")
