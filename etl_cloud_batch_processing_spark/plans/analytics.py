@@ -2166,3 +2166,42 @@ def value_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "event_type",
         F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 9).alias("cume"))
+
+
+@query(
+    "cohort_retention_matrix",
+    oracle="""
+    WITH fd AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+                FROM events GROUP BY user_id),
+    act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+    SELECT fd.cohort_day,
+           date_diff('day', fd.cohort_day, act.day) AS day_offset,
+           COUNT(*) AS n_users
+    FROM act JOIN fd ON act.user_id = fd.user_id
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by their first-active day, then
+    counted per (cohort, days-since-first) offset — the triangle matrix
+    behind every retention curve.
+
+    The cohort is a SELF-DERIVED dimension (min-date per user), so the
+    shape is: one aggregation builds the dimension, a distinct
+    collapses activity to (user, day) grain, and an equi-join keys the
+    fact back to its own aggregate.  Because each user carries exactly
+    one cohort_day, (cohort, offset, user) rows are unique after the
+    join and the final count is a plain COUNT(*) — no countDistinct,
+    so every aggregation partial-aggregates map-side.  At 100 TB the
+    user-grain dimension shuffles once on user_id and both
+    aggregations AQE-coalesce; the matrix itself is tiny (days²/2)."""
+    ev = table(spark, sf_dir, "events")
+    first_day = (ev.groupBy("user_id")
+                 .agg(F.min(F.to_date("ts")).alias("cohort_day")))
+    activity = (ev.select("user_id", F.to_date("ts").alias("day"))
+                .distinct())
+    return (activity.join(first_day, "user_id")
+            .groupBy("cohort_day",
+                     F.datediff("day", "cohort_day").cast("bigint")
+                     .alias("day_offset"))
+            .agg(F.count(F.lit(1)).alias("n_users")))
