@@ -2205,3 +2205,64 @@ def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.datediff("day", "cohort_day").cast("bigint")
                      .alias("day_offset"))
             .agg(F.count(F.lit(1)).alias("n_users")))
+
+
+@query(
+    "rfm_user_segments",
+    oracle="""
+    WITH mx AS (SELECT MAX(CAST(ts AS DATE)) AS anchor FROM events
+                WHERE event_type = 'purchase'),
+    per_user AS (
+        SELECT user_id,
+               date_diff('day', MAX(CAST(ts AS DATE)),
+                         (SELECT anchor FROM mx)) AS recency_days,
+               COUNT(*) AS frequency,
+               round(SUM(value), 6) AS monetary
+        FROM events
+        WHERE event_type = 'purchase'
+        GROUP BY user_id)
+    SELECT user_id, recency_days, frequency, monetary,
+           ntile(4) OVER (ORDER BY recency_days ASC, user_id ASC)
+               AS r_quartile,
+           ntile(4) OVER (ORDER BY frequency DESC, user_id ASC)
+               AS f_quartile,
+           ntile(4) OVER (ORDER BY monetary DESC, user_id ASC)
+               AS m_quartile
+    FROM per_user
+    """,
+)
+def rfm_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-user purchase recency (days before the
+    corpus max date), frequency, and monetary total, each quartiled
+    with ntile(4) under a total (metric, user_id) order so bucket
+    assignment is deterministic and engine-portable.
+
+    The windows are unpartitioned BY DESIGN at this grain: they run
+    over the user-level aggregate (one row per purchasing user), which
+    is already the reduced frame.  At 10⁹ users that single-partition
+    sort is the cliff — the scale form replaces ntile with bucket
+    thresholds from ``approx_percentile(metric, [.25,.5,.75])``
+    broadcast back as a range join, exactly the
+    value_percentiles_by_type → approx pattern; kept as ntile here so
+    the driver's oracle checks the assignment semantics EXACTLY."""
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    anchor = purchases.agg(F.max(F.to_date("ts")).alias("anchor"))
+    per_user = (purchases
+                .groupBy("user_id")
+                .agg(F.max(F.to_date("ts")).alias("last_day"),
+                     F.count(F.lit(1)).alias("frequency"),
+                     F.round(F.sum("value"), 6).alias("monetary"))
+                .crossJoin(F.broadcast(anchor))
+                .select("user_id",
+                        F.datediff("anchor", "last_day").cast("bigint")
+                        .alias("recency_days"),
+                        "frequency", "monetary"))
+    wr = Window.orderBy(F.asc("recency_days"), F.asc("user_id"))
+    wf = Window.orderBy(F.desc("frequency"), F.asc("user_id"))
+    wm = Window.orderBy(F.desc("monetary"), F.asc("user_id"))
+    return per_user.select(
+        "user_id", "recency_days", "frequency", "monetary",
+        F.ntile(4).over(wr).alias("r_quartile"),
+        F.ntile(4).over(wf).alias("f_quartile"),
+        F.ntile(4).over(wm).alias("m_quartile"))
