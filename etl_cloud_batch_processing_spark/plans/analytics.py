@@ -2266,3 +2266,45 @@ def rfm_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(wr).alias("r_quartile"),
         F.ntile(4).over(wf).alias("f_quartile"),
         F.ntile(4).over(wm).alias("m_quartile"))
+
+
+@query(
+    "daily_count_zscores",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+        FROM events GROUP BY 1, 2),
+    stats AS (
+        SELECT event_type,
+               AVG(n) AS mu,
+               stddev_samp(n) AS sigma
+        FROM daily GROUP BY event_type)
+    SELECT d.event_type, d.day, d.n,
+           round((d.n - s.mu) / s.sigma, 6) AS zscore,
+           abs((d.n - s.mu) / s.sigma) > 2 AS is_anomaly
+    FROM daily d JOIN stats s ON d.event_type = s.event_type
+    """,
+)
+def daily_count_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly monitor: per-(type, day) event counts scored as
+    z-scores against that type's own mean/stddev, flagging |z| > 2 —
+    the standing data-quality query every scheduled pipeline runs over
+    its ingest counts (SURVEY §2.9's monitoring DAG, made
+    quantitative).
+
+    Two partial-aggregated hash aggregations (events → daily grain →
+    per-type moments) and a broadcast join of the K-row stats frame
+    back onto the daily grain.  At 100 TB the first aggregation is the
+    only one that sees fact-scale data; everything after runs on
+    (types × days) rows."""
+    ev = table(spark, sf_dir, "events")
+    daily = (ev.groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    stats = (daily.groupBy("event_type")
+             .agg(F.avg("n").alias("mu"),
+                  F.stddev_samp("n").alias("sigma")))
+    z = (F.col("n") - F.col("mu")) / F.col("sigma")
+    return (daily.join(F.broadcast(stats), "event_type")
+            .select("event_type", "day", "n",
+                    F.round(z, 6).alias("zscore"),
+                    (F.abs(z) > 2).alias("is_anomaly")))
