@@ -2207,9 +2207,26 @@ def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_users")))
 
 
-@query(
-    "rfm_user_segments",
-    oracle="""
+def _rfm_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared RFM base frame: one row per purchasing user with
+    (recency_days, frequency, monetary) — two partial-aggregated hash
+    aggs plus a broadcast of the one-row corpus anchor date."""
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    anchor = purchases.agg(F.max(F.to_date("ts")).alias("anchor"))
+    return (purchases
+            .groupBy("user_id")
+            .agg(F.max(F.to_date("ts")).alias("last_day"),
+                 F.count(F.lit(1)).alias("frequency"),
+                 F.round(F.sum("value"), 6).alias("monetary"))
+            .crossJoin(F.broadcast(anchor))
+            .select("user_id",
+                    F.datediff("anchor", "last_day").cast("bigint")
+                    .alias("recency_days"),
+                    "frequency", "monetary"))
+
+
+_RFM_PER_USER_SQL = """
     WITH mx AS (SELECT MAX(CAST(ts AS DATE)) AS anchor FROM events
                 WHERE event_type = 'purchase'),
     per_user AS (
@@ -2221,6 +2238,88 @@ def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
         WHERE event_type = 'purchase'
         GROUP BY user_id)
+"""
+
+
+@query(
+    "rfm_user_segments",
+    oracle=_RFM_PER_USER_SQL + """
+    , th AS (
+        SELECT quantile_cont(recency_days, 0.25) AS r25,
+               quantile_cont(recency_days, 0.50) AS r50,
+               quantile_cont(recency_days, 0.75) AS r75,
+               quantile_cont(frequency, 0.25) AS f25,
+               quantile_cont(frequency, 0.50) AS f50,
+               quantile_cont(frequency, 0.75) AS f75,
+               quantile_cont(monetary, 0.25) AS m25,
+               quantile_cont(monetary, 0.50) AS m50,
+               quantile_cont(monetary, 0.75) AS m75
+        FROM per_user)
+    SELECT user_id, recency_days, frequency, monetary,
+           1 + CAST(recency_days > r25 AS INT)
+             + CAST(recency_days > r50 AS INT)
+             + CAST(recency_days > r75 AS INT) AS r_quartile,
+           1 + CAST(frequency < f75 AS INT)
+             + CAST(frequency < f50 AS INT)
+             + CAST(frequency < f25 AS INT) AS f_quartile,
+           1 + CAST(monetary < m75 AS INT)
+             + CAST(monetary < m50 AS INT)
+             + CAST(monetary < m25 AS INT) AS m_quartile
+    FROM per_user, th
+    """,
+)
+def rfm_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation, scale form: per-user purchase recency (days
+    before the corpus max date), frequency, and monetary total, each
+    bucketed by comparison against the metric's exact interpolated
+    quartile thresholds, which are a ONE-ROW aggregate broadcast back
+    onto the user frame.  Quartile 1 is always "best" (most recent /
+    most frequent / highest spend).
+
+    This is the 10⁹-user shape: two partial-aggregated hash aggs and a
+    broadcast-nested-loop of one threshold row — no unpartitioned
+    ``ntile`` sort anywhere (the round-2 verdict flagged that form as
+    the scale cliff; it survives as the equal-count reference twin
+    ``rfm_user_segments_ntile``).  Threshold bucketing and ntile differ
+    only in tie handling at bucket boundaries: thresholds give all tied
+    values the same bucket, ntile splits them to equalize counts."""
+    per_user = _rfm_per_user(spark, sf_dir)
+    th = F.broadcast(per_user.agg(
+        F.expr("percentile(recency_days, 0.25)").alias("r25"),
+        F.expr("percentile(recency_days, 0.50)").alias("r50"),
+        F.expr("percentile(recency_days, 0.75)").alias("r75"),
+        F.expr("percentile(frequency, 0.25)").alias("f25"),
+        F.expr("percentile(frequency, 0.50)").alias("f50"),
+        F.expr("percentile(frequency, 0.75)").alias("f75"),
+        F.expr("percentile(monetary, 0.25)").alias("m25"),
+        F.expr("percentile(monetary, 0.50)").alias("m50"),
+        F.expr("percentile(monetary, 0.75)").alias("m75")))
+
+    def asc_bucket(c: str, p25: str, p50: str, p75: str):
+        return (F.lit(1)
+                + (F.col(c) > F.col(p25)).cast("int")
+                + (F.col(c) > F.col(p50)).cast("int")
+                + (F.col(c) > F.col(p75)).cast("int"))
+
+    def desc_bucket(c: str, p25: str, p50: str, p75: str):
+        return (F.lit(1)
+                + (F.col(c) < F.col(p75)).cast("int")
+                + (F.col(c) < F.col(p50)).cast("int")
+                + (F.col(c) < F.col(p25)).cast("int"))
+
+    return (per_user.crossJoin(th)
+            .select("user_id", "recency_days", "frequency", "monetary",
+                    asc_bucket("recency_days", "r25", "r50", "r75")
+                    .alias("r_quartile"),
+                    desc_bucket("frequency", "f25", "f50", "f75")
+                    .alias("f_quartile"),
+                    desc_bucket("monetary", "m25", "m50", "m75")
+                    .alias("m_quartile")))
+
+
+@query(
+    "rfm_user_segments_ntile",
+    oracle=_RFM_PER_USER_SQL + """
     SELECT user_id, recency_days, frequency, monetary,
            ntile(4) OVER (ORDER BY recency_days ASC, user_id ASC)
                AS r_quartile,
@@ -2231,33 +2330,15 @@ def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM per_user
     """,
 )
-def rfm_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RFM segmentation: per-user purchase recency (days before the
-    corpus max date), frequency, and monetary total, each quartiled
-    with ntile(4) under a total (metric, user_id) order so bucket
-    assignment is deterministic and engine-portable.
-
-    The windows are unpartitioned BY DESIGN at this grain: they run
-    over the user-level aggregate (one row per purchasing user), which
-    is already the reduced frame.  At 10⁹ users that single-partition
-    sort is the cliff — the scale form replaces ntile with bucket
-    thresholds from ``approx_percentile(metric, [.25,.5,.75])``
-    broadcast back as a range join, exactly the
-    value_percentiles_by_type → approx pattern; kept as ntile here so
-    the driver's oracle checks the assignment semantics EXACTLY."""
-    ev = table(spark, sf_dir, "events")
-    purchases = ev.filter(F.col("event_type") == "purchase")
-    anchor = purchases.agg(F.max(F.to_date("ts")).alias("anchor"))
-    per_user = (purchases
-                .groupBy("user_id")
-                .agg(F.max(F.to_date("ts")).alias("last_day"),
-                     F.count(F.lit(1)).alias("frequency"),
-                     F.round(F.sum("value"), 6).alias("monetary"))
-                .crossJoin(F.broadcast(anchor))
-                .select("user_id",
-                        F.datediff("anchor", "last_day").cast("bigint")
-                        .alias("recency_days"),
-                        "frequency", "monetary"))
+def rfm_user_segments_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-count RFM reference twin: ntile(4) under a total
+    (metric, user_id) order, so bucket assignment is deterministic and
+    exactly engine-portable.  The unpartitioned windows run over the
+    already-reduced per-user frame and are the scale cliff at 10⁹
+    users — ``rfm_user_segments`` (threshold form) is the production
+    path; this twin exists to verify equal-count semantics on data
+    small enough to sort on one partition."""
+    per_user = _rfm_per_user(spark, sf_dir)
     wr = Window.orderBy(F.asc("recency_days"), F.asc("user_id"))
     wf = Window.orderBy(F.desc("frequency"), F.asc("user_id"))
     wm = Window.orderBy(F.desc("monetary"), F.asc("user_id"))
@@ -2283,6 +2364,7 @@ def rfm_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
            round((d.n - s.mu) / s.sigma, 6) AS zscore,
            abs((d.n - s.mu) / s.sigma) > 2 AS is_anomaly
     FROM daily d JOIN stats s ON d.event_type = s.event_type
+    WHERE s.sigma > 0
     """,
 )
 def daily_count_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2296,13 +2378,19 @@ def daily_count_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-type moments) and a broadcast join of the K-row stats frame
     back onto the daily grain.  At 100 TB the first aggregation is the
     only one that sees fact-scale data; everything after runs on
-    (types × days) rows."""
+    (types × days) rows.
+
+    Degenerate groups (a type with one day → sigma NULL, constant
+    daily counts → sigma 0) are filtered identically on both sides:
+    Spark yields NULL for x/0 while DuckDB's IEEE division yields ±inf,
+    so an unguarded divide diverges between engines exactly there."""
     ev = table(spark, sf_dir, "events")
     daily = (ev.groupBy("event_type", F.to_date("ts").alias("day"))
              .agg(F.count(F.lit(1)).alias("n")))
     stats = (daily.groupBy("event_type")
              .agg(F.avg("n").alias("mu"),
-                  F.stddev_samp("n").alias("sigma")))
+                  F.stddev_samp("n").alias("sigma"))
+             .filter(F.col("sigma") > 0))
     z = (F.col("n") - F.col("mu")) / F.col("sigma")
     return (daily.join(F.broadcast(stats), "event_type")
             .select("event_type", "day", "n",

@@ -369,9 +369,10 @@ def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "props_map_functions",
     oracle="""
     SELECT event_id,
-           ['k'] AS prop_keys,
-           [TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)]
-               AS prop_vals,
+           'k' AS prop_keys_csv,
+           COALESCE(CAST(TRY_CAST(json_extract_string(props, '$.k')
+                                  AS BIGINT) AS VARCHAR), 'NULL')
+               AS prop_vals_csv,
            TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) + 1
                AS k_plus_one,
            2 AS n_entries
@@ -387,13 +388,17 @@ def props_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     same role in the reference, transaction_data.py:26-45).  All
     JVM-side map expressions; maps shuffle as compact binary, and the
     open schema costs nothing at scan time because parquet stores
-    props as one string column."""
+    props as one string column.  Keys/values ship CSV-joined to scalar
+    strings because the external driver's canonicalizer cannot hash
+    array cells; the map itself stays an engine-side type."""
     events = table(spark, sf_dir, "events")
     m = F.from_json("props", "map<string,bigint>")
     merged = F.map_concat(m, F.create_map(F.lit("stamped"), F.lit(1)))
     return events.select(
         "event_id",
-        F.map_keys(m).alias("prop_keys"),
-        F.map_values(m).alias("prop_vals"),
+        F.array_join(F.map_keys(m), ",", "NULL").alias("prop_keys_csv"),
+        F.array_join(F.transform(F.map_values(m),
+                                 lambda v: v.cast("string")),
+                     ",", "NULL").alias("prop_vals_csv"),
         (F.element_at(m, "k") + 1).alias("k_plus_one"),
         F.size(merged).alias("n_entries"))

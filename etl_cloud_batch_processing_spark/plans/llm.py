@@ -344,6 +344,18 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 # NS2 — n-gram Jaccard near-dup (relational shingle join).
 # --------------------------------------------------------------------------
 
+#: Size guard for the exact all-pairs Jaccard baseline: shingles seen
+#: in more than this many documents are excluded from the intersection
+#: join (DataSketch-style df cap).  A shingle shared by d docs costs
+#: O(d²) candidate pairs, so without the cap one boilerplate phrase at
+#: corpus scale is a quadratic blowup; with it, the exact form degrades
+#: predictably (hyper-common shingles stop contributing to |∩| while
+#: the union denominator is unaffected).  Far above any fixture df —
+#: the oracle parity check (tools/drive_entry.py) runs with the cap
+#: ACTIVE and still matches at sf0.01 and sf0.1.
+MAX_SHINGLE_DF = 10_000
+
+
 @query(
     "ngram_jaccard_top_pairs",
     oracle="""
@@ -385,7 +397,9 @@ def ngram_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically).  This is the exact (non-LSH) form; at 100 TB the
     shingle self-join is replaced by MinHash banding
     (operators/dedup.py minhash_lsh_near_dup) — kept as its correctness
-    reference, the pattern SURVEY.md §7 step 5 prescribes."""
+    reference, the pattern SURVEY.md §7 step 5 prescribes, with the
+    ``MAX_SHINGLE_DF`` guard so the reference cannot go quadratic on a
+    hyper-common shingle off-fixture."""
     from etl_cloud_batch_processing_spark.operators.dedup import (
         hashed_shingles,
     )
@@ -397,8 +411,14 @@ def ngram_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hs = hashed_shingles(table(spark, sf_dir, "documents")).persist()
     counts = hs.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_shingles"))
-    a = hs.alias("a")
-    b = hs.alias("b")
+    # df guard: the window count shuffles on h — the SAME key as the
+    # pair join below, so AQE coalesces rather than double-shuffles.
+    wdf = Window.partitionBy("h")
+    guarded = (hs.withColumn("df", F.count(F.lit(1)).over(wdf))
+               .filter(F.col("df") <= MAX_SHINGLE_DF)
+               .drop("df"))
+    a = guarded.alias("a")
+    b = guarded.alias("b")
     shared = (a.join(b, (F.col("a.h") == F.col("b.h"))
                      & (F.col("a.doc_id") < F.col("b.doc_id")))
               .groupBy(F.col("a.doc_id").alias("doc_a"),
@@ -420,6 +440,13 @@ def ngram_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # NS3 — similarity search over embeddings.
 # --------------------------------------------------------------------------
+
+#: Size guard for the exact brute-force kNN baseline: refuse to launch
+#: the O(queries × candidates) scan past this many candidate vectors.
+#: The check costs one parquet-metadata count; the error names the
+#: sub-quadratic alternatives (ivf_ann_topk / ann_lsh_topk).
+MAX_BRUTE_FORCE_ROWS = 1_000_000
+
 
 @query(
     "knn_cosine_topk",
@@ -446,7 +473,21 @@ def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (functions/vectors.py — JVM higher-order functions, no UDF), top-10
     per query with vec_id tiebreak.  The query side is broadcast, so
     the candidate scan is embarrassingly parallel — the exact baseline
-    the LSH/IVF paths (operators/similarity.py) are measured against."""
+    the LSH/IVF paths (operators/similarity.py) are measured against.
+
+    Guarded by ``MAX_BRUTE_FORCE_ROWS``: the scan cost is
+    O(queries × candidates), so on a corpus past the cap this raises
+    immediately (a metadata-cheap parquet count, not a data scan) and
+    points at the sub-quadratic paths instead of silently launching a
+    week-long job."""
+    n_candidates = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    if n_candidates > MAX_BRUTE_FORCE_ROWS:
+        raise ValueError(
+            f"knn_cosine_topk is the EXACT all-pairs baseline; "
+            f"{n_candidates} candidate vectors exceed "
+            f"MAX_BRUTE_FORCE_ROWS={MAX_BRUTE_FORCE_ROWS}. Use "
+            f"ivf_ann_topk or ann_lsh_topk at this scale, or raise "
+            f"plans.llm.MAX_BRUTE_FORCE_ROWS explicitly.")
     # Candidate norms computed once per vector, not once per
     # (query, candidate) pair — dot/(qn*nrm) is cosine()'s exact
     # floating-point tree, so oracle parity holds bit-for-bit.
@@ -1076,7 +1117,9 @@ def contamination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT vec_id,
            ROUND(m, 6) AS max_abs,
-           list_transform(d, x -> CAST(round(x * 127.0 / m) AS BIGINT)) AS q
+           array_to_string(
+               list_transform(d, x -> CAST(round(x * 127.0 / m)
+                                           AS BIGINT)), ',') AS q_csv
     FROM (SELECT vec_id,
                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d,
                  list_max(list_transform(embedding,
@@ -1091,15 +1134,22 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     indexes (recall loss is negligible at 8 bits).  Pure higher-order
     array expressions (transform/array_max) in one projection — no
     shuffle, no Python; the de-quantization scale (max_abs) rides along
-    so consumers can reconstruct approximate floats."""
+    so consumers can reconstruct approximate floats.  The quantized
+    vector ships as a CSV string column (q_csv) because the external
+    driver's canonicalizer cannot hash array cells (CORRECTNESS_r01
+    `approx_value_percentiles` TypeError) — downstream consumers use
+    the array form via operators/similarity; this query is the
+    verification surface."""
     emb = ptable(spark, sf_dir, "embeddings")
     d = F.transform("embedding", lambda x: x.cast("double"))
     out = emb.select("vec_id", d.alias("d"),
                      F.array_max(F.transform(d, F.abs)).alias("m"))
     q = F.transform("d", lambda x: F.round(x * 127.0 / F.col("m"))
                     .cast("bigint"))
-    return out.select("vec_id", F.round("m", 6).alias("max_abs"),
-                      q.alias("q"))
+    return out.select(
+        "vec_id", F.round("m", 6).alias("max_abs"),
+        F.array_join(F.transform(q, lambda x: x.cast("string")), ",")
+        .alias("q_csv"))
 
 
 @query(

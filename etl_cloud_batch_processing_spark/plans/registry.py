@@ -87,68 +87,57 @@ def ptable(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return table(spark, sf_dir, name).repartition(par)
 
 
-# The external verify harness checks at most the FIRST 50 entries of
-# queries() (round-1 CORRECTNESS recorded exactly the first 50 in
-# registration order — all analytics/core; dedup, ANN, streaming, text
-# and multimodal never got graded).  ``all_queries``/``all_oracles``
-# therefore emit a curated, category-representative prefix: TPC-H join
-# shapes, window/agg/reshape surfaces, temporal/SCD, the north-star
-# LLM-pipeline operators, streaming end-to-end, and the Python UDF
-# surface.  Applied at call time, not import time: Python workers
-# unpickling a UDF import ``operators`` first, which re-enters
-# ``plans/__init__`` while operator queries are still unregistered —
-# an import-time reorder breaks every Arrow-UDF task.
-GRADED_FIRST = [
-    # -- the graded 50: one representative per §2 capability family --
-    # flagship + TPC-H join/agg shapes
-    "topk_per_day", "pricing_summary", "shipping_priority",
-    "local_supplier_revenue", "nation_market_share", "nation_year_profit",
-    "returned_item_customers", "priority_linestatus_counts",
-    "large_volume_orders",
-    # join variants: semi/anti/full-outer/as-of/range
-    "customers_with_1995_orders", "customers_without_1995_orders",
-    "purchase_error_full_outer", "asof_latest_order_per_event",
-    "events_within_day_band",
-    # windows / aggregations / reshaping
-    "user_running_totals", "daily_activity_trend",
-    "value_percentiles_by_type", "rollup_type_day",
-    "grouping_sets_type_day", "latest_event_per_user",
-    "pivot_type_by_region_day", "unpivot_doc_metrics",
-    "salted_daily_counts",
-    # temporal / SCD / MERGE
-    "scd2_user_type_history", "scd1_balance_refresh",
-    # NS1/NS2 dedup (exact, windowed, MinHash, SimHash, Jaccard,
-    # connected components, SemDeDup, cross-doc shingle pressure)
-    "dedup_exact_text", "incremental_ingest_dedup",
-    "minhash_lsh_near_dup", "simhash_signatures",
-    "ngram_jaccard_top_pairs", "near_dup_clusters", "semdedup_pairs",
-    "cross_doc_ngram_dup_share", "dedup_first_event_per_week",
-    # NS3 similarity search
-    "knn_cosine_topk", "ivf_ann_topk", "ann_lsh_topk",
-    "embedding_near_dup_blocked", "embedding_norm_outliers",
-    # NS4 text analysis + curation
-    "doc_quality_scores", "lang_id_token_vote", "token_counts_bpe",
-    "bpe_merge_candidates", "tfidf_top_terms", "winnowing_fingerprints",
-    "curation_pipeline",
-    # NS5 multimodal
-    "multimodal_manifest", "multimodal_frame_sample",
-    # streaming end-to-end
-    "streaming_tumbling_counts", "streaming_user_totals_stateful",
-    # -- beyond the 50-cap: still prioritized if the cap ever rises --
-    "streaming_pysource_event_counts",
-    "streaming_click_purchase_attribution", "session_windows_30m",
-    "udtf_positional_tokens", "per_lang_length_model",
-    "discount_revenue_gain", "promo_revenue_share",
-    "disjunctive_brand_revenue", "customer_order_distribution",
-    "small_quantity_revenue",
-]
+# The external verify harness grades at most the FIRST 50 entries of
+# queries(), in iteration order (DRIVER_NOTES.md #2).  Round 2 curated
+# that prefix by hand; the round-2 advisor flagged hand-curation as
+# gaming the signal.  The ordering is now MECHANICAL: queries that have
+# never earned a green row in a committed ``CORRECTNESS_r*.json`` sort
+# first (alphabetically), already-green queries sort last
+# (alphabetically).  Each round the driver therefore grades the 50
+# longest-unverified queries and the window rotates through the whole
+# registry with zero human choice; the builder's own full DuckDB sweep
+# (tools/drive_entry.py, all 145 queries at sf0.01 and sf0.1) remains
+# the regression net for whatever is outside the window.  Applied at
+# call time, not import time: Python workers unpickling a UDF import
+# ``operators`` first, which re-enters ``plans/__init__`` while
+# operator queries are still unregistered — an import-time reorder
+# breaks every Arrow-UDF task.
+
+
+def _graded_green() -> set[str]:
+    """Names with a green driver row in any committed CORRECTNESS file.
+
+    Green = rows+schema+hash all true, or — for rows-only queries with
+    no oracle (``err == "no_oracle"``) — a recorded spark row count.
+    A crashed row (any other ``err``) does NOT count: the query stays
+    in the front of the window until the driver grades it green.
+    """
+    import json
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[2]
+    green: set[str] = set()
+    for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        try:
+            rows = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        for name, r in rows.items():
+            if not isinstance(r, dict):
+                continue
+            if r.get("err") == "no_oracle" and r.get("spark_rows") is not None:
+                green.add(name)
+            elif (r.get("err") is None and r.get("rows_match")
+                  and r.get("schema_match") and r.get("hash_match")):
+                green.add(name)
+    return green
 
 
 def _ordered() -> list[str]:
-    missing = [n for n in GRADED_FIRST if n not in REGISTRY]
-    assert not missing, f"GRADED_FIRST names unknown queries: {missing}"
-    rest = [n for n in REGISTRY if n not in set(GRADED_FIRST)]
-    return GRADED_FIRST + rest
+    green = _graded_green()
+    names = sorted(REGISTRY)
+    return ([n for n in names if n not in green]
+            + [n for n in names if n in green])
 
 
 def all_queries() -> dict[str, Builder]:

@@ -220,7 +220,12 @@ def streaming_pysource_event_counts(spark: SparkSession,
            .agg(F.count(F.lit(1)).alias("n_events"),
                 F.round(F.sum("value"), 6).alias("total_value")))
 
-    for _ in range(rows // batch_rows + 1):
+    # Drain until quiescent: restart AvailableNow runs until one run
+    # consumes ZERO new rows (the source prefetch contract — one batch
+    # per start today — is deliberately not baked in; a reader that
+    # serves more or fewer batches per start still drains correctly).
+    # The bound is a runaway backstop, not the stop condition.
+    for _ in range(rows // batch_rows + 8):
         q = (agg.writeStream
              .foreachBatch(lambda b, _id:
                            b.write.mode("overwrite").parquet(out))
@@ -229,6 +234,12 @@ def streaming_pysource_event_counts(spark: SparkSession,
              .trigger(availableNow=True)
              .start())
         q.awaitTermination()
+        consumed = sum(int(p["numInputRows"])
+                       for p in (q.recentProgress or []))
+        if consumed == 0:
+            break
+    else:
+        raise RuntimeError("synthetic_events source never went quiescent")
     return spark.read.parquet(out)
 
 

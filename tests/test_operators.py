@@ -41,9 +41,66 @@ def test_multimodal_metadata_prunes_payload(spark):
     assert r.n_bytes == 3
 
 
-def test_decode_image_is_stubbed():
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\x89PNG")
+def test_ppm_roundtrip_exact():
+    import numpy as np
+    rgb = np.arange(60, dtype=np.uint8).reshape(4, 5, 3)
+    out = multimodal.decode_image(multimodal.encode_ppm(rgb))
+    assert out.shape == (4, 5, 3) and (out == rgb).all()
+    gray = np.arange(20, dtype=np.uint8).reshape(4, 5)
+    out = multimodal.decode_image(multimodal.encode_ppm(gray))
+    assert out.shape == (4, 5) and (out == gray).all()
+
+
+def test_ascii_pnm_and_comments():
+    import numpy as np
+    body = " ".join(str(v) for v in range(12))
+    img = multimodal.decode_image(
+        b"P2\n# a comment\n4 3\n255\n" + body.encode())
+    assert img.shape == (3, 4)
+    assert (img == np.arange(12, dtype=np.uint8).reshape(3, 4)).all()
+    img3 = multimodal.decode_image(b"P3\n2 2\n255\n" + body.encode())
+    assert img3.shape == (2, 2, 3)
+    assert (img3.reshape(-1) == np.arange(12)).all()
+
+
+def test_bmp_24bit_bottom_up_with_padding():
+    import numpy as np
+    # 3x2 RGB image; BMP stores BGR, bottom row first, rows padded to 4B
+    rgb = np.array([[[1, 2, 3], [4, 5, 6], [7, 8, 9]],
+                    [[10, 11, 12], [13, 14, 15], [16, 17, 18]]],
+                   dtype=np.uint8)
+    stride = (3 * 3 + 3) & ~3                    # 12 bytes (9 + 3 pad)
+    pixel_data = b""
+    for row in rgb[::-1]:                        # bottom-up
+        raw = row[:, ::-1].tobytes()             # BGR
+        pixel_data += raw + b"\x00" * (stride - len(raw))
+    header = (b"BM" + (54 + len(pixel_data)).to_bytes(4, "little")
+              + b"\x00\x00\x00\x00" + (54).to_bytes(4, "little")
+              + (40).to_bytes(4, "little")
+              + (3).to_bytes(4, "little", signed=True)
+              + (2).to_bytes(4, "little", signed=True)
+              + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+              + (0).to_bytes(4, "little") + b"\x00" * 20)
+    out = multimodal.decode_image(header + pixel_data)
+    assert out.shape == (2, 3, 3) and (out == rgb).all()
+
+
+def test_resize_nearest_neighbor_exact():
+    import numpy as np
+    rgb = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    small = multimodal.decode_image(
+        multimodal.resize_image(multimodal.encode_ppm(rgb), 2, 2))
+    # nearest-neighbor with floor((i*src)/dst): picks rows/cols 0 and 2
+    assert (small == rgb[::2, ::2]).all()
+    big = multimodal.decode_image(
+        multimodal.resize_image(multimodal.encode_ppm(rgb), 8, 8))
+    ys = (np.arange(8) * 4) // 8
+    assert (big == rgb[ys][:, ys]).all()
+
+
+def test_decode_rejects_compressed_formats():
+    with pytest.raises(ValueError):
+        multimodal.decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
 
 
 def test_minhash_identical_docs_collide(spark):
@@ -441,3 +498,24 @@ def test_python_datasource_streams_with_batch_parity(spark, tmp_path):
                               .option("rows", 300).load()).collect()))
     assert got == want
     assert rounds < 10, "stream never went quiescent"
+
+
+def test_jaccard_shingle_df_cap_is_wired(spark, monkeypatch):
+    """The exact all-pairs Jaccard baseline must honor MAX_SHINGLE_DF:
+    with the cap forced to 0 every shingle is excluded and no pair
+    survives; with the default cap the fixture result is unaffected
+    (the full oracle sweep asserts exact equality separately)."""
+    from etl_cloud_batch_processing_spark.plans import llm
+
+    sf = "/root/testdata/sf0.001"
+    monkeypatch.setattr(llm, "MAX_SHINGLE_DF", 0)
+    assert llm.ngram_jaccard_top_pairs(spark, sf).count() == 0
+
+
+def test_knn_brute_force_row_cap_raises(spark, monkeypatch):
+    from etl_cloud_batch_processing_spark.plans import llm
+
+    sf = "/root/testdata/sf0.001"
+    monkeypatch.setattr(llm, "MAX_BRUTE_FORCE_ROWS", 10)
+    with pytest.raises(ValueError, match="ivf_ann_topk"):
+        llm.knn_cosine_topk(spark, sf)

@@ -268,3 +268,57 @@ def test_kmeans_assignment_has_no_window_sort(spark):
 def test_vocab_coverage_takes_topk_before_window(spark):
     plan = plan_of(spark, "tokenizer_vocab_coverage")
     assert "TakeOrderedAndProject" in plan          # top-V, no vocab sort
+
+
+def test_rfm_scale_form_has_no_window(spark):
+    """The registered RFM query is the threshold form: quartile
+    assignment via a broadcast one-row quantile aggregate, never an
+    unpartitioned ntile sort over the user grain (the round-2 verdict's
+    scale cliff).  The equal-count ntile twin stays available as
+    rfm_user_segments_ntile."""
+    plan = plan_of(spark, "rfm_user_segments")
+    assert _n_nodes(plan, "Window") == 0, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_rollup_query_reads_rollup_table_not_history(spark):
+    """rollup_plus_tail_counts must serve closed days from the
+    maintained rollup table: its plan scans the rollup parquet (a
+    location outside the fixture dir) plus events for the tail — and
+    invoking the query twice must not rewrite the rollup (O(tail), not
+    O(history), per invocation)."""
+    import os
+
+    from etl_cloud_batch_processing_spark.plans import temporal as T
+
+    path = T.maintain_daily_rollup(spark, SF)
+    marker = os.path.join(path, "_ECBP_ROLLUP_COMPLETE")
+    before = os.path.getmtime(marker)
+    df = REGISTRY["rollup_plus_tail_counts"].builder(spark, SF)
+    df.count()
+    df2 = REGISTRY["rollup_plus_tail_counts"].builder(spark, SF)
+    df2.count()
+    assert os.path.getmtime(marker) == before
+    assert "ecbp_rollup" in df._jdf.queryExecution().toString()
+
+
+def test_rollup_maintenance_per_day_is_idempotent(spark):
+    """Re-running one closed day's maintenance (the retry case)
+    replaces its dt= partition rather than duplicating rows — the same
+    WRITE_APPEND-made-idempotent disposition as case_a."""
+    from pyspark.sql import functions as F
+
+    from etl_cloud_batch_processing_spark.plans import temporal as T
+    from etl_cloud_batch_processing_spark.plans.registry import table
+
+    path = T.maintain_daily_rollup(spark, SF)
+    events = table(spark, SF, "events")
+    some_day = (events.select(F.to_date("ts").alias("d"))
+                .agg(F.min("d")).collect()[0][0]).isoformat()
+    n_before = (spark.read.parquet(path)
+                .filter(F.col("day") == some_day).count())
+    T.maintain_daily_rollup(spark, SF, run_date=some_day)
+    T.maintain_daily_rollup(spark, SF, run_date=some_day)
+    n_after = (spark.read.parquet(path)
+               .filter(F.col("day") == some_day).count())
+    assert n_before == n_after > 0
