@@ -51,23 +51,28 @@ def main() -> None:
      .mapInPandas(lambda it: it, schema="id long")
      .write.format("noop").mode("overwrite").save())
 
-    # Best-of-2 per query: this box is a shared microVM with high
+    # Best-of-3 per query: this box is a shared microVM with high
     # run-to-run variance (same query measured 7s and 51s minutes
-    # apart); the min of two executions is the honest steady-state
-    # number.  Caches are cleared between runs so the second execution
-    # re-runs the full plan, not a memoized one.
+    # apart — DRIVER_NOTES #7); the min of three executions is the
+    # honest steady-state number, and the per-query run spread is
+    # recorded in BENCH_FULL.json so apparent cross-round "regressions"
+    # can be attributed to noise vs plans (round-2 verdict item 6).
+    # Caches are cleared between runs so every execution re-runs the
+    # full plan, not a memoized one.
+    N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    runs_detail: dict[str, list[float]] = {}
     failed: list[str] = []
     for name, spec in sorted(plans.REGISTRY.items()):
         if name in SKIP:
             continue
-        best = float("inf")
+        runs: list[float] = []
         try:
-            for _ in range(2):
+            for _ in range(N_RUNS):
                 df = spec.builder(spark, SF_DIR)
                 t0 = time.perf_counter()
                 df.write.format("noop").mode("overwrite").save()
-                best = min(best, time.perf_counter() - t0)
+                runs.append(round(time.perf_counter() - t0, 3))
                 # Queries may persist() intermediates used by several
                 # plan branches; drop them so no run's timing inherits
                 # another's cache (or its memory pressure).
@@ -76,10 +81,12 @@ def main() -> None:
             failed.append(name)
             print(f"FAILED {name}: {exc}", file=sys.stderr)
             continue
-        timings[name] = round(best, 3)
+        timings[name] = min(runs)
+        runs_detail[name] = runs
 
     total = round(sum(timings.values()), 3)
     sf = sf_from_dir(SF_DIR)
+    spread = {n: round(max(r) - min(r), 3) for n, r in runs_detail.items()}
 
     # Full per-query detail goes to a sidecar file; the stdout line must
     # stay under the driver's 2000-char tail capture or it records
@@ -88,8 +95,9 @@ def main() -> None:
                            "BENCH_FULL.json"), "w") as f:
         json.dump({"metric": "total_wall_sec_all_queries", "value": total,
                    "unit": "sec", "n_queries": len(timings),
-                   "failed": failed,
-                   "queries": timings, "sf": sf}, f, indent=1, sort_keys=True)
+                   "failed": failed, "n_runs": N_RUNS,
+                   "queries": timings, "runs": runs_detail,
+                   "spread": spread, "sf": sf}, f, indent=1, sort_keys=True)
 
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1]))
     out = {"metric": "total_wall_sec_all_queries", "value": total,

@@ -23,9 +23,34 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def write_overwrite(df: DataFrame, path: str, fmt: str = "parquet") -> None:
-    """WRITE_TRUNCATE equivalent: replace the whole table."""
-    df.write.mode("overwrite").format(fmt).save(path)
+def write_overwrite(df: DataFrame, path: str, fmt: str = "parquet",
+                    bucket_by: tuple[int, list[str]] | None = None,
+                    table_name: str | None = None) -> None:
+    """WRITE_TRUNCATE equivalent: replace the whole table.
+
+    ``bucket_by=(n_buckets, [cols])`` writes a BUCKETED table: rows are
+    hash-partitioned on the bucket columns and sorted within each
+    bucket at write time, so any later equi-join or aggregation on
+    those columns runs with ZERO Exchange nodes — the 100 TB answer
+    for repeated fact-fact joins (pay the shuffle once at ingest,
+    never per query; proven by tests/test_plans.py
+    test_bucketed_join_has_no_exchange and
+    test_write_overwrite_bucketed_joins_without_exchange).  Bucketing
+    requires a catalog entry, so ``table_name`` is mandatory with
+    ``bucket_by``; the data itself lands at ``path`` as an external
+    table.
+    """
+    if bucket_by is None:
+        df.write.mode("overwrite").format(fmt).save(path)
+        return
+    if table_name is None:
+        raise ValueError("bucket_by requires table_name: bucketed "
+                         "layout lives in the catalog, not just files")
+    n_buckets, cols = bucket_by
+    (df.write.bucketBy(n_buckets, *cols).sortBy(*cols)
+       .mode("overwrite").format(fmt)
+       .option("path", path)
+       .saveAsTable(table_name))
 
 
 def write_append_partition(df: DataFrame, path: str, run_date: str,

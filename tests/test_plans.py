@@ -322,3 +322,52 @@ def test_rollup_maintenance_per_day_is_idempotent(spark):
     n_after = (spark.read.parquet(path)
                .filter(F.col("day") == some_day).count())
     assert n_before == n_after > 0
+
+
+def test_write_overwrite_bucketed_joins_without_exchange(spark, tmp_path):
+    """The bucket_by= writer option is the callable API for the
+    zero-Exchange fact-fact join (round-2 verdict item 9): write both
+    facts bucketed on the join key through write_overwrite, join, and
+    assert no Exchange in the plan."""
+    import contextlib
+    import io
+
+    from etl_cloud_batch_processing_spark.sources.writers import (
+        write_overwrite,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    write_overwrite(orders, str(tmp_path / "o_b"),
+                    bucket_by=(4, ["o_orderkey"]), table_name="wo_orders_b")
+    write_overwrite(li, str(tmp_path / "l_b"),
+                    bucket_by=(4, ["l_orderkey"]), table_name="wo_li_b")
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        ob, lb = spark.table("wo_orders_b"), spark.table("wo_li_b")
+        joined = ob.join(lb, ob.o_orderkey == lb.l_orderkey)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql("DROP TABLE IF EXISTS wo_orders_b")
+        spark.sql("DROP TABLE IF EXISTS wo_li_b")
+
+
+def test_write_overwrite_bucketed_requires_table_name(spark, tmp_path):
+    import pytest as _pytest
+
+    from etl_cloud_batch_processing_spark.sources.writers import (
+        write_overwrite,
+    )
+
+    df = spark.range(3)
+    with _pytest.raises(ValueError, match="table_name"):
+        write_overwrite(df, str(tmp_path / "x"), bucket_by=(2, ["id"]))

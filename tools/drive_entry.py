@@ -31,6 +31,15 @@ def canon(v):
     return v
 
 qs, os_ = e.queries(), e.oracle_sql()
+# CI-visible env-gated skips (round-2 verdict item 8): name every query
+# that exists in the codebase but could not register in this container.
+try:
+    import google.protobuf  # noqa: F401
+except ImportError:
+    print("SKIPPED streaming_user_stats_tws: env-gated — "
+          "transformWithStateInPandas needs protobuf, absent here "
+          "(operator + plan tests live in streaming/stateful.py, "
+          "tests/test_tws.py)")
 if len(sys.argv) > 1:  # optional name filters: substring match, OR'd
     qs = {n: f for n, f in qs.items() if any(a in n for a in sys.argv[1:])}
 ok = bad = 0
