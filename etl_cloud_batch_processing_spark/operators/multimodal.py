@@ -452,3 +452,88 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.select("media_id", "width", "height",
                         F.round("mean_pixel", 6).alias("mean_pixel"),
                         "first_px", "last_px")
+
+
+# --------------------------------------------------------------------------
+# Audio-style modality: payload bytes as PCM samples, framed RMS energy.
+# --------------------------------------------------------------------------
+
+AUDIO_FRAME = 64     # samples per analysis frame
+AUDIO_STRIDE = 2     # keep every 2nd frame
+
+AUDIO_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("frame_idx", LongType()),
+    StructField("rms", DoubleType()),
+    StructField("peak", LongType()),
+])
+
+
+def make_audio_framer():
+    """mapInPandas fan-out for the audio convention: payload bytes are
+    unsigned 8-bit PCM (center 128); emit per-frame RMS energy and peak
+    deviation for every AUDIO_STRIDE-th AUDIO_FRAME-sample frame (the
+    partial trailing frame included).  A real audio path swaps the
+    byte→sample step for a WAV/FLAC demux behind the same (media_id,
+    frame_idx, features) contract — exactly the frame-sampler pattern
+    (make_frame_sampler) applied to the audio feature set."""
+    columns = [f.name for f in AUDIO_SCHEMA]
+
+    def framer(batches: "Iterator[pd.DataFrame]",
+               ) -> "Iterator[pd.DataFrame]":
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                s = (np.frombuffer(bytes(content), np.uint8)
+                     .astype(np.float64) - 128.0)
+                n_frames = (s.size + AUDIO_FRAME - 1) // AUDIO_FRAME
+                for i in range(0, n_frames, AUDIO_STRIDE):
+                    fr = s[i * AUDIO_FRAME:(i + 1) * AUDIO_FRAME]
+                    out.append((int(media_id), i,
+                                float(np.sqrt((fr * fr).mean())),
+                                int(np.abs(fr).max())))
+            yield pd.DataFrame(out, columns=columns)
+
+    return framer
+
+
+@query(
+    "audio_frame_energy",
+    oracle=f"""
+    WITH frames AS (
+        SELECT doc_id AS media_id, i AS frame_idx,
+               substring(text, i * {AUDIO_FRAME} + 1, {AUDIO_FRAME}) AS seg
+        FROM documents,
+             UNNEST(range(0, CAST(ceil(length(text) / {AUDIO_FRAME}.0)
+                                  AS BIGINT), {AUDIO_STRIDE})) AS t(i)),
+    samples AS (
+        SELECT media_id, frame_idx,
+               unnest(list_transform(range(1, length(seg) + 1),
+                                     j -> ord(seg[j]) - 128.0)) AS s
+        FROM frames)
+    SELECT media_id, frame_idx,
+           ROUND(sqrt(AVG(s * s)), 6) AS rms,
+           CAST(MAX(abs(s)) AS BIGINT) AS peak
+    FROM samples
+    GROUP BY media_id, frame_idx
+    """,
+)
+def audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NS5 audio modality: per-frame RMS energy + peak over the binary
+    payload interpreted as 8-bit PCM — the silence-trim / segmentation
+    primitive of an audio curation pipeline, run through the same
+    mapInPandas fan-out contract as video frame sampling (ASCII fixture
+    ⇒ the DuckDB oracle recomputes every sample as ord(char) − 128).
+    At 100 TB: embarrassingly parallel, output is fixed-width rows
+    independent of payload size, and the Python step is pure numpy over
+    Arrow batches."""
+    media = attach_media(table(spark, sf_dir, "documents"))
+    par = spark.sparkContext.defaultParallelism
+    frames = (media.select("media_id", "content")
+              .repartition(par)
+              .mapInPandas(make_audio_framer(), schema=AUDIO_SCHEMA))
+    return frames.select("media_id", "frame_idx",
+                         F.round("rms", 6).alias("rms"), "peak")

@@ -323,7 +323,14 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     Expressed as explode × bit-range cross join → two aggregations —
     pure relational algebra, linear in corpus size (docs × vocab × 60
     rows pre-combine), no UDF.  Near-dup candidates are then pairs at
-    small Hamming distance, found at scale by banding the signature."""
+    small Hamming distance, found at scale by banding the signature
+    (``simhash_hamming_pairs``)."""
+    return _simhash_frame(spark, sf_dir)
+
+
+def _simhash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared (doc_id, simhash) signature frame — see
+    :func:`simhash_signatures` for the construction."""
     docs = ptable(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id",
@@ -338,6 +345,81 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum(F.when(F.col("s") > 0,
                               F.expr("CAST(1 AS BIGINT) << bit"))
                        .otherwise(F.lit(0))).alias("simhash")))
+
+
+_DUCK_SIMHASH = """
+    WITH tok AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' ')))
+                   AS token
+        FROM documents),
+    th AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(token), 1, 15) AS BIGINT) AS h
+        FROM tok),
+    bits AS (
+        SELECT doc_id, b.bit,
+               SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        FROM th CROSS JOIN (SELECT unnest(range(0, 60)) AS bit) b
+        GROUP BY doc_id, b.bit),
+    sig AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN s > 0
+                             THEN CAST(1 AS BIGINT) << bit
+                             ELSE 0 END) AS BIGINT) AS simhash
+        FROM bits
+        GROUP BY doc_id)
+"""
+
+#: simhash_hamming_pairs: 60-bit signatures split into this many bands.
+#: Pigeonhole: a pair with Hamming distance ≤ SIMHASH_MAX_HAMMING
+#: (= bands − 1) differs in at most bands−1 positions, so at least one
+#: 15-bit band is IDENTICAL — banding finds every such pair exactly,
+#: never scanning all O(n²) pairs.
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = 15
+SIMHASH_MAX_HAMMING = SIMHASH_BANDS - 1
+
+
+@query(
+    "simhash_hamming_pairs",
+    oracle=_DUCK_SIMHASH + f"""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+    """,
+)
+def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NS2 SimHash near-dup PAIRS via banding: each 60-bit signature
+    splits into {SIMHASH_BANDS} 15-bit bands; documents colliding on
+    any (band_index, band_value) key become candidates, and candidates
+    are kept when Hamming distance ≤ {SIMHASH_MAX_HAMMING}.  The band
+    guarantee makes this EXACT for that threshold (pigeonhole: ≤
+    bands−1 differing bits leave one band untouched) while the join
+    stays bucket-local — the sub-quadratic scale path the
+    ``simhash_signatures`` docstring promises.  The oracle cross-checks
+    with an honest all-pairs scan (fine at fixture scale; that form is
+    exactly what this query avoids at 100 TB)."""
+    sig = _simhash_frame(spark, sf_dir)
+    bands = sig.select(
+        "doc_id", "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BANDS - 1)))
+        .alias("band"))
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    keyed = bands.select(
+        "doc_id", "simhash", "band",
+        F.expr(f"(simhash >> (band * {SIMHASH_BAND_BITS})) & {mask}")
+        .alias("band_val"))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.band_val") == F.col("b.band_val"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    F.expr("bit_count(a.simhash ^ b.simhash)")
+                    .alias("hamming"))
+            .distinct())
+    return cand.filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
 
 
 # --------------------------------------------------------------------------
@@ -440,6 +522,84 @@ def ngram_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # NS3 — similarity search over embeddings.
 # --------------------------------------------------------------------------
+
+@query(
+    "embedding_dim_stats",
+    oracle="""
+    WITH flat AS (
+        SELECT unnest(range(0, len(embedding))) AS dim,
+               unnest(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+                   AS v
+        FROM embeddings)
+    SELECT dim,
+           ROUND(AVG(v), 6) AS mu,
+           ROUND(stddev_samp(v), 6) AS sigma,
+           ROUND(MIN(v), 6) AS vmin,
+           ROUND(MAX(v), 6) AS vmax
+    FROM flat GROUP BY dim
+    """,
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding moments (mean/std/min/max) — the
+    feature-normalization profile every whitening, quantization-range,
+    or drift-monitoring step needs before touching a vector corpus.
+    ``posexplode`` flattens to (dim, value) rows and ONE
+    partial-aggregated shuffle on the 64-value dim key reduces them;
+    at 100 TB the map-side combine collapses each partition to
+    dims × 4 numbers before anything moves."""
+    emb = ptable(spark, sf_dir, "embeddings")
+    flat = emb.select(F.posexplode("embedding").alias("dim", "f")) \
+              .select("dim", F.col("f").cast("double").alias("v"))
+    return (flat.groupBy(F.col("dim").cast("bigint").alias("dim"))
+            .agg(F.round(F.avg("v"), 6).alias("mu"),
+                 F.round(F.stddev_samp("v"), 6).alias("sigma"),
+                 F.round(F.min("v"), 6).alias("vmin"),
+                 F.round(F.max("v"), 6).alias("vmax")))
+
+
+@query(
+    "embedding_standardized_norms",
+    oracle="""
+    WITH flat AS (
+        SELECT vec_id,
+               unnest(range(0, len(embedding))) AS dim,
+               unnest(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+                   AS v
+        FROM embeddings),
+    stats AS (
+        SELECT dim, AVG(v) AS mu, stddev_samp(v) AS sigma
+        FROM flat GROUP BY dim)
+    SELECT vec_id,
+           ROUND(sqrt(SUM(((v - mu) / sigma) * ((v - mu) / sigma))), 6)
+               AS znorm
+    FROM flat JOIN stats USING (dim)
+    WHERE sigma > 0
+    GROUP BY vec_id
+    """,
+)
+def embedding_standardized_norms(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Z-score standardization applied corpus-wide: per-dimension
+    (mu, sigma) from one aggregate, broadcast back onto the flattened
+    vectors, per-vector L2 norm of the standardized coordinates.  The
+    stats frame is dims rows — broadcast, never shuffled against the
+    corpus — so the whole standardize-and-score pass costs one
+    flatten + one broadcast join + one vec_id aggregation; degenerate
+    constant dimensions (sigma 0) are excluded identically on both
+    engines (cf. daily_count_zscores)."""
+    emb = ptable(spark, sf_dir, "embeddings")
+    flat = (emb.select("vec_id",
+                       F.posexplode("embedding").alias("dim", "f"))
+            .select("vec_id", "dim", F.col("f").cast("double").alias("v")))
+    stats = (flat.groupBy("dim")
+             .agg(F.avg("v").alias("mu"),
+                  F.stddev_samp("v").alias("sigma"))
+             .filter(F.col("sigma") > 0))
+    z = (F.col("v") - F.col("mu")) / F.col("sigma")
+    return (flat.join(F.broadcast(stats), "dim")
+            .groupBy("vec_id")
+            .agg(F.round(F.sqrt(F.sum(z * z)), 6).alias("znorm")))
+
 
 #: Size guard for the exact brute-force kNN baseline: refuse to launch
 #: the O(queries × candidates) scan past this many candidate vectors.
