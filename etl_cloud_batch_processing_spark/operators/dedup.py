@@ -345,3 +345,91 @@ def mllib_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("jaccard_dist", 6).alias("jaccard_dist"))
             .orderBy(F.asc("jaccard_dist"), F.asc("doc_a"), F.asc("doc_b"))
             .limit(50))
+
+
+_D_EST_EQ = " + ".join(
+    f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END"
+    for i in range(N_HASHES))
+
+
+@query(
+    "minhash_estimate_accuracy",
+    oracle=f"""
+    WITH hs AS ({_D_HS}),
+    mh AS (SELECT doc_id, {_D_MINHASH_AGGS} FROM hs GROUP BY doc_id),
+    bands AS (
+        SELECT doc_id, b.band,
+               ([{", ".join(_D_BAND_KEYS)}])[b.band + 1] AS band_key
+        FROM mh CROSS JOIN (SELECT unnest(range(0, {N_BANDS})) AS band) b),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id),
+    sets AS (SELECT doc_id, list(h) AS hset FROM hs GROUP BY doc_id),
+    est AS (
+        SELECT c.doc_a, c.doc_b,
+               ({_D_EST_EQ}) / {N_HASHES}.0 AS est_jaccard
+        FROM cand c
+        JOIN mh a ON c.doc_a = a.doc_id
+        JOIN mh b ON c.doc_b = b.doc_id)
+    SELECT e.doc_a, e.doc_b,
+           ROUND(e.est_jaccard, 6) AS est_jaccard,
+           ROUND(CAST(len(list_intersect(sa.hset, sb.hset)) AS DOUBLE)
+                 / (len(sa.hset) + len(sb.hset)
+                    - len(list_intersect(sa.hset, sb.hset))), 6)
+               AS exact_jaccard,
+           ROUND(abs(e.est_jaccard
+                 - CAST(len(list_intersect(sa.hset, sb.hset)) AS DOUBLE)
+                   / (len(sa.hset) + len(sb.hset)
+                      - len(list_intersect(sa.hset, sb.hset)))), 6)
+               AS abs_err
+    FROM est e
+    JOIN sets sa ON e.doc_a = sa.doc_id
+    JOIN sets sb ON e.doc_b = sb.doc_id
+    """,
+)
+def minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy report: for every LSH candidate pair, the
+    MinHash ESTIMATE of Jaccard (fraction of the k=16 signature slots
+    that agree — the unbiased estimator banding is built on) next to
+    the EXACT shingle-set Jaccard, with the absolute error.  This is
+    the "measure, don't guess" query for the dedup family: before
+    trusting a MinHash threshold at 100 TB, run this on a sample and
+    read the error distribution (k=16 ⇒ σ ≈ √(J(1−J)/16) ≈ 0.12 at
+    J=0.5 — visible in the output).  Candidates only, so the report
+    costs the same banded join as the dedup itself, never all pairs."""
+    docs = _par_docs(spark, sf_dir)
+    hs = hashed_shingles(docs).persist()
+    mh = hs.groupBy("doc_id").agg(*minhash_agg_exprs())
+    bands = mh.select(
+        "doc_id",
+        F.posexplode(F.array(*band_key_exprs())).alias("band", "band_key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.band_key") == F.col("b.band_key"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+             .distinct())
+    ma, mb = mh.alias("ma"), mh.alias("mb")
+    eq = sum((F.col(f"ma.mh{i}") == F.col(f"mb.mh{i}")).cast("int")
+             for i in range(N_HASHES))
+    est = (pairs
+           .join(ma, F.col("doc_a") == F.col("ma.doc_id"))
+           .join(mb, F.col("doc_b") == F.col("mb.doc_id"))
+           .select("doc_a", "doc_b",
+                   (eq / float(N_HASHES)).alias("est_jaccard")))
+    sets = hs.groupBy("doc_id").agg(F.collect_set("h").alias("hset"))
+    sa, sb = sets.alias("sa"), sets.alias("sb")
+    inter = F.size(F.array_intersect(F.col("sa.hset"), F.col("sb.hset")))
+    union = (F.size(F.col("sa.hset")) + F.size(F.col("sb.hset")) - inter)
+    exact = inter.cast("double") / union
+    return (est
+            .join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+            .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+            .select("doc_a", "doc_b",
+                    F.round("est_jaccard", 6).alias("est_jaccard"),
+                    F.round(exact, 6).alias("exact_jaccard"),
+                    F.round(F.abs(F.col("est_jaccard") - exact), 6)
+                    .alias("abs_err")))

@@ -422,6 +422,80 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
 
 
+PAGERANK_DAMPING = 0.85
+
+
+@query(
+    "pagerank_near_dup",
+    oracle=_DUCK_SIMHASH + f"""
+    , pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash))
+                  <= {SIMHASH_MAX_HAMMING}),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION ALL
+              SELECT doc_b AS src, doc_a AS dst FROM pairs),
+    deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+    n AS (SELECT COUNT(*) AS n FROM nodes),
+    pr0 AS (SELECT doc_id, 1.0 / n.n AS pr FROM nodes, n),
+    pr1 AS (
+        SELECT e.dst AS doc_id,
+               (1 - {PAGERANK_DAMPING}) / n.n
+                   + {PAGERANK_DAMPING} * SUM(p.pr / deg.d) AS pr
+        FROM edges e
+        JOIN pr0 p ON e.src = p.doc_id
+        JOIN deg ON e.src = deg.src, n
+        GROUP BY e.dst, n.n),
+    pr2 AS (
+        SELECT e.dst AS doc_id,
+               (1 - {PAGERANK_DAMPING}) / n.n
+                   + {PAGERANK_DAMPING} * SUM(p.pr / deg.d) AS pr
+        FROM edges e
+        JOIN pr1 p ON e.src = p.doc_id
+        JOIN deg ON e.src = deg.src, n
+        GROUP BY e.dst, n.n)
+    SELECT doc_id, ROUND(pr, 6) AS pagerank
+    FROM pr2
+    """,
+)
+def pagerank_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two unrolled PageRank iterations over the simhash near-dup graph
+    (damping 0.85, uniform init over incident nodes) — the iterative-
+    algorithm pattern expressed as pure joins + aggregations, the same
+    unrolling discipline as ``kmeans_lloyd_centroids``: per iteration,
+    ONE join of the edge list against the current rank frame and one
+    partial-aggregated sum per destination.  No driver loop over
+    collect()ed ranks; at 100 TB each iteration is an edge-partitioned
+    shuffle and the rank frame stays columnar.  (Every node of the
+    undirected candidate graph has degree ≥ 1, so there is no dangling-
+    mass term.)  Centrality over a duplicate graph ranks the "template"
+    documents that near-duplicate everything else — the curation signal
+    for boilerplate removal."""
+    pairs = simhash_hamming_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (pairs.select(F.col("doc_a").alias("src"),
+                          F.col("doc_b").alias("dst"))
+             .unionByName(pairs.select(F.col("doc_b").alias("src"),
+                                       F.col("doc_a").alias("dst")))
+             .persist())
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    nodes = edges.select(F.col("src").alias("doc_id")).distinct()
+    n = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("n")))
+    pr = (nodes.crossJoin(n)
+          .select("doc_id", (F.lit(1.0) / F.col("n")).alias("pr")))
+    for _ in range(2):
+        contrib = (edges.join(pr, edges["src"] == pr["doc_id"])
+                   .join(deg, "src")
+                   .groupBy("dst")
+                   .agg(F.sum(F.col("pr") / F.col("d")).alias("mass")))
+        pr = (contrib.crossJoin(n)
+              .select(F.col("dst").alias("doc_id"),
+                      ((1 - PAGERANK_DAMPING) / F.col("n")
+                       + PAGERANK_DAMPING * F.col("mass")).alias("pr")))
+    return pr.select("doc_id", F.round("pr", 6).alias("pagerank"))
+
+
 # --------------------------------------------------------------------------
 # NS2 — n-gram Jaccard near-dup (relational shingle join).
 # --------------------------------------------------------------------------
