@@ -318,3 +318,47 @@ def asof_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             .applyInPandas(merge,
                            schema="event_id long, user_id long, "
                                   "event_date date, asof_orderkey long"))
+
+
+@query(
+    "value_ohlc_daily",
+    oracle="""
+    WITH ordered AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, ts, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                                  ORDER BY ts ASC, event_id ASC) AS rn_a,
+               ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                                  ORDER BY ts DESC, event_id DESC) AS rn_z
+        FROM events)
+    SELECT event_type, day,
+           ROUND(MAX(CASE WHEN rn_a = 1 THEN value END), 6) AS open,
+           ROUND(MAX(value), 6) AS high,
+           ROUND(MIN(value), 6) AS low,
+           ROUND(MAX(CASE WHEN rn_z = 1 THEN value END), 6) AS close,
+           COUNT(*) AS n_events
+    FROM ordered
+    GROUP BY event_type, day
+    """,
+)
+def value_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series downsampling to daily OHLC bars per event type — the
+    hypertable/candle rollup every metrics store offers.  Open/close
+    are argmin/argmax over the total (ts, event_id) order, computed as
+    ``min(struct(ts, event_id, value))`` / ``max(struct(...))`` inside
+    ONE hash aggregation — no window sort anywhere, so the whole bar
+    table costs a single partial-aggregated shuffle on (type, day).
+    The oracle's row_number formulation is the semantic spec; the
+    struct-ordering form is the scale implementation (lexicographic
+    struct comparison ≡ ORDER BY ts, event_id because event_id is
+    unique)."""
+    events = table(spark, sf_dir, "events")
+    day = F.to_date("ts").alias("day")
+    o = F.min(F.struct("ts", "event_id", "value"))
+    c = F.max(F.struct("ts", "event_id", "value"))
+    return (events.select("event_type", day, "ts", "event_id", "value")
+            .groupBy("event_type", "day")
+            .agg(F.round(o["value"], 6).alias("open"),
+                 F.round(F.max("value"), 6).alias("high"),
+                 F.round(F.min("value"), 6).alias("low"),
+                 F.round(c["value"], 6).alias("close"),
+                 F.count(F.lit(1)).alias("n_events")))
