@@ -218,6 +218,80 @@ def token_frequency_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(20))
 
 
+@query(
+    "doc_dup_rate_by_source",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5(text)) AS n_distinct,
+           ROUND(1.0 - COUNT(DISTINCT md5(text)) / CAST(COUNT(*) AS DOUBLE),
+                 6) AS dup_rate
+    FROM documents
+    GROUP BY source
+    """,
+)
+def doc_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplication pressure: docs, distinct content
+    fingerprints, and the dup rate — the first triage metric of any
+    corpus intake review (a source with a high rate gets the near-dup
+    pipeline pointed at it first).  COUNT(DISTINCT md5) is one
+    expand-free two-phase aggregate on 16-byte fingerprints, never on
+    text."""
+    docs = table(spark, sf_dir, "documents")
+    return (docs.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.countDistinct(F.md5("text")).alias("n_distinct"),
+                 F.round(1 - F.countDistinct(F.md5("text"))
+                         / F.count(F.lit(1)).cast("double"), 6)
+                 .alias("dup_rate")))
+
+
+@query(
+    "token_zipf_fit",
+    oracle=f"""
+    WITH tf AS (
+        SELECT lang, token, COUNT(*) AS n
+        FROM (SELECT lang, unnest({{toks}}) AS token FROM documents) t
+        GROUP BY lang, token),
+    ranked AS (
+        SELECT lang, n,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY n DESC, token ASC) AS rnk
+        FROM tf)
+    SELECT lang,
+           ROUND(regr_slope(ln(CAST(n AS DOUBLE)),
+                            ln(CAST(rnk AS DOUBLE))), 6) AS zipf_slope,
+           ROUND(regr_r2(ln(CAST(n AS DOUBLE)),
+                         ln(CAST(rnk AS DOUBLE))), 6) AS r2,
+           COUNT(*) AS vocab
+    FROM ranked
+    GROUP BY lang
+    """.replace("{{toks}}", "{toks}").format(toks=_DUCK_TOKS),
+)
+def token_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit per language: least-squares slope and R² of
+    log-frequency vs log-rank over the full vocabulary, via the
+    built-in regression aggregates (``regr_slope``/``regr_r2`` — JVM
+    two-phase, no driver-side fitting).  Natural text sits near slope
+    −1; a corpus whose slope or R² drifts is machine-generated,
+    template-heavy, or mis-tokenized — a cheap distribution-level
+    quality gate next to the per-document scores.  Rank needs one
+    window per lang over the VOCABULARY frame (tokens, not
+    occurrences), which is the already-reduced aggregate."""
+    docs = table(spark, sf_dir, "documents")
+    tf = (docs.select("lang", F.explode(T.tokens("text")).alias("token"))
+          .groupBy("lang", "token")
+          .agg(F.count(F.lit(1)).alias("n")))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("token"))
+    ranked = tf.withColumn("rnk", F.row_number().over(w))
+    y = F.log(F.col("n").cast("double"))
+    x = F.log(F.col("rnk").cast("double"))
+    return (ranked.groupBy("lang")
+            .agg(F.round(F.regr_slope(y, x), 6).alias("zipf_slope"),
+                 F.round(F.regr_r2(y, x), 6).alias("r2"),
+                 F.count(F.lit(1)).alias("vocab")))
+
+
 # --------------------------------------------------------------------------
 # NS4 — language identification (token-vote model, trained on-corpus).
 # --------------------------------------------------------------------------
@@ -673,6 +747,83 @@ def embedding_standardized_norms(spark: SparkSession,
     return (flat.join(F.broadcast(stats), "dim")
             .groupBy("vec_id")
             .agg(F.round(F.sqrt(F.sum(z * z)), 6).alias("znorm")))
+
+
+@query(
+    "embedding_top_pc_power_iter",
+    oracle="""
+    WITH flat AS (
+        SELECT vec_id,
+               unnest(range(0, len(embedding))) AS dim,
+               unnest(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+                   AS v
+        FROM embeddings),
+    mu AS (SELECT dim, AVG(v) AS mu FROM flat GROUP BY dim),
+    n AS (SELECT COUNT(*) AS n FROM embeddings),
+    v0 AS (SELECT dim, CASE WHEN dim = 0 THEN 1.0 ELSE 0.0 END AS c
+           FROM mu),
+    s1 AS (
+        SELECT f.vec_id, SUM((f.v - mu.mu) * v0.c) AS s
+        FROM flat f JOIN mu USING (dim) JOIN v0 USING (dim)
+        GROUP BY f.vec_id),
+    w1 AS (
+        SELECT f.dim, SUM((f.v - mu.mu) * s1.s) / MAX(n.n) AS w
+        FROM flat f JOIN mu USING (dim) JOIN s1 USING (vec_id), n
+        GROUP BY f.dim),
+    v1 AS (
+        SELECT dim, w / sqrt(SUM(w * w) OVER ()) AS c FROM w1),
+    s2 AS (
+        SELECT f.vec_id, SUM((f.v - mu.mu) * v1.c) AS s
+        FROM flat f JOIN mu USING (dim) JOIN v1 USING (dim)
+        GROUP BY f.vec_id),
+    w2 AS (
+        SELECT f.dim, SUM((f.v - mu.mu) * s2.s) / MAX(n.n) AS w
+        FROM flat f JOIN mu USING (dim) JOIN s2 USING (vec_id), n
+        GROUP BY f.dim),
+    v2 AS (
+        SELECT dim, w / sqrt(SUM(w * w) OVER ()) AS c FROM w2)
+    SELECT dim, ROUND(c, 6) AS component FROM v2
+    """,
+)
+def embedding_top_pc_power_iter(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus via TWO unrolled
+    power iterations on the covariance matrix — iterative linear
+    algebra in pure DataFrame ops, never materializing the d×d
+    covariance: each iteration is Cv = (1/n)·Σ x̃(x̃·v) computed as two
+    joins + two partial-aggregated sums (per-vector projection s = x̃·v,
+    then per-dimension backprojection), with μ, v, and the norm all
+    dims-row/one-row BROADCAST frames.  Deterministic e₀ start; same
+    unrolling discipline as k-means and PageRank.  At 100 TB each
+    iteration costs two shuffles of (rows × dims) flattened values with
+    map-side combine — the PCA-whitening/outlier-direction primitive
+    for embedding curation."""
+    emb = ptable(spark, sf_dir, "embeddings")
+    flat = (emb.select("vec_id",
+                       F.posexplode("embedding").alias("dim", "f"))
+            .select("vec_id", "dim",
+                    F.col("f").cast("double").alias("v"))
+            .persist())
+    mu = F.broadcast(flat.groupBy("dim").agg(F.avg("v").alias("mu")))
+    n = F.broadcast(emb.agg(F.count(F.lit(1)).alias("n")))
+    vcur = F.broadcast(mu.select(
+        "dim", F.when(F.col("dim") == 0, 1.0).otherwise(0.0).alias("c")))
+    for _ in range(2):
+        s = (flat.join(mu, "dim").join(vcur, "dim")
+             .groupBy("vec_id")
+             .agg(F.sum((F.col("v") - F.col("mu")) * F.col("c"))
+                  .alias("s")))
+        w = (flat.join(mu, "dim").join(s, "vec_id").crossJoin(n)
+             .groupBy("dim")
+             .agg((F.sum((F.col("v") - F.col("mu")) * F.col("s"))
+                   / F.max("n")).alias("w")))
+        nrm = F.broadcast(w.agg(
+            F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")))
+        vcur = F.broadcast(w.crossJoin(nrm)
+                           .select("dim",
+                                   (F.col("w") / F.col("nrm")).alias("c")))
+    return vcur.select(F.col("dim").cast("bigint").alias("dim"),
+                       F.round("c", 6).alias("component"))
 
 
 #: Size guard for the exact brute-force kNN baseline: refuse to launch
