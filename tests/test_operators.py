@@ -519,3 +519,49 @@ def test_knn_brute_force_row_cap_raises(spark, monkeypatch):
     monkeypatch.setattr(llm, "MAX_BRUTE_FORCE_ROWS", 10)
     with pytest.raises(ValueError, match="ivf_ann_topk"):
         llm.knn_cosine_topk(spark, sf)
+
+
+def test_power_iteration_matches_numpy(spark):
+    """The distributed 2-step power iteration must equal the same two
+    iterations done densely in numpy (identical init e0, identical
+    centering and normalization) to float tolerance."""
+    import numpy as np
+
+    from etl_cloud_batch_processing_spark.plans import llm
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["dim"]: r["component"]
+           for r in llm.embedding_top_pc_power_iter(spark, sf).collect()}
+    X = np.array(spark.read.parquet(f"{sf}/embeddings.parquet")
+                 .toPandas()["embedding"].tolist(), dtype=np.float64)
+    Xc = X - X.mean(axis=0)
+    v = np.zeros(X.shape[1]); v[0] = 1.0
+    for _ in range(2):
+        w = Xc.T @ (Xc @ v) / X.shape[0]
+        v = w / np.sqrt((w * w).sum())
+    for d in range(X.shape[1]):
+        assert abs(got[d] - round(float(v[d]), 6)) <= 1e-6
+
+
+def test_pagerank_mass_conserved(spark):
+    """Undirected candidate graph has no dangling nodes, so total rank
+    mass stays 1 after every iteration."""
+    from etl_cloud_batch_processing_spark.plans import llm
+
+    sf = "/root/testdata/sf0.001"
+    pr = llm.pagerank_near_dup(spark, sf).toPandas()
+    assert len(pr) > 0
+    assert abs(pr["pagerank"].sum() - 1.0) < 1e-3
+    assert (pr["pagerank"] > 0).all()
+
+
+def test_minhash_estimate_error_bounded(spark):
+    """k=16 MinHash: the mean |estimate − exact| over candidate pairs
+    should sit well inside the σ ≈ √(J(1−J)/k) ≤ 0.125 envelope."""
+    from etl_cloud_batch_processing_spark.operators import dedup
+
+    sf = "/root/testdata/sf0.001"
+    rep = dedup.minhash_estimate_accuracy(spark, sf).toPandas()
+    assert len(rep) > 0
+    assert rep["abs_err"].mean() < 0.2
+    assert (rep["est_jaccard"].between(0, 1)).all()
