@@ -480,10 +480,12 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BANDS - 1)))
         .alias("band"))
     mask = (1 << SIMHASH_BAND_BITS) - 1
+    # Both self-join sides read this frame; persist so the signature
+    # pass (explode × 60 bits per token) runs once, not per branch.
     keyed = bands.select(
         "doc_id", "simhash", "band",
         F.expr(f"(simhash >> (band * {SIMHASH_BAND_BITS})) & {mask}")
-        .alias("band_val"))
+        .alias("band_val")).persist()
     a, b = keyed.alias("a"), keyed.alias("b")
     cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.band_val") == F.col("b.band_val"))
@@ -547,7 +549,10 @@ def pagerank_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     mass term.)  Centrality over a duplicate graph ranks the "template"
     documents that near-duplicate everything else — the curation signal
     for boilerplate removal."""
-    pairs = simhash_hamming_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # Persist the pair frame: the union below reads it twice, and the
+    # whole signature+band join pipeline above it is the expensive part.
+    pairs = (simhash_hamming_pairs(spark, sf_dir)
+             .select("doc_a", "doc_b").persist())
     edges = (pairs.select(F.col("doc_a").alias("src"),
                           F.col("doc_b").alias("dst"))
              .unionByName(pairs.select(F.col("doc_b").alias("src"),
@@ -767,21 +772,19 @@ def embedding_standardized_norms(spark: SparkSession,
         FROM flat f JOIN mu USING (dim) JOIN v0 USING (dim)
         GROUP BY f.vec_id),
     w1 AS (
-        SELECT f.dim, SUM((f.v - mu.mu) * s1.s) / MAX(n.n) AS w
+        SELECT f.dim, SUM((f.v - mu.mu) * s1.s) / MAX(n.n) AS c
         FROM flat f JOIN mu USING (dim) JOIN s1 USING (vec_id), n
         GROUP BY f.dim),
-    v1 AS (
-        SELECT dim, w / sqrt(SUM(w * w) OVER ()) AS c FROM w1),
     s2 AS (
-        SELECT f.vec_id, SUM((f.v - mu.mu) * v1.c) AS s
-        FROM flat f JOIN mu USING (dim) JOIN v1 USING (dim)
+        SELECT f.vec_id, SUM((f.v - mu.mu) * w1.c) AS s
+        FROM flat f JOIN mu USING (dim) JOIN w1 USING (dim)
         GROUP BY f.vec_id),
     w2 AS (
-        SELECT f.dim, SUM((f.v - mu.mu) * s2.s) / MAX(n.n) AS w
+        SELECT f.dim, SUM((f.v - mu.mu) * s2.s) / MAX(n.n) AS c
         FROM flat f JOIN mu USING (dim) JOIN s2 USING (vec_id), n
         GROUP BY f.dim),
     v2 AS (
-        SELECT dim, w / sqrt(SUM(w * w) OVER ()) AS c FROM w2)
+        SELECT dim, c / sqrt(SUM(c * c) OVER ()) AS c FROM w2)
     SELECT dim, ROUND(c, 6) AS component FROM v2
     """,
 )
@@ -794,10 +797,14 @@ def embedding_top_pc_power_iter(spark: SparkSession,
     joins + two partial-aggregated sums (per-vector projection s = x̃·v,
     then per-dimension backprojection), with μ, v, and the norm all
     dims-row/one-row BROADCAST frames.  Deterministic e₀ start; same
-    unrolling discipline as k-means and PageRank.  At 100 TB each
-    iteration costs two shuffles of (rows × dims) flattened values with
-    map-side combine — the PCA-whitening/outlier-direction primitive
-    for embedding curation."""
+    unrolling discipline as k-means and PageRank.  Normalization runs
+    ONCE at the end, not per iteration — power iteration is
+    scale-invariant (v₂ ∝ C²v₀), so the intermediate norm barrier is
+    pure latency; on a 1000-node cluster iteration-barrier count is
+    the latency floor of every iterative operator.  At 100 TB each
+    iteration costs two shuffles of (rows × dims) flattened values
+    with map-side combine — the PCA-whitening/outlier-direction
+    primitive for embedding curation."""
     emb = ptable(spark, sf_dir, "embeddings")
     flat = (emb.select("vec_id",
                        F.posexplode("embedding").alias("dim", "f"))
@@ -813,17 +820,17 @@ def embedding_top_pc_power_iter(spark: SparkSession,
              .groupBy("vec_id")
              .agg(F.sum((F.col("v") - F.col("mu")) * F.col("c"))
                   .alias("s")))
-        w = (flat.join(mu, "dim").join(s, "vec_id").crossJoin(n)
-             .groupBy("dim")
-             .agg((F.sum((F.col("v") - F.col("mu")) * F.col("s"))
-                   / F.max("n")).alias("w")))
-        nrm = F.broadcast(w.agg(
-            F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")))
-        vcur = F.broadcast(w.crossJoin(nrm)
-                           .select("dim",
-                                   (F.col("w") / F.col("nrm")).alias("c")))
-    return vcur.select(F.col("dim").cast("bigint").alias("dim"),
-                       F.round("c", 6).alias("component"))
+        vcur = F.broadcast(
+            flat.join(mu, "dim").join(s, "vec_id").crossJoin(n)
+            .groupBy("dim")
+            .agg((F.sum((F.col("v") - F.col("mu")) * F.col("s"))
+                  / F.max("n")).alias("c")))
+    nrm = F.broadcast(vcur.agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nrm")))
+    return (vcur.crossJoin(nrm)
+            .select(F.col("dim").cast("bigint").alias("dim"),
+                    F.round(F.col("c") / F.col("nrm"), 6)
+                    .alias("component")))
 
 
 #: Size guard for the exact brute-force kNN baseline: refuse to launch

@@ -537,8 +537,8 @@ def test_power_iteration_matches_numpy(spark):
     Xc = X - X.mean(axis=0)
     v = np.zeros(X.shape[1]); v[0] = 1.0
     for _ in range(2):
-        w = Xc.T @ (Xc @ v) / X.shape[0]
-        v = w / np.sqrt((w * w).sum())
+        v = Xc.T @ (Xc @ v) / X.shape[0]
+    v = v / np.sqrt((v * v).sum())        # single final normalization
     for d in range(X.shape[1]):
         assert abs(got[d] - round(float(v[d]), 6)) <= 1e-6
 
