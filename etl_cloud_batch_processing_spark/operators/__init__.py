@@ -6,6 +6,7 @@ fits); importing the package registers their named queries.
 
 from etl_cloud_batch_processing_spark.operators import (  # noqa: F401
     dedup,
+    linalg,
     multimodal,
     similarity,
 )
