@@ -1,0 +1,248 @@
+"""Corpus-filtering operators, round 3 (training-data-pipeline mandate):
+span-level dedup, DSIR-style importance weighting, and a staged quality
+filter funnel.
+
+These extend the NS1/NS4 families with the filter shapes a production
+pretraining pipeline runs between ingest and tokenization: RefinedWeb-
+style line dedup (remove spans repeated across the corpus), importance
+resampling weights (up/down-weight documents toward a target domain
+distribution), and a survivors-per-stage audit of a conjunctive filter
+chain (the report every curation run ships with its output).
+
+All pure ``pyspark.sql.functions`` — every query here has an exact
+DuckDB value-hash oracle.  The reference repo has no corpus operators
+at all (its query surface is 4 BigQuery SQL strings; SURVEY.md §2.12
+scopes this family from the mandate, not the reference).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_cloud_batch_processing_spark.plans.registry import query, table
+
+#: Tokens per dedup span ("line"): the fixture corpus is single-line
+#: word soup, so spans play the role newline-delimited lines play on
+#: web text.  8 tokens ≈ the shortest span worth deduplicating.
+LINE_TOKENS = 8
+
+#: DSIR target domain: documents whose lang matches are the
+#: distribution we resample toward.
+DSIR_TARGET_LANG = "de"
+
+
+@query(
+    "line_dedup_spans",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    l AS (
+        SELECT doc_id,
+               unnest(range(0, (len(toks) + {LINE_TOKENS - 1})
+                               // {LINE_TOKENS})) AS line_no,
+               unnest(list_transform(
+                   range(0, (len(toks) + {LINE_TOKENS - 1})
+                            // {LINE_TOKENS}),
+                   i -> CAST('0x' || substr(md5(array_to_string(
+                            list_slice(toks, i * {LINE_TOKENS} + 1,
+                                       i * {LINE_TOKENS} + {LINE_TOKENS}),
+                            ' ')), 1, 15) AS BIGINT))) AS h
+        FROM t),
+    k AS (
+        SELECT doc_id, line_no,
+               ROW_NUMBER() OVER (PARTITION BY h
+                                  ORDER BY doc_id, line_no) AS rn
+        FROM l)
+    SELECT doc_id,
+           COUNT(*) AS n_lines,
+           SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+           ROUND(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS kept_ratio
+    FROM k GROUP BY doc_id
+    """,
+)
+def line_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style span dedup audit: chop every document into
+    consecutive ``LINE_TOKENS``-token spans, keep only the FIRST
+    occurrence of each span corpus-wide (deterministic (doc_id,
+    line_no) priority), and report per-document survival.
+
+    Plan shape: one explode to (doc, line_no, span-hash) rows — the
+    span text itself never shuffles, only its 60-bit md5 — one
+    window-shuffle partitioned BY THE HASH (fine-grained key, no skew
+    beyond true duplicate mass), one groupBy(doc_id) reduce.  At 100 TB
+    this is the standard line-dedup shape: both shuffles are
+    hash-partitioned on high-cardinality keys and the heavy column
+    (text) is dropped before the first exchange."""
+    docs = table(spark, sf_dir, "documents")
+    nl = F.expr(f"(size(toks) + {LINE_TOKENS - 1}) div {LINE_TOKENS}")
+    span = F.concat_ws(
+        " ", F.slice("toks", F.col("i") * LINE_TOKENS + 1, LINE_TOKENS))
+    h = F.conv(F.substring(F.md5(span.cast("binary")), 1, 15), 16, 10) \
+         .cast("bigint")
+    lines = (docs.select("doc_id", F.split("text", " ").alias("toks"))
+             .select("doc_id", "toks",
+                     F.explode(F.sequence(F.lit(0), nl - 1)).alias("i"))
+             .select("doc_id", F.col("i").alias("line_no"), h.alias("h")))
+    w = Window.partitionBy("h").orderBy("doc_id", "line_no")
+    kept = F.when(F.row_number().over(w) == 1, 1).otherwise(0)
+    return (lines.withColumn("is_kept", kept)
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_lines"),
+                 F.sum("is_kept").alias("n_kept"),
+                 F.round(F.sum("is_kept")
+                         / F.count(F.lit(1)).cast("double"), 6)
+                 .alias("kept_ratio")))
+
+
+@query(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        FROM documents),
+    tot AS (
+        SELECT COUNT(*) AS n_all,
+               SUM(CASE WHEN lang = '{DSIR_TARGET_LANG}'
+                        THEN 1 ELSE 0 END) AS n_t,
+               COUNT(DISTINCT tok) AS v
+        FROM tok),
+    s AS (
+        SELECT tok, COUNT(*) AS c_all,
+               SUM(CASE WHEN lang = '{DSIR_TARGET_LANG}'
+                        THEN 1 ELSE 0 END) AS c_t
+        FROM tok GROUP BY tok)
+    SELECT t.doc_id, COUNT(*) AS n_tokens,
+           ROUND(AVG(ln((s.c_t + 1.0) / (tot.n_t + tot.v))
+                     - ln((s.c_all + 1.0) / (tot.n_all + tot.v))), 6)
+               AS dsir_logweight
+    FROM tok t JOIN s USING (tok) CROSS JOIN tot
+    GROUP BY t.doc_id
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights: per-document mean log-ratio of an
+    add-one-smoothed unigram LM of the TARGET domain (lang =
+    ``DSIR_TARGET_LANG``) against the whole-corpus LM — positive means
+    "looks like the target", the resampling score of Xie et al.'s
+    Data Selection with Importance Resampling, reduced to unigrams.
+
+    Both LMs come from ONE token-grain aggregation (conditional sums),
+    the corpus totals are a broadcast one-row frame, and the per-token
+    score joins back to token instances on the token key — shuffle-join
+    shaped for a vocabulary too large to broadcast, with AQE free to
+    broadcast it when it is small.  One further groupBy(doc_id)
+    averages instance scores."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", "lang",
+                      F.explode(F.split("text", " ")).alias("tok"))
+    is_t = F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+    tot = F.broadcast(tok.agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum(is_t).alias("n_t"),
+        F.countDistinct("tok").alias("v")))
+    s = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c_all"),
+                               F.sum(is_t).alias("c_t"))
+    lr = (F.log((F.col("c_t") + F.lit(1.0)) / (F.col("n_t") + F.col("v")))
+          - F.log((F.col("c_all") + F.lit(1.0))
+                  / (F.col("n_all") + F.col("v"))))
+    return (tok.join(s, "tok").crossJoin(tot)
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.round(F.avg(lr), 6).alias("dsir_logweight")))
+
+
+@query(
+    "quality_filter_funnel",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    mx AS (
+        SELECT doc_id, MAX(c) AS mc
+        FROM (SELECT doc_id, tok, COUNT(*) AS c
+              FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+              GROUP BY doc_id, tok)
+        GROUP BY doc_id),
+    f AS (
+        SELECT t.doc_id,
+               len(toks) AS n,
+               list_aggregate(list_transform(toks, x -> len(x)), 'sum')
+                   / CAST(len(toks) AS DOUBLE) AS mwl,
+               len(list_filter(toks, x -> x IN ('a', 'the')))
+                   / CAST(len(toks) AS DOUBLE) AS swr,
+               mx.mc / CAST(len(toks) AS DOUBLE) AS mts
+        FROM t JOIN mx ON t.doc_id = mx.doc_id),
+    c AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS s0,
+               CAST(SUM(CASE WHEN n BETWEEN 25 AND 90
+                        THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+               CAST(SUM(CASE WHEN n BETWEEN 25 AND 90
+                             AND mwl BETWEEN 4.0 AND 5.0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+               CAST(SUM(CASE WHEN n BETWEEN 25 AND 90
+                             AND mwl BETWEEN 4.0 AND 5.0
+                             AND swr <= 0.12
+                        THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+               CAST(SUM(CASE WHEN n BETWEEN 25 AND 90
+                             AND mwl BETWEEN 4.0 AND 5.0
+                             AND swr <= 0.12 AND mts <= 0.12
+                        THEN 1 ELSE 0 END) AS BIGINT) AS s4
+        FROM f)
+    SELECT CAST(0 AS BIGINT) AS stage, 'all' AS stage_name,
+           s0 AS survivors FROM c
+    UNION ALL SELECT 1, 'length', s1 FROM c
+    UNION ALL SELECT 2, 'mean_word_len', s2 FROM c
+    UNION ALL SELECT 3, 'stopword_ratio', s3 FROM c
+    UNION ALL SELECT 4, 'max_token_share', s4 FROM c
+    """,
+)
+def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivors-per-stage audit of a conjunctive Gopher-style quality
+    filter chain (token count → mean word length → stopword ratio →
+    max-single-token share): the report a curation run publishes so a
+    threshold regression is visible as a funnel-step collapse.
+
+    ONE pass computes all per-doc features (array expressions for
+    length stats; the max-token-share needs a (doc, token) aggregate,
+    one fine-grained shuffle), then a single global aggregation emits
+    every cumulative stage count via conditional sums — the funnel is
+    NOT n sequential filter jobs, it is one scan + one reduce no matter
+    how many stages, the shape that matters when each extra pass costs
+    a 100 TB scan.  Stage rows come from ``stack`` (unpivot) on the
+    one-row aggregate."""
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    mx = (t.select("doc_id", F.explode("toks").alias("tok"))
+          .groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+          .groupBy("doc_id").agg(F.max("c").alias("mc")))
+    n = F.size("toks")
+    feats = (t.join(mx, "doc_id")
+             .select(
+                 n.alias("n"),
+                 (F.aggregate(F.transform("toks", F.length),
+                              F.lit(0), lambda a, x: a + x)
+                  / n.cast("double")).alias("mwl"),
+                 (F.size(F.filter("toks",
+                                  lambda x: x.isin("a", "the")))
+                  / n.cast("double")).alias("swr"),
+                 (F.col("mc") / n.cast("double")).alias("mts")))
+    c1 = F.col("n").between(25, 90)
+    c2 = c1 & F.col("mwl").between(4.0, 5.0)
+    c3 = c2 & (F.col("swr") <= 0.12)
+    c4 = c3 & (F.col("mts") <= 0.12)
+    agg = feats.agg(
+        F.count(F.lit(1)).alias("s0"),
+        F.sum(F.when(c1, 1).otherwise(0)).alias("s1"),
+        F.sum(F.when(c2, 1).otherwise(0)).alias("s2"),
+        F.sum(F.when(c3, 1).otherwise(0)).alias("s3"),
+        F.sum(F.when(c4, 1).otherwise(0)).alias("s4"))
+    return agg.selectExpr(
+        "stack(5, "
+        " CAST(0 AS BIGINT), 'all',             s0,"
+        " CAST(1 AS BIGINT), 'length',          s1,"
+        " CAST(2 AS BIGINT), 'mean_word_len',   s2,"
+        " CAST(3 AS BIGINT), 'stopword_ratio',  s3,"
+        " CAST(4 AS BIGINT), 'max_token_share', s4"
+        ") AS (stage, stage_name, survivors)")
