@@ -566,3 +566,38 @@ def streaming_unattributed_purchases(spark: SparkSession,
                 "p_ts", "click_id"))
     W.run_available_now(joined, out, ckpt)
     return _ntz(spark.read.parquet(out))
+
+
+@query(
+    "streaming_dedup_within_watermark",
+    oracle="""
+    SELECT DISTINCT user_id, event_type, CAST(ts AS DATE) AS day
+    FROM events
+    """,
+)
+def streaming_dedup_within_watermark(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """Watermark-bounded streaming dedup: ``dropDuplicatesWithinWatermark``
+    keeps one row per (user_id, event_type, day) while the watermark is
+    within ``delay`` of the key's event time, then EVICTS the key's
+    state — the 100-TB form of streaming_distinct_user_event_types,
+    whose unbounded ``dropDuplicates`` state grows with live-key count
+    forever.  With the delay wider than the fixture's whole event-time
+    span the eviction never fires before the drain finishes, so the
+    emitted set equals exact global dedup and the oracle is plain
+    DISTINCT; on an unbounded stream the same plan holds state
+    proportional to keys-per-delay-window only.  Output is projected to
+    the key columns (the set is the contract; which physical duplicate
+    arrived first is not)."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="wmdedup_sink_")
+    ckpt = tempfile.mkdtemp(prefix="wmdedup_ckpt_")
+    ev = W.events_stream(spark, sf_dir)
+    deduped = (ev.withColumn("day", F.col("ts").cast("date"))
+               .withWatermark("ts", "90 days")
+               .dropDuplicatesWithinWatermark(["user_id", "event_type",
+                                               "day"])
+               .select("user_id", "event_type", "day"))
+    W.run_available_now(deduped, out, ckpt)
+    return spark.read.parquet(out)
