@@ -2396,3 +2396,38 @@ def daily_count_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_type", "day", "n",
                     F.round(z, 6).alias("zscore"),
                     (F.abs(z) > 2).alias("is_anomaly")))
+
+
+@query(
+    "conditional_agg_functions",
+    oracle="""
+    SELECT event_type,
+           count_if(value > 20) AS n_high,
+           round(COALESCE(SUM(value) FILTER (WHERE user_id % 2 = 0),
+                          0.0), 6) AS even_user_value,
+           bool_and(value > 0) AS all_positive,
+           bool_or(value > 50) AS any_big,
+           round(median(value), 6) AS med_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def conditional_agg_functions(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """§2.8 conditional-aggregate surface in one query: ``count_if``,
+    the ANSI ``FILTER (WHERE ...)`` clause, ``bool_and``/``bool_or``,
+    and exact ``median`` — the aggregate idioms a SQL user of the
+    reference's warehouse reaches for daily, each mapped to its Spark
+    built-in (median = single-pass sort-based percentile per group; at
+    100 TB prefer approx_percentile, registered separately, when the
+    exact rank is not required).  All five still compile to ONE
+    partial-aggregated hash/sort aggregate over one scan."""
+    ev = table(spark, sf_dir, "events")
+    return (ev.groupBy("event_type").agg(
+        F.count_if(F.col("value") > 20).alias("n_high"),
+        F.round(F.coalesce(
+            F.expr("sum(value) FILTER (WHERE user_id % 2 = 0)"),
+            F.lit(0.0)), 6).alias("even_user_value"),
+        F.bool_and(F.col("value") > 0).alias("all_positive"),
+        F.bool_or(F.col("value") > 50).alias("any_big"),
+        F.round(F.median("value"), 6).alias("med_value")))

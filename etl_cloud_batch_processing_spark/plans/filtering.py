@@ -246,3 +246,100 @@ def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         " CAST(3 AS BIGINT), 'stopword_ratio',  s3,"
         " CAST(4 AS BIGINT), 'max_token_share', s4"
         ") AS (stage, stage_name, survivors)")
+
+
+@query(
+    "hash_sample_per_lang",
+    oracle="""
+    SELECT doc_id, lang, rnk
+    FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+        FROM documents)
+    WHERE rnk <= 10
+    """,
+)
+def hash_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible exact-k per-group sample: rank documents inside
+    each lang by the md5 of their id (a uniform, seedless, engine-
+    portable shuffle) and keep the first k — the deterministic twin of
+    per-group reservoir sampling.  Complements the keep-RATE sampler
+    (stratified_sample_by_lang): rate sampling sizes output with the
+    group, exact-k caps it per group regardless of group skew.
+
+    One window-shuffle on the group key; the md5 ranking needs no
+    global state, so at 100 TB this is a single exchange + per-group
+    top-k (Spark evaluates rank-filter windows with a partial top-k
+    sort, never materializing full group sorts when k is pushed)."""
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.asc("doc_id"))
+    return (docs.select("doc_id", "lang",
+                        F.row_number().over(w).alias("rnk"))
+            .filter(F.col("rnk") <= 10))
+
+
+@query(
+    "doc_cross_entropy_bigram",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                                     i -> toks[i])) AS w1,
+               unnest(list_transform(range(1, len(toks)),
+                                     i -> toks[i + 1])) AS w2
+        FROM t),
+    vocab AS (
+        SELECT COUNT(DISTINCT tok) AS v
+        FROM (SELECT unnest(toks) AS tok FROM t)),
+    bc AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2),
+    pc AS (SELECT w1, COUNT(*) AS c FROM bg GROUP BY w1)
+    SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+           ROUND(-AVG(ln((bc.c + 1.0) / (pc.c + vocab.v))), 6)
+               AS cross_entropy
+    FROM bg
+    JOIN bc USING (w1, w2)
+    JOIN pc USING (w1)
+    CROSS JOIN vocab
+    GROUP BY bg.doc_id
+    """,
+)
+def doc_cross_entropy_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality score: per-document cross-entropy under an
+    add-one-smoothed corpus bigram model, p(w₂|w₁) = (c(w₁w₂)+1) /
+    (c(w₁·)+V) — the order-2 companion of doc_cross_entropy_unigram
+    (CCNet scores documents with exactly this shape, just with a
+    larger model).  Low CE = stereotyped/templated text, high CE =
+    noise; both tails get reviewed before training.
+
+    Plan: bigram instances come from one zip of two array slices (no
+    self-join to build pairs), the model is ONE aggregation each at
+    bigram and prefix grain, and scoring joins instances to the model
+    on the bigram key — the same AQE-skew-handled join shape as the
+    unigram query, one grain deeper.  The Zipf head (hyper-common
+    bigrams) is exactly where AQE's skew split earns its keep at
+    100 TB."""
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    n = F.size("toks")
+    bg = (t.select(
+        "doc_id",
+        F.explode(F.arrays_zip(
+            F.slice("toks", 1, n - 1).alias("w1"),
+            F.slice("toks", 2, n - 1).alias("w2"))).alias("z"))
+        .select("doc_id", F.col("z.w1").alias("w1"),
+                F.col("z.w2").alias("w2")))
+    vocab = F.broadcast(
+        t.select(F.explode("toks").alias("tok"))
+        .agg(F.countDistinct("tok").alias("v")))
+    bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bc"))
+    pc = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("pc"))
+    p = (F.col("bc") + F.lit(1.0)) / (F.col("pc") + F.col("v"))
+    return (bg.join(bc, ["w1", "w2"]).join(pc, "w1").crossJoin(vocab)
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.round(-F.avg(F.log(p)), 6).alias("cross_entropy")))

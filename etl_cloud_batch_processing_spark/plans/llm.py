@@ -809,21 +809,28 @@ def embedding_top_pc_power_iter(spark: SparkSession,
     flat = (emb.select("vec_id",
                        F.posexplode("embedding").alias("dim", "f"))
             .select("vec_id", "dim",
-                    F.col("f").cast("double").alias("v"))
-            .persist())
+                    F.col("f").cast("double").alias("v")))
     mu = F.broadcast(flat.groupBy("dim").agg(F.avg("v").alias("mu")))
     n = F.broadcast(emb.agg(F.count(F.lit(1)).alias("n")))
+    # Center ONCE and persist the centered frame: every iteration's two
+    # products read x̃ = v − μ, so joining μ per use (4 joins for 2
+    # iterations) just re-broadcasts the same 64 rows and deepens each
+    # iteration's lineage.  (v − μ) is computed element-identically to
+    # the inline form, so the unrolled-iteration oracle is unchanged.
+    flatc = (flat.join(mu, "dim")
+             .select("vec_id", "dim",
+                     (F.col("v") - F.col("mu")).alias("v"))
+             .persist())
     vcur = F.broadcast(mu.select(
         "dim", F.when(F.col("dim") == 0, 1.0).otherwise(0.0).alias("c")))
     for _ in range(2):
-        s = (flat.join(mu, "dim").join(vcur, "dim")
+        s = (flatc.join(vcur, "dim")
              .groupBy("vec_id")
-             .agg(F.sum((F.col("v") - F.col("mu")) * F.col("c"))
-                  .alias("s")))
+             .agg(F.sum(F.col("v") * F.col("c")).alias("s")))
         vcur = F.broadcast(
-            flat.join(mu, "dim").join(s, "vec_id").crossJoin(n)
+            flatc.join(s, "vec_id").crossJoin(n)
             .groupBy("dim")
-            .agg((F.sum((F.col("v") - F.col("mu")) * F.col("s"))
+            .agg((F.sum(F.col("v") * F.col("s"))
                   / F.max("n")).alias("c")))
     nrm = F.broadcast(vcur.agg(
         F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nrm")))
