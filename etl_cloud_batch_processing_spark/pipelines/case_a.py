@@ -92,15 +92,34 @@ def most_searched(results: DataFrame, ds: str) -> DataFrame:
 
 
 def run(spark: SparkSession, ds: str, source_root: str,
-        warehouse: str) -> None:
+        warehouse: str) -> dict[str, int]:
     """One DAG run: load → correct → top-1, with the reference's
-    truncate/append dispositions made idempotent (L6/L7)."""
+    truncate/append dispositions made idempotent (L6/L7).
+
+    Returns run metrics captured via ``df.observe`` (the §2.9
+    monitoring probe made quantitative): row count and SAFE_CAST
+    failure counts for the typed append.  ``Observation`` metrics
+    piggyback on the write job itself — accumulator-style, zero extra
+    scan — which is the only acceptable way to count a 100 TB write
+    (a separate ``count()`` would double the read).  The reference's
+    monitoring DAG (dags/airflow_monitoring.py:21-26) only proves
+    liveness; this reports data quality per run."""
+    from pyspark.sql import Observation
+
     raw = load_daily_csv(spark, source_root, ds)
     write_overwrite(raw, f"{warehouse}/{KEYWORD_HISTORY}")
 
     staged = read_parquet(spark, f"{warehouse}/{KEYWORD_HISTORY}")
-    write_append_partition(correct_types(staged),
-                           f"{warehouse}/{SEARCH_RESULTS}", ds)
+    obs = Observation(f"case_a_typed_{ds}")
+    typed = correct_types(staged).observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_written"),
+        F.sum(F.col("user_id").isNull().cast("int"))
+         .alias("user_id_cast_failures"),
+        F.sum(F.col("search_result_count").isNull().cast("int"))
+         .alias("count_cast_failures"))
+    write_append_partition(typed, f"{warehouse}/{SEARCH_RESULTS}", ds)
+    metrics = {k: int(v) for k, v in obs.get.items()}
 
     results = read_parquet(spark, f"{warehouse}/{SEARCH_RESULTS}")
     # Partition-prune to the run's own slice before the day filter; the
@@ -108,3 +127,4 @@ def run(spark: SparkSession, ds: str, source_root: str,
     results = results.filter(F.col("dt") == ds).drop("dt")
     write_append_partition(most_searched(results, ds),
                            f"{warehouse}/{MOST_SEARCHED}", ds)
+    return metrics

@@ -221,3 +221,17 @@ def test_llm_corpus_pipeline_gate_fails_on_bad_batch(spark, tmp_path):
     bad.write.parquet(p)
     with pytest.raises(llm_corpus.QualityGateError):
         llm_corpus.run(spark, "2021-03-10", p, str(tmp_path / "wh"))
+
+
+def test_case_a_observe_metrics(spark, tmp_path):
+    """run() returns df.observe metrics captured ON the write job (no
+    extra scan): row count and SAFE_CAST failure tallies must match the
+    fixture's known junk rows."""
+    src, wh = str(tmp_path / "src"), str(tmp_path / "wh")
+    _write_case_a_csvs(src)
+    m10 = case_a.run(spark, "2021-03-10", src, wh)
+    assert m10 == {"rows_written": 3, "user_id_cast_failures": 0,
+                   "count_cast_failures": 1}        # 'junk' count
+    m11 = case_a.run(spark, "2021-03-11", src, wh)
+    assert m11 == {"rows_written": 3, "user_id_cast_failures": 1,
+                   "count_cast_failures": 0}        # 'x' user id
