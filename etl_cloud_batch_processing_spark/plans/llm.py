@@ -556,16 +556,19 @@ def pagerank_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (pairs.select(F.col("doc_a").alias("src"),
                           F.col("doc_b").alias("dst"))
              .unionByName(pairs.select(F.col("doc_b").alias("src"),
-                                       F.col("doc_a").alias("dst")))
-             .persist())
+                                       F.col("doc_a").alias("dst"))))
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    # Fold degree into the edge list ONCE: every iteration needs pr/d
+    # per source, so joining deg per iteration re-runs the same join k
+    # times; the degree-annotated edge list is the loop invariant (the
+    # same hoisting as the centered frame in the power-iteration PC).
+    edges_d = edges.join(deg, "src").persist()
     nodes = edges.select(F.col("src").alias("doc_id")).distinct()
     n = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("n")))
     pr = (nodes.crossJoin(n)
           .select("doc_id", (F.lit(1.0) / F.col("n")).alias("pr")))
     for _ in range(2):
-        contrib = (edges.join(pr, edges["src"] == pr["doc_id"])
-                   .join(deg, "src")
+        contrib = (edges_d.join(pr, edges_d["src"] == pr["doc_id"])
                    .groupBy("dst")
                    .agg(F.sum(F.col("pr") / F.col("d")).alias("mass")))
         pr = (contrib.crossJoin(n)
