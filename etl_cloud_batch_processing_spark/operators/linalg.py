@@ -177,3 +177,35 @@ def pca_top_components_gram(spark: SparkSession,
                    for dim in range(d))
     return spark.createDataFrame(
         out, "pc int, dim int, component double, explained_var_ratio double")
+
+
+# rows-only: depends on the eigh components (not SQL-expressible).  The
+# value check is tests/test_linalg.py::test_pca_projection_matches_numpy.
+@query("embedding_pca_projection")
+def embedding_pca_projection(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Project every embedding onto the Gram-path top-2 principal
+    components: (vec_id, pc, projection) in long form — the 2-D map of
+    the corpus used for visual QA, density-based outlier review, and as
+    the whitened feature pair downstream clustering consumes.
+
+    The components frame (2·d rows, from the driver-side eigh) joins
+    back BROADCAST onto the exploded centered vectors, so the
+    projection is one map-side multiply plus one partial-aggregated
+    reduce on (vec_id, pc) — the corpus never re-collects; this is the
+    "returned as a DataFrame so downstream projection joins it back
+    distributed" path promised by pca_top_components_gram."""
+    comps = F.broadcast(pca_top_components_gram(spark, sf_dir)
+                        .select("pc", F.col("dim").cast("int").alias("pos"),
+                                "component"))
+    emb = ptable(spark, sf_dir, "embeddings")
+    flat = emb.select("vec_id",
+                      F.posexplode("embedding").alias("pos", "f")) \
+              .select("vec_id", "pos",
+                      F.col("f").cast("double").alias("v"))
+    mu = F.broadcast(flat.groupBy("pos").agg(F.avg("v").alias("mu")))
+    return (flat.join(mu, "pos").join(comps, "pos")
+            .groupBy("vec_id", "pc")
+            .agg(F.round(F.sum((F.col("v") - F.col("mu"))
+                               * F.col("component")), 6)
+                 .alias("projection")))

@@ -387,3 +387,71 @@ def kmeans_lloyd_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("pos", "coord"))
         .select("cluster_id", "n_members",
                 F.col("pos").cast("bigint").alias("pos"), "coord"))
+
+
+@query(
+    "nearest_centroid_assignment",
+    oracle="""
+    WITH flat AS (
+        SELECT vec_id, label, i AS pos,
+               CAST(embedding[i + 1] AS DOUBLE) AS v
+        FROM embeddings, range(64) t(i)
+        WHERE i < len(embedding)),
+    cent AS (
+        SELECT label AS clabel, pos, AVG(v) AS c
+        FROM flat GROUP BY label, pos),
+    d AS (
+        SELECT f.vec_id, c.clabel,
+               SUM((f.v - c.c) * (f.v - c.c)) AS dist
+        FROM flat f JOIN cent c USING (pos)
+        GROUP BY f.vec_id, c.clabel),
+    r AS (
+        SELECT vec_id, clabel, dist,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, clabel) AS rn
+        FROM d)
+    SELECT r.vec_id, e.label, r.clabel AS assigned_label,
+           ROUND(r.dist, 6) AS sq_dist,
+           (r.clabel = e.label) AS is_correct
+    FROM r JOIN embeddings e USING (vec_id)
+    WHERE rn = 1
+    """,
+)
+def nearest_centroid_assignment(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification of every embedding against the
+    per-label centroids (Rocchio / nearest-prototype): assign each
+    vector to the label whose centroid is closest in squared euclidean,
+    and report whether it matches the true label — the standard sanity
+    check that a labeled embedding corpus is actually separable before
+    spending on a model, and the assignment step SemDeDup/IVF reuse.
+
+    Plan: centroids are an O(labels × dims) aggregate (partial-agg
+    shuffle, corpus-independent output) joined back BROADCAST onto the
+    exploded vectors, so the distance computation is one map-side
+    expansion (labels× rows) plus one partial-aggregated reduce on
+    (vec_id, label); argmin is a per-vector window with a label
+    tiebreak.  No pairwise vector joins anywhere — at 100 TB the only
+    corpus-sized shuffle carries (vec, label, partial-sum) triples."""
+    emb = ptable(spark, sf_dir, "embeddings")
+    flat = emb.select("vec_id", "label",
+                      F.posexplode("embedding").alias("pos", "f")) \
+              .select("vec_id", "label", "pos",
+                      F.col("f").cast("double").alias("v"))
+    cent = F.broadcast(
+        flat.groupBy(F.col("label").alias("clabel"), "pos")
+        .agg(F.avg("v").alias("c")))
+    d = (flat.join(cent, "pos")
+         .groupBy("vec_id", "clabel")
+         .agg(F.sum((F.col("v") - F.col("c"))
+                    * (F.col("v") - F.col("c"))).alias("dist")))
+    w = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("clabel"))
+    best = (d.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1))
+    truth = emb.select("vec_id", "label")
+    return (best.join(truth, "vec_id")
+            .select("vec_id", "label",
+                    F.col("clabel").alias("assigned_label"),
+                    F.round("dist", 6).alias("sq_dist"),
+                    (F.col("clabel") == F.col("label"))
+                    .alias("is_correct")))

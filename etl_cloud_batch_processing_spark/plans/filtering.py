@@ -343,3 +343,68 @@ def doc_cross_entropy_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_bigrams"),
                  F.round(-F.avg(F.log(p)), 6).alias("cross_entropy")))
+
+
+@query(
+    "line_dedup_rewrite",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    l AS (
+        SELECT doc_id,
+               unnest(range(0, (len(toks) + {LINE_TOKENS - 1})
+                               // {LINE_TOKENS})) AS line_no,
+               unnest(list_transform(
+                   range(0, (len(toks) + {LINE_TOKENS - 1})
+                            // {LINE_TOKENS}),
+                   i -> array_to_string(
+                            list_slice(toks, i * {LINE_TOKENS} + 1,
+                                       i * {LINE_TOKENS} + {LINE_TOKENS}),
+                            ' '))) AS line
+        FROM t),
+    k AS (
+        SELECT doc_id, line_no, line,
+               ROW_NUMBER() OVER (PARTITION BY md5(line)
+                                  ORDER BY doc_id, line_no) AS rn
+        FROM l)
+    SELECT doc_id, COUNT(*) AS n_kept,
+           string_agg(line, ' ' ORDER BY line_no) AS text_dedup
+    FROM k WHERE rn = 1
+    GROUP BY doc_id
+    """,
+)
+def line_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REWRITE companion of line_dedup_spans: actually emit the
+    deduplicated corpus — each document reassembled from only its
+    surviving spans, in original span order.  (The audit query reports
+    what WOULD survive; this one is the transform a curation pipeline
+    writes back out.)  Documents whose every span is a duplicate drop
+    out entirely, exactly like fully-boilerplate pages in web-scale
+    line dedup.
+
+    Same two-shuffle shape as the audit — window on the span hash,
+    reduce on doc_id — plus the reassembly, which is columnar:
+    ``array_sort(collect_list(struct(line_no, span)))`` restores span
+    order per document WITHOUT an ORDER BY (no sort exchange; the sort
+    is per-row over each doc's own spans), then ``array_join``
+    concatenates.  Span text must ride this query's shuffles (it is
+    the payload being rebuilt), so at 100 TB this costs corpus bytes —
+    inherent to any rewrite — while the audit twin stays hash-only."""
+    docs = table(spark, sf_dir, "documents")
+    nl = F.expr(f"(size(toks) + {LINE_TOKENS - 1}) div {LINE_TOKENS}")
+    span = F.concat_ws(
+        " ", F.slice("toks", F.col("i") * LINE_TOKENS + 1, LINE_TOKENS))
+    lines = (docs.select("doc_id", F.split("text", " ").alias("toks"))
+             .select("doc_id", "toks",
+                     F.explode(F.sequence(F.lit(0), nl - 1)).alias("i"))
+             .select("doc_id", F.col("i").alias("line_no"),
+                     span.alias("line")))
+    w = Window.partitionBy(F.md5("line")).orderBy("doc_id", "line_no")
+    kept = (lines.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1))
+    ordered = F.array_sort(F.collect_list(F.struct("line_no", "line")))
+    return (kept.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.array_join(
+                     F.transform(ordered, lambda x: x["line"]), " ")
+                 .alias("text_dedup")))

@@ -58,3 +58,25 @@ def test_covariance_plan_is_one_pandas_pass(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "MapInPandas" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pca_projection_matches_numpy(spark):
+    """Distributed projection onto the Gram-path PCs == dense numpy
+    projection with the same sign convention (components are rounded
+    to 6 decimals before the distributed multiply, so tolerance is
+    d·1e-6·|x̃| plus float noise)."""
+    x = _dense(spark)
+    xc = x - x.mean(axis=0)
+    cov = np.cov(x, rowvar=False, bias=True)
+    _, vecs = np.linalg.eigh(cov)
+    d = x.shape[1]
+    rows = linalg.embedding_pca_projection(spark, SF).collect()
+    assert len(rows) == 2 * x.shape[0]
+    got = {(r["vec_id"], r["pc"]): r["projection"] for r in rows}
+    for pc in range(2):
+        v = vecs[:, d - 1 - pc]
+        if v[int(np.argmax(np.abs(v)))] < 0:
+            v = -v
+        want = xc @ np.round(v, 6)
+        for i in range(x.shape[0]):
+            assert abs(got[(i, pc)] - want[i]) < 1e-4
