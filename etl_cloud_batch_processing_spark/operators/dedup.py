@@ -433,3 +433,68 @@ def minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(exact, 6).alias("exact_jaccard"),
                     F.round(F.abs(F.col("est_jaccard") - exact), 6)
                     .alias("abs_err")))
+
+
+@query(
+    "near_dup_triangle_stats",
+    oracle=f"""
+    WITH scored AS ({_D_SCORED_PAIRS}),
+    e AS (SELECT doc_a AS a, doc_b AS b FROM scored
+          WHERE jaccard >= {CLUSTER_JACCARD}),
+    deg AS (SELECT v, COUNT(*) AS d
+            FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+            GROUP BY v),
+    tri AS (SELECT COUNT(*) AS n
+            FROM e e1
+            JOIN e e2 ON e2.a = e1.b
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+    w AS (SELECT SUM((d * (d - 1)) // 2) AS wedges FROM deg)
+    SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+           (SELECT COUNT(*) FROM e) AS n_edges,
+           (SELECT n FROM tri) AS n_triangles,
+           ROUND(CASE WHEN (SELECT wedges FROM w) > 0
+                      THEN 3.0 * (SELECT n FROM tri)
+                           / (SELECT wedges FROM w)
+                      ELSE 0.0 END, 6) AS clustering_coeff
+    """,
+)
+def near_dup_triangle_stats(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Triangle census of the verified near-dup graph: node/edge/
+    triangle counts and the global clustering coefficient
+    (3·triangles / wedges).  High transitivity means duplicate groups
+    are tight templates (safe to collapse to one canonical doc); low
+    transitivity means chain-shaped clusters where transitive-closure
+    dedup (near_dup_clusters) may over-merge — this query is the
+    diagnostic for choosing between them.
+
+    The count uses the classic distributed edge-iterator: edges kept in
+    canonical a<b order, wedges from e1⋈e2 on the middle vertex, closed
+    by a third join on the (a,c) edge — each join a hash-partitioned
+    equi-join on vertex keys (AQE splits hot vertices), never an
+    all-pairs product.  Degrees/wedges come from one aggregation of the
+    edge list."""
+    hs = hashed_shingles(_par_docs(spark, sf_dir)).persist()
+    e = (lsh_scored_pairs(hs)
+         .filter(F.col("jaccard") >= CLUSTER_JACCARD)
+         .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+         .persist())
+    deg = (e.select(F.col("a").alias("v"))
+           .unionByName(e.select(F.col("b").alias("v")))
+           .groupBy("v").agg(F.count(F.lit(1)).alias("d")))
+    nodes = F.broadcast(deg.agg(F.count(F.lit(1)).alias("n_nodes")))
+    edges = F.broadcast(e.agg(F.count(F.lit(1)).alias("n_edges")))
+    wedges = F.broadcast(deg.agg(
+        F.sum(F.expr("(d * (d - 1)) div 2")).alias("wedges")))
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = F.broadcast(
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+          .join(e3, (F.col("e3.a") == F.col("e1.a"))
+                & (F.col("e3.b") == F.col("e2.b")))
+          .agg(F.count(F.lit(1)).alias("n_triangles")))
+    coeff = F.when(F.col("wedges") > 0,
+                   F.round(F.lit(3.0) * F.col("n_triangles")
+                           / F.col("wedges"), 6)).otherwise(0.0)
+    return (nodes.crossJoin(edges).crossJoin(tri).crossJoin(wedges)
+            .select("n_nodes", "n_edges", "n_triangles",
+                    coeff.alias("clustering_coeff")))

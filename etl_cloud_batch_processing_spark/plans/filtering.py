@@ -408,3 +408,67 @@ def line_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.array_join(
                      F.transform(ordered, lambda x: x["line"]), " ")
                  .alias("text_dedup")))
+
+
+@query(
+    "token_pmi_top_pairs",
+    oracle="""
+    WITH dt AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    df AS (SELECT tok, COUNT(*) AS c FROM dt GROUP BY tok),
+    pairs AS (
+        SELECT a.tok AS tok_a, b.tok AS tok_b, COUNT(*) AS c_ab
+        FROM dt a JOIN dt b
+          ON a.doc_id = b.doc_id AND a.tok < b.tok
+        GROUP BY a.tok, b.tok
+        HAVING COUNT(*) >= 5)
+    SELECT p.tok_a, p.tok_b, p.c_ab,
+           ROUND(ln(1.0 * p.c_ab * n.n_docs / (da.c * db.c)), 6) AS pmi
+    FROM pairs p
+    JOIN df da ON p.tok_a = da.tok
+    JOIN df db ON p.tok_b = db.tok
+    CROSS JOIN n
+    ORDER BY pmi DESC, tok_a ASC, tok_b ASC
+    LIMIT 20
+    """,
+)
+def token_pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-20 token pairs by document-level PMI,
+    PMI(a,b) = ln(c_ab·N / (c_a·c_b)) over document co-occurrence with
+    a min-support cut — the statistic behind phrase detection
+    (word2vec-style phrase merging) and topical-affinity audits.
+    Complements bpe_merge_candidates, which only sees ADJACENT pairs;
+    PMI sees co-occurrence anywhere in the document.
+
+    Scale shape: the pair space is the dangerous part — it is generated
+    by a self-join of the DISTINCT (doc, token) frame on doc_id, which
+    is O(Σ tokens_per_doc²), not O(vocab²); the min-support HAVING cut
+    runs inside the same aggregation (partial-agg before shuffle), and
+    document frequencies join back onto the tiny surviving pair set.
+    At 100 TB the standard mitigation — cap per-doc distinct tokens or
+    pre-filter to a candidate vocabulary — slots in as one filter on
+    ``dt`` without changing the plan."""
+    docs = table(spark, sf_dir, "documents")
+    dt = (docs.select("doc_id",
+                      F.explode(F.split("text", " ")).alias("tok"))
+          .distinct())
+    n = F.broadcast(docs.agg(
+        F.countDistinct("doc_id").alias("n_docs")))
+    df_ = dt.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    a, b = dt.alias("a"), dt.alias("b")
+    pairs = (a.join(b, (F.col("a.doc_id") == F.col("b.doc_id"))
+                    & (F.col("a.tok") < F.col("b.tok")))
+             .groupBy(F.col("a.tok").alias("tok_a"),
+                      F.col("b.tok").alias("tok_b"))
+             .agg(F.count(F.lit(1)).alias("c_ab"))
+             .filter(F.col("c_ab") >= 5))
+    da = df_.select(F.col("tok").alias("tok_a"), F.col("c").alias("ca"))
+    db = df_.select(F.col("tok").alias("tok_b"), F.col("c").alias("cb"))
+    pmi = F.log(F.lit(1.0) * F.col("c_ab") * F.col("n_docs")
+                / (F.col("ca") * F.col("cb")))
+    return (pairs.join(da, "tok_a").join(db, "tok_b").crossJoin(n)
+            .select("tok_a", "tok_b", "c_ab", F.round(pmi, 6).alias("pmi"))
+            .orderBy(F.desc("pmi"), F.asc("tok_a"), F.asc("tok_b"))
+            .limit(20))
