@@ -2431,3 +2431,46 @@ def conditional_agg_functions(spark: SparkSession,
         F.bool_and(F.col("value") > 0).alias("all_positive"),
         F.bool_or(F.col("value") > 50).alias("any_big"),
         F.round(F.median("value"), 6).alias("med_value")))
+
+
+@query(
+    "join_key_skew_report",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id),
+    tot AS (SELECT SUM(c) AS total, COUNT(*) AS n_keys FROM c),
+    top AS (
+        SELECT user_id, c FROM c
+        ORDER BY c DESC, user_id ASC LIMIT 20)
+    SELECT top.user_id, top.c AS n_rows,
+           ROUND(1.0 * top.c / tot.total, 6) AS share,
+           ROUND(1.0 * top.c * tot.n_keys / tot.total, 6)
+               AS skew_vs_uniform
+    FROM top CROSS JOIN tot
+    ORDER BY n_rows DESC, user_id ASC
+    """,
+)
+def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew triage for a join/aggregation key: the 20 heaviest
+    user_id keys with their share of all rows and their size relative
+    to a perfectly uniform key (share × n_keys) — the report that
+    decides between plain hash join, AQE skew split, and explicit
+    salting (the salted twin is salted_daily_counts) BEFORE a 100 TB
+    job is launched, not after it straggles.
+
+    One partial-aggregated count per key, then TakeOrderedAndProject
+    for the top-20 — the full key population is never globally sorted
+    (that would be the skew report causing the skew problem); totals
+    ride along as a broadcast one-row aggregate."""
+    ev = table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    tot = F.broadcast(c.agg(F.sum("c").alias("total"),
+                            F.count(F.lit(1)).alias("n_keys")))
+    top = (c.orderBy(F.desc("c"), F.asc("user_id")).limit(20))
+    return (top.crossJoin(tot)
+            .select("user_id", F.col("c").alias("n_rows"),
+                    F.round(F.lit(1.0) * F.col("c") / F.col("total"), 6)
+                    .alias("share"),
+                    F.round(F.lit(1.0) * F.col("c") * F.col("n_keys")
+                            / F.col("total"), 6).alias("skew_vs_uniform"))
+            .orderBy(F.desc("n_rows"), F.asc("user_id")))
