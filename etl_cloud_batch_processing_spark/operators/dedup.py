@@ -401,7 +401,11 @@ def minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     costs the same banded join as the dedup itself, never all pairs."""
     docs = _par_docs(spark, sf_dir)
     hs = hashed_shingles(docs).persist()
-    mh = hs.groupBy("doc_id").agg(*minhash_agg_exprs())
+    # The signature frame feeds three plan branches (band explosion +
+    # both sides of the estimate join) and the shingle-set frame two;
+    # persist both so the k min-aggregates / collect_set run once, not
+    # per branch.  Both are doc-grain (rows = docs, not shingles).
+    mh = hs.groupBy("doc_id").agg(*minhash_agg_exprs()).persist()
     bands = mh.select(
         "doc_id",
         F.posexplode(F.array(*band_key_exprs())).alias("band", "band_key"))
@@ -420,7 +424,8 @@ def minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
            .join(mb, F.col("doc_b") == F.col("mb.doc_id"))
            .select("doc_a", "doc_b",
                    (eq / float(N_HASHES)).alias("est_jaccard")))
-    sets = hs.groupBy("doc_id").agg(F.collect_set("h").alias("hset"))
+    sets = (hs.groupBy("doc_id")
+            .agg(F.collect_set("h").alias("hset")).persist())
     sa, sb = sets.alias("sa"), sets.alias("sb")
     inter = F.size(F.array_intersect(F.col("sa.hset"), F.col("sb.hset")))
     union = (F.size(F.col("sa.hset")) + F.size(F.col("sb.hset")) - inter)

@@ -565,3 +565,24 @@ def test_minhash_estimate_error_bounded(spark):
     assert len(rep) > 0
     assert rep["abs_err"].mean() < 0.2
     assert (rep["est_jaccard"].between(0, 1)).all()
+
+
+def test_line_dedup_rewrite_agrees_with_audit(spark):
+    """The rewrite and the audit are two views of one dedup decision:
+    per-doc n_kept must match, docs with 0 kept spans must be exactly
+    the ones absent from the rewrite, and each rewritten text must
+    contain exactly n_kept spans' worth of tokens."""
+    from etl_cloud_batch_processing_spark.plans import filtering
+
+    sf = "/root/testdata/sf0.001"
+    audit = {r["doc_id"]: r for r in
+             filtering.line_dedup_spans(spark, sf).collect()}
+    rewrite = {r["doc_id"]: r for r in
+               filtering.line_dedup_rewrite(spark, sf).collect()}
+    assert set(rewrite) == {d for d, r in audit.items() if r["n_kept"] > 0}
+    for d, r in rewrite.items():
+        assert r["n_kept"] == audit[d]["n_kept"]
+        n_toks = len(r["text_dedup"].split(" "))
+        # every span has LINE_TOKENS tokens except possibly one tail
+        assert n_toks <= r["n_kept"] * filtering.LINE_TOKENS
+        assert n_toks > (r["n_kept"] - 1) * (filtering.LINE_TOKENS - 1)
