@@ -2474,3 +2474,41 @@ def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.lit(1.0) * F.col("c") * F.col("n_keys")
                             / F.col("total"), 6).alias("skew_vs_uniform"))
             .orderBy(F.desc("n_rows"), F.asc("user_id")))
+
+
+# rows-only: the approx side is Spark's KLL-style sketch, engine-specific
+# by definition (SURVEY §5.2); the exact side is oracle-checked separately
+# via value_percentiles_by_type.  This report exists to MEASURE the
+# sketch, the same calibration pattern as minhash_estimate_accuracy.
+@query("approx_percentile_error_report")
+def approx_percentile_error_report(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Sketch-accuracy report for approx_percentile: per event type and
+    percentile, the exact value, the sketch estimate at two accuracy
+    settings (1000 and 10000), and their absolute errors — the "measure,
+    don't guess" gate before replacing exact percentiles with sketches
+    at 100 TB (exact percentile buffers every group value; the sketch
+    is bounded-memory and mergeable, which is the only viable form at
+    fact scale — IF its error is acceptable, which this reports).
+
+    One scan computes all three aggregates side by side per group;
+    explode unpivots the percentile arrays to (pct, ...) rows."""
+    ev = table(spark, sf_dir, "events")
+    pcts = [0.5, 0.9, 0.99]
+    agg = ev.groupBy("event_type").agg(
+        F.percentile("value", pcts).alias("exact"),
+        F.percentile_approx("value", pcts, 1000).alias("approx_1k"),
+        F.percentile_approx("value", pcts, 10000).alias("approx_10k"))
+    z = F.arrays_zip(
+        F.array(*[F.lit(p) for p in pcts]).alias("pct"),
+        F.col("exact"), F.col("approx_1k"), F.col("approx_10k"))
+    ex = agg.select("event_type", F.explode(z).alias("r"))
+    return (ex.select(
+        "event_type", F.col("r.pct").alias("pct"),
+        F.round("r.exact", 6).alias("exact"),
+        F.round("r.approx_1k", 6).alias("approx_1k"),
+        F.round("r.approx_10k", 6).alias("approx_10k"),
+        F.round(F.abs(F.col("r.approx_1k") - F.col("r.exact")), 6)
+        .alias("err_1k"),
+        F.round(F.abs(F.col("r.approx_10k") - F.col("r.exact")), 6)
+        .alias("err_10k")))

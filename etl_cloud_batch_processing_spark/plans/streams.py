@@ -601,3 +601,49 @@ def streaming_dedup_within_watermark(spark: SparkSession,
                .select("user_id", "event_type", "day"))
     W.run_available_now(deduped, out, ckpt)
     return spark.read.parquet(out)
+
+
+@query(
+    "streaming_hopping_counts",
+    oracle="""
+    WITH contrib AS (
+        SELECT time_bucket(INTERVAL 1 DAY, ts) AS window_start,
+               event_type, value
+        FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL 1 DAY, ts) - INTERVAL 1 DAY,
+               event_type, value
+        FROM events)
+    SELECT * FROM (
+        SELECT window_start, event_type,
+               COUNT(*) AS n_events,
+               round(SUM(value), 6) AS sum_value
+        FROM contrib
+        GROUP BY 1, 2)
+    WHERE window_start + INTERVAL 2 DAY <= (SELECT max(ts) FROM events)
+    """,
+)
+def streaming_hopping_counts(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """The hopping-window aggregation run as a REAL stream: readStream →
+    0-second watermark → 2-day windows sliding 1 day → AvailableNow
+    drain to parquet.  Each event contributes to two live windows, so
+    the state store holds 2× the tumbling query's window entries — the
+    overlap factor IS the state-size multiplier, which is why wide
+    windows with small slides need watermark discipline at scale.  As
+    with the tumbling twin, append mode emits exactly the windows whose
+    END is at or before the max observed event time (the oracle's WHERE
+    clause); the two still-open windows are withheld."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="hop_sink_")
+    ckpt = tempfile.mkdtemp(prefix="hop_ckpt_")
+    ev = W.events_stream(spark, sf_dir).withWatermark("ts", "0 seconds")
+    agg = (ev.groupBy(F.window("ts", "2 days", "1 day").alias("w"),
+                      "event_type")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 6).alias("sum_value"))
+           .select(F.col("w.start").alias("window_start"),
+                   "event_type", "n_events", "sum_value"))
+    W.run_available_now(agg, out, ckpt)
+    return _ntz(spark.read.parquet(out))
