@@ -296,10 +296,10 @@ def token_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # NS4 — language identification (token-vote model, trained on-corpus).
 # --------------------------------------------------------------------------
 
-@query(
-    "lang_id_token_vote",
-    oracle=f"""
-    WITH tok AS (
+# Shared doc-level prediction CTE chain: used by the per-document
+# classification oracle AND the confusion-matrix oracle below.
+_LANGID_PRED_CTES = f"""
+    tok AS (
         SELECT doc_id, lang, unnest({_DUCK_TOKS}) AS token
         FROM documents),
     token_lang AS (
@@ -322,7 +322,13 @@ def token_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ROW_NUMBER() OVER (PARTITION BY doc_id
                                         ORDER BY v DESC, top_lang ASC) AS rn
               FROM votes)
-        WHERE rn = 1)
+        WHERE rn = 1)"""
+
+
+@query(
+    "lang_id_token_vote",
+    oracle=f"""
+    WITH {_LANGID_PRED_CTES}
     SELECT d.doc_id, d.lang, p.predicted_lang,
            d.lang = p.predicted_lang AS correct
     FROM documents d JOIN pred p ON d.doc_id = p.doc_id
@@ -1849,3 +1855,36 @@ def mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
                         keep_bp.alias("keep_bp"))
             .filter(F.col("bucket") < F.col("keep_bp"))
             .select("doc_id", "source", "bucket"))
+
+
+@query(
+    "lang_id_confusion",
+    oracle=f"""
+    WITH {_LANGID_PRED_CTES},
+    cells AS (
+        SELECT d.lang, p.predicted_lang, COUNT(*) AS n
+        FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+        GROUP BY d.lang, p.predicted_lang),
+    tot AS (SELECT lang, SUM(n) AS t FROM cells GROUP BY lang)
+    SELECT c.lang, c.predicted_lang, c.n,
+           ROUND(1.0 * c.n / tot.t, 6) AS recall
+    FROM cells c JOIN tot USING (lang)
+    """,
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the token-vote language classifier against
+    the declared labels: (true lang, predicted lang, count, per-class
+    recall) — the evaluation every classifier-based curation gate needs
+    before its output drives filtering (a one-number accuracy hides
+    which languages bleed into which).  Pure aggregation over the
+    doc-grain prediction frame (lang_id_token_vote), so the model cost
+    is shared and the matrix itself is languages² rows — driver-safe at
+    any corpus size."""
+    pred = lang_id_token_vote(spark, sf_dir)
+    cells = (pred.groupBy("lang", "predicted_lang")
+             .agg(F.count(F.lit(1)).alias("n")))
+    tot = cells.groupBy("lang").agg(F.sum("n").alias("t"))
+    return (cells.join(F.broadcast(tot), "lang")
+            .select("lang", "predicted_lang", "n",
+                    F.round(F.lit(1.0) * F.col("n") / F.col("t"), 6)
+                    .alias("recall")))
