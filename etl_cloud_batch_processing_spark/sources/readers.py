@@ -96,3 +96,37 @@ def fixtures(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every driver fixture table under ``sf_dir``."""
     cat = Catalog([sf_dir])
     return {name: cat.table(spark, name) for name in FIXTURE_TABLES}
+
+
+def read_csv_quarantine(spark: SparkSession, path: str,
+                        schema: StructType, header: bool = True,
+                        corrupt_col: str = "_corrupt_record",
+                        **options: str) -> tuple[DataFrame, DataFrame]:
+    """PERMISSIVE CSV ingest with a quarantine split: returns
+    ``(good, bad)`` where ``good`` has the declared schema and ``bad``
+    holds the raw text of every malformed line (wrong field count,
+    broken quoting) — the production pattern for 100 TB ingest, where
+    FAILFAST aborts a day's load for one bad line and DROPMALFORMED
+    silently loses data.  Quarantined rows land in their own frame so
+    the pipeline can count them (``df.observe``), alert past a
+    threshold, and replay them after a fix.
+
+    The frame is persisted before splitting: Spark refuses plans that
+    select ONLY the internal corrupt-record column from a raw scan
+    (SPARK-38523) — and without it the two branches would each rescan
+    the input anyway."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType
+
+    full = StructType(schema.fields[:]).add(corrupt_col, StringType())
+    df = (spark.read.schema(full)
+          .option("header", str(header).lower())
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", corrupt_col)
+          .options(**options)
+          .csv(path)
+          .persist())
+    good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = df.filter(F.col(corrupt_col).isNotNull()) \
+            .select(F.col(corrupt_col).alias("raw_line"))
+    return good, bad

@@ -71,3 +71,27 @@ def test_csv_permissive_load_then_cast(spark, tmp_path):
         *[F.col(f.name).cast(f.dataType).alias(f.name)
           for f in src.schema.fields])
     assert _sorted_rows(casted) == _sorted_rows(src)
+
+
+def test_read_csv_quarantine_splits_malformed(spark, tmp_path):
+    """PERMISSIVE ingest: well-formed rows come back typed under the
+    declared schema; rows with the wrong field count are quarantined
+    with their raw text, and nothing is silently dropped."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from etl_cloud_batch_processing_spark.sources.readers import (
+        read_csv_quarantine,
+    )
+
+    path = str(tmp_path / "in.csv")
+    with open(path, "w") as f:
+        f.write("a,b\n")
+        f.write("1,x\n")
+        f.write("2,y,EXTRA,FIELDS\n")     # wrong arity -> quarantine
+        f.write("3,z\n")
+    schema = StructType([StructField("a", StringType()),
+                         StructField("b", StringType())])
+    good, bad = read_csv_quarantine(spark, path, schema)
+    assert sorted(r["a"] for r in good.collect()) == ["1", "3"]
+    bad_rows = [r["raw_line"] for r in bad.collect()]
+    assert bad_rows == ["2,y,EXTRA,FIELDS"]
