@@ -32,6 +32,13 @@ LINE_TOKENS = 8
 #: distribution we resample toward.
 DSIR_TARGET_LANG = "de"
 
+#: Size guard for PMI pair generation: documents with more distinct
+#: tokens than this are excluded (their pair fan-out is quadratic in
+#: distinct tokens — one pathological doc at corpus scale dominates the
+#: self-join).  Far above any fixture doc; the oracle applies the SAME
+#: cut, so the guard is active during every parity check.
+MAX_PMI_DOC_TOKENS = 10_000
+
 
 @query(
     "line_dedup_spans",
@@ -412,11 +419,14 @@ def line_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "token_pmi_top_pairs",
-    oracle="""
-    WITH dt AS (
+    oracle=f"""
+    WITH dt0 AS (
         SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
         FROM documents),
-    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    ok AS (SELECT doc_id FROM dt0 GROUP BY doc_id
+           HAVING COUNT(*) <= {MAX_PMI_DOC_TOKENS}),
+    dt AS (SELECT dt0.* FROM dt0 JOIN ok USING (doc_id)),
+    n AS (SELECT COUNT(*) AS n_docs FROM ok),
     df AS (SELECT tok, COUNT(*) AS c FROM dt GROUP BY tok),
     pairs AS (
         SELECT a.tok AS tok_a, b.tok AS tok_b, COUNT(*) AS c_ab
@@ -451,11 +461,14 @@ def token_pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-filter to a candidate vocabulary — slots in as one filter on
     ``dt`` without changing the plan."""
     docs = table(spark, sf_dir, "documents")
-    dt = (docs.select("doc_id",
-                      F.explode(F.split("text", " ")).alias("tok"))
-          .distinct())
-    n = F.broadcast(docs.agg(
-        F.countDistinct("doc_id").alias("n_docs")))
+    dt0 = (docs.select("doc_id",
+                       F.explode(F.split("text", " ")).alias("tok"))
+           .distinct())
+    ok = (dt0.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ntok"))
+          .filter(F.col("ntok") <= MAX_PMI_DOC_TOKENS)
+          .select("doc_id"))
+    dt = dt0.join(ok, "doc_id")
+    n = F.broadcast(ok.agg(F.count(F.lit(1)).alias("n_docs")))
     df_ = dt.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     a, b = dt.alias("a"), dt.alias("b")
     pairs = (a.join(b, (F.col("a.doc_id") == F.col("b.doc_id"))

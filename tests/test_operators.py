@@ -586,3 +586,14 @@ def test_line_dedup_rewrite_agrees_with_audit(spark):
         # every span has LINE_TOKENS tokens except possibly one tail
         assert n_toks <= r["n_kept"] * filtering.LINE_TOKENS
         assert n_toks > (r["n_kept"] - 1) * (filtering.LINE_TOKENS - 1)
+
+
+def test_pmi_doc_token_cap_is_wired(spark, monkeypatch):
+    """token_pmi_top_pairs must honor MAX_PMI_DOC_TOKENS: cap 0 excludes
+    every document, so no pair survives; the default cap leaves the
+    fixture result unchanged (full oracle sweep asserts equality)."""
+    from etl_cloud_batch_processing_spark.plans import filtering
+
+    sf = "/root/testdata/sf0.001"
+    monkeypatch.setattr(filtering, "MAX_PMI_DOC_TOKENS", 0)
+    assert filtering.token_pmi_top_pairs(spark, sf).count() == 0
