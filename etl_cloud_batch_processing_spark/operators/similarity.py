@@ -455,3 +455,72 @@ def nearest_centroid_assignment(spark: SparkSession,
                     F.round("dist", 6).alias("sq_dist"),
                     (F.col("clabel") == F.col("label"))
                     .alias("is_correct")))
+
+
+@query(
+    "ann_recall_report",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, embedding,
+               {_duck_bucket('embedding')} AS bucket
+        FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS qe, bucket
+          FROM e WHERE vec_id < 5),
+    exact AS (
+        SELECT query_id, vec_id FROM (
+            SELECT q.query_id, e.vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {V.duckdb_cosine_sql('q.qe', 'e.embedding')}
+                                DESC, e.vec_id ASC) AS rnk
+            FROM q CROSS JOIN e
+            WHERE e.vec_id <> q.query_id)
+        WHERE rnk <= 5),
+    approx AS (
+        SELECT query_id, vec_id FROM (
+            SELECT q.query_id, e.vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {V.duckdb_cosine_sql('q.qe', 'e.embedding')}
+                                DESC, e.vec_id ASC) AS rnk
+            FROM q JOIN e ON q.bucket = e.bucket
+            WHERE e.vec_id <> q.query_id)
+        WHERE rnk <= 5),
+    hits AS (
+        SELECT exact.query_id, COUNT(*) AS n_hits
+        FROM exact JOIN approx USING (query_id, vec_id)
+        GROUP BY exact.query_id)
+    SELECT q.query_id,
+           COALESCE(h.n_hits, 0) AS n_hits,
+           ROUND(COALESCE(h.n_hits, 0) / 5.0, 6) AS recall_at_5
+    FROM (SELECT DISTINCT query_id FROM q) q
+    LEFT JOIN hits h USING (query_id)
+    """,
+)
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the LSH-bucketed ANN against the exact brute-force
+    top-5, per query — the third member of the sketch-calibration
+    family (minhash_estimate_accuracy, approx_percentile_error_report):
+    before an ANN index replaces exact search in a dedup or retrieval
+    gate, THIS is the number that justifies it, and re-running it on a
+    sample after every re-index catches bucket-parameter drift.
+
+    Both sides are engine-deterministic here (the hyperplanes are md5
+    literals), so unusually for an ANN metric the whole report is
+    value-checked against the oracle.  Cost = one bucketed probe + one
+    exact scan over the SAME 5-query broadcast — at 100 TB run it on a
+    query sample, never the full corpus (the exact side is the
+    guarded brute-force path)."""
+    from etl_cloud_batch_processing_spark.plans.llm import knn_cosine_topk
+
+    exact = (knn_cosine_topk(spark, sf_dir)
+             .filter(F.col("rnk") <= 5).select("query_id", "vec_id"))
+    approx = ann_lsh_topk(spark, sf_dir).select("query_id", "vec_id")
+    hits = (exact.join(approx, ["query_id", "vec_id"])
+            .groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits")))
+    base = exact.select("query_id").distinct()
+    return (base.join(hits, "query_id", "left")
+            .select("query_id",
+                    F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+                    F.round(F.coalesce("n_hits", F.lit(0)) / F.lit(5.0), 6)
+                    .alias("recall_at_5")))
