@@ -127,3 +127,23 @@ def test_merge_upsert_is_idempotent_and_total(spark, tgt, src):
     for k, v in tgt:
         if k not in src_keys:
             assert r1[k] == v
+
+
+def test_dsir_weights_favor_target_language(spark):
+    """DSIR importance weights must rank target-language documents
+    above the rest on average: the mean log-weight of lang='de' docs
+    (the target) must exceed the mean over all other docs.  (The
+    fixture languages share most of their vocabulary, so the gap is
+    small but must be strictly positive.)"""
+    from etl_cloud_batch_processing_spark.plans import filtering
+
+    sf = "/root/testdata/sf0.001"
+    w = {r["doc_id"]: r["dsir_logweight"]
+         for r in filtering.dsir_importance_weights(spark, sf).collect()}
+    langs = {r["doc_id"]: r["lang"]
+             for r in spark.read.parquet(f"{sf}/documents.parquet")
+             .select("doc_id", "lang").collect()}
+    target = [w[d] for d in w if langs[d] == filtering.DSIR_TARGET_LANG]
+    rest = [w[d] for d in w if langs[d] != filtering.DSIR_TARGET_LANG]
+    assert target and rest
+    assert (sum(target) / len(target)) > (sum(rest) / len(rest)) + 0.001
