@@ -503,3 +503,77 @@ def near_dup_triangle_stats(spark: SparkSession,
     return (nodes.crossJoin(edges).crossJoin(tri).crossJoin(wedges)
             .select("n_nodes", "n_edges", "n_triangles",
                     coeff.alias("clustering_coeff")))
+
+
+@query(
+    "shingle_containment_pairs",
+    oracle=f"""
+    WITH hs AS ({_D_HS}),
+    mh AS (SELECT doc_id, {_D_MINHASH_AGGS} FROM hs GROUP BY doc_id),
+    bands AS (
+        SELECT doc_id, b.band,
+               ([{", ".join(_D_BAND_KEYS)}])[b.band + 1] AS band_key
+        FROM mh CROSS JOIN (SELECT unnest(range(0, {N_BANDS})) AS band) b),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id),
+    sets AS (SELECT doc_id, list(h) AS hset FROM hs GROUP BY doc_id)
+    SELECT p.doc_a, p.doc_b,
+           ROUND(CAST(len(list_intersect(sa.hset, sb.hset)) AS DOUBLE)
+                 / len(sa.hset), 6) AS containment_a,
+           ROUND(CAST(len(list_intersect(sa.hset, sb.hset)) AS DOUBLE)
+                 / len(sb.hset), 6) AS containment_b
+    FROM cand p
+    JOIN sets sa ON p.doc_a = sa.doc_id
+    JOIN sets sb ON p.doc_b = sb.doc_id
+    ORDER BY greatest(
+        CAST(len(list_intersect(sa.hset, sb.hset)) AS DOUBLE)
+            / len(sa.hset),
+        CAST(len(list_intersect(sa.hset, sb.hset)) AS DOUBLE)
+            / len(sb.hset)) DESC, doc_a ASC, doc_b ASC
+    LIMIT 20
+    """,
+)
+def shingle_containment_pairs(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup: CONTAINMENT |A∩B|/|A| (and /|B|) for every
+    LSH candidate pair, top-20 by the larger direction.  Jaccard misses
+    subset relationships — a short document wholly quoted inside a long
+    one scores low Jaccard but containment ≈ 1 on the short side —
+    which is exactly the quotes/excerpts/boilerplate-inclusion case a
+    pretraining dedup pass must catch (Broder's original resemblance
+    vs containment distinction).
+
+    Same banded-candidate plan as the Jaccard scorer (sub-quadratic;
+    candidates from band collisions only), one extra division per
+    pair."""
+    docs = _par_docs(spark, sf_dir)
+    hs = hashed_shingles(docs).persist()
+    mh = hs.groupBy("doc_id").agg(*minhash_agg_exprs())
+    bands = mh.select(
+        "doc_id",
+        F.posexplode(F.array(*band_key_exprs())).alias("band", "band_key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.band_key") == F.col("b.band_key"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+             .distinct())
+    sets = hs.groupBy("doc_id").agg(F.collect_set("h").alias("hset"))
+    sa, sb = sets.alias("sa"), sets.alias("sb")
+    inter = F.size(F.array_intersect(F.col("sa.hset"), F.col("sb.hset")))
+    ca = inter.cast("double") / F.size(F.col("sa.hset"))
+    cb = inter.cast("double") / F.size(F.col("sb.hset"))
+    return (pairs
+            .join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+            .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+            .select("doc_a", "doc_b",
+                    F.round(ca, 6).alias("containment_a"),
+                    F.round(cb, 6).alias("containment_b"),
+                    F.greatest(ca, cb).alias("_m"))
+            .orderBy(F.desc("_m"), F.asc("doc_a"), F.asc("doc_b"))
+            .limit(20)
+            .drop("_m"))
