@@ -124,7 +124,7 @@ def line_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT t.doc_id, COUNT(*) AS n_tokens,
            ROUND(AVG(ln((s.c_t + 1.0) / (tot.n_t + tot.v))
                      - ln((s.c_all + 1.0) / (tot.n_all + tot.v))), 6)
-               AS dsir_logweight
+               + 0.0 AS dsir_logweight
     FROM tok t JOIN s USING (tok) CROSS JOIN tot
     GROUP BY t.doc_id
     """,
@@ -158,7 +158,8 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (tok.join(s, "tok").crossJoin(tot)
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_tokens"),
-                 F.round(F.avg(lr), 6).alias("dsir_logweight")))
+                 (F.round(F.avg(lr), 6) + F.lit(0.0))
+                 .alias("dsir_logweight")))
 
 
 @query(
@@ -435,7 +436,8 @@ def line_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY a.tok, b.tok
         HAVING COUNT(*) >= 5)
     SELECT p.tok_a, p.tok_b, p.c_ab,
-           ROUND(ln(1.0 * p.c_ab * n.n_docs / (da.c * db.c)), 6) AS pmi
+           ROUND(ln(1.0 * p.c_ab * n.n_docs / (da.c * db.c)), 6)
+               + 0.0 AS pmi
     FROM pairs p
     JOIN df da ON p.tok_a = da.tok
     JOIN df db ON p.tok_b = db.tok
@@ -482,6 +484,7 @@ def token_pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pmi = F.log(F.lit(1.0) * F.col("c_ab") * F.col("n_docs")
                 / (F.col("ca") * F.col("cb")))
     return (pairs.join(da, "tok_a").join(db, "tok_b").crossJoin(n)
-            .select("tok_a", "tok_b", "c_ab", F.round(pmi, 6).alias("pmi"))
+            .select("tok_a", "tok_b", "c_ab",
+                    (F.round(pmi, 6) + F.lit(0.0)).alias("pmi"))
             .orderBy(F.desc("pmi"), F.asc("tok_a"), F.asc("tok_b"))
             .limit(20))
