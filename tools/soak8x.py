@@ -25,7 +25,7 @@ from etl_cloud_batch_processing_spark import plans  # noqa: E402
 from etl_cloud_batch_processing_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-FACTOR = 8
+FACTOR = int(os.environ.get("SPARK_GRAFT_SOAK_FACTOR", "8"))
 
 DEFAULT_QUERIES = [
     "cross_doc_ngram_dup_share",
