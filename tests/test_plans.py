@@ -371,3 +371,38 @@ def test_write_overwrite_bucketed_requires_table_name(spark, tmp_path):
     df = spark.range(3)
     with _pytest.raises(ValueError, match="table_name"):
         write_overwrite(df, str(tmp_path / "x"), bucket_by=(2, ["id"]))
+
+
+def test_nearest_centroid_broadcasts_model(spark):
+    """The centroid model (labels × dims rows) must broadcast onto the
+    exploded vectors — never a shuffle join keyed on pos, and never a
+    cartesian product."""
+    plan = plan_of(spark, "nearest_centroid_assignment")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_skew_report_uses_take_ordered(spark):
+    """Top-20 keys must come from TakeOrderedAndProject, not a global
+    sort of the whole key population."""
+    plan = plan_of(spark, "join_key_skew_report")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_pmi_pairs_no_cartesian(spark):
+    """Pair generation must be the doc_id equi-self-join (hash join),
+    never a cartesian expansion."""
+    plan = plan_of(spark, "token_pmi_top_pairs")
+    assert "CartesianProduct" not in plan
+
+
+def test_line_dedup_sheds_text_before_window_shuffle(spark):
+    """The audit query must shuffle only (doc_id, line_no, hash) into
+    the keep-first window: the span hash is computed inline in the
+    pre-exchange Project, so no materialized span-text column ever
+    exists in the plan (the rewrite twin is the one that legitimately
+    carries a `line` column)."""
+    plan = (REGISTRY["line_dedup_spans"].builder(spark, SF)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert re.search(r"Exchange hashpartitioning\(h#\d+", plan), plan
+    assert "line#" not in plan
