@@ -2512,3 +2512,64 @@ def approx_percentile_error_report(spark: SparkSession,
         .alias("err_1k"),
         F.round(F.abs(F.col("r.approx_10k") - F.col("r.exact")), 6)
         .alias("err_10k")))
+
+
+@query(
+    "trimmed_mean_by_type",
+    oracle="""
+    WITH r AS (
+        SELECT event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events)
+    SELECT event_type,
+           COUNT(*) AS n_used,
+           ROUND(AVG(value), 6) AS trimmed_mean_value
+    FROM r
+    WHERE rn > n // 10 AND rn <= n - n // 10
+    GROUP BY event_type
+    """,
+)
+def trimmed_mean_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed mean of value per event type via a GROUPED_AGG
+    pandas UDF — the UDF flavor the rest of the surface didn't yet
+    exercise (scalar pandas_udf, applyInPandas, mapInPandas, cogroup
+    and UDTF all have queries): a Series→scalar aggregate, Arrow-
+    shipped per group.  Robust location estimates (trim, winsorize,
+    Huber) are the standard guard against sensor spikes before
+    anomaly scoring.
+
+    Scale note: a GROUPED_AGG UDF gets NO partial aggregation — every
+    group's values shuffle to one task, exactly like exact median.
+    That is inherent to exact trimmed statistics (they need the order
+    statistics of the full group); the bounded-memory alternative at
+    fact scale is approx_percentile-based winsorizing, which the
+    percentile family already covers.  The oracle trims by explicit
+    rank arithmetic (drop the lowest and highest ⌊n/10⌋), matching
+    numpy's sort-and-slice exactly; equal values are interchangeable
+    under a mean, so the value-only sort is deterministic where it
+    matters."""
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # functionType passed explicitly: this module uses
+    # `from __future__ import annotations`, which stringifies the
+    # Series→scalar hints pandas_udf would otherwise infer from.
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def trimmed_mean(v):
+        s = np.sort(v.to_numpy(dtype=np.float64))
+        k = len(s) // 10
+        kept = s[k:len(s) - k] if len(s) > 2 * k else s
+        return float(kept.mean())
+
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def trimmed_count(v):
+        n = len(v)
+        return n - 2 * (n // 10)
+
+    ev = table(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(trimmed_count("value").alias("n_used"),
+                 F.round(trimmed_mean("value"), 6)
+                 .alias("trimmed_mean_value")))
