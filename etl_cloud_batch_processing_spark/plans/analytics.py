@@ -2573,3 +2573,54 @@ def trimmed_mean_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(trimmed_count("value").alias("n_used"),
                  F.round(trimmed_mean("value"), 6)
                  .alias("trimmed_mean_value")))
+
+
+@query(
+    "daily_count_robust_zscores",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+        FROM events GROUP BY 1, 2),
+    med AS (
+        SELECT event_type, median(n) AS m FROM daily GROUP BY 1),
+    mad AS (
+        SELECT d.event_type, median(abs(d.n - med.m)) AS mad
+        FROM daily d JOIN med USING (event_type)
+        GROUP BY d.event_type)
+    SELECT d.event_type, d.day, d.n,
+           ROUND(0.6745 * (d.n - med.m) / mad.mad, 6) + 0.0
+               AS robust_z,
+           abs(0.6745 * (d.n - med.m) / mad.mad) > 3.5 AS is_outlier
+    FROM daily d
+    JOIN med USING (event_type)
+    JOIN mad USING (event_type)
+    WHERE mad.mad > 0
+    """,
+)
+def daily_count_robust_zscores(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Robust twin of daily_count_zscores: modified z-scores via median
+    and MAD (0.6745·(x−med)/MAD, |z|>3.5 per Iglewicz–Hoaglin) — the
+    mean/stddev form is itself dragged by the very outliers it hunts,
+    so a real volume-anomaly monitor runs BOTH and alerts on the
+    robust one.
+
+    Exact medians are safe here because they aggregate the DAY grain
+    (types × days rows), never fact grain — the same two-level shape
+    as the classic z-score query, one extra tiny aggregation for the
+    MAD.  Degenerate groups (MAD 0: over half the days identical) are
+    filtered identically on both sides, like the sigma>0 guard."""
+    ev = table(spark, sf_dir, "events")
+    daily = (ev.groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    med = daily.groupBy("event_type").agg(F.median("n").alias("m"))
+    mad = (daily.join(F.broadcast(med), "event_type")
+           .groupBy("event_type")
+           .agg(F.median(F.abs(F.col("n") - F.col("m"))).alias("mad"))
+           .filter(F.col("mad") > 0))
+    z = F.lit(0.6745) * (F.col("n") - F.col("m")) / F.col("mad")
+    return (daily.join(F.broadcast(med), "event_type")
+            .join(F.broadcast(mad), "event_type")
+            .select("event_type", "day", "n",
+                    (F.round(z, 6) + F.lit(0.0)).alias("robust_z"),
+                    (F.abs(z) > 3.5).alias("is_outlier")))

@@ -488,3 +488,85 @@ def token_pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.round(pmi, 6) + F.lit(0.0)).alias("pmi"))
             .orderBy(F.desc("pmi"), F.asc("tok_a"), F.asc("tok_b"))
             .limit(20))
+
+
+#: BM25 parameters (Robertson/Sparck-Jones defaults) and the fixed
+#: query — literals inlined identically into the Spark plan and the
+#: DuckDB oracle so the scoring tree is bit-comparable.
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("spark", "table", "scan")
+
+
+@query(
+    "bm25_retrieval_topk",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    stats AS (
+        SELECT COUNT(*) AS n_docs, AVG(len(toks)) AS avg_len FROM t),
+    tf AS (
+        SELECT doc_id, tok, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+        WHERE tok IN {BM25_QUERY!r}
+        GROUP BY doc_id, tok),
+    df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM t),
+    scored AS (
+        SELECT tf.doc_id,
+               SUM(ln(1.0 + (stats.n_docs - df.df + 0.5)
+                            / (df.df + 0.5))
+                   * (tf.tf * ({BM25_K1} + 1.0))
+                   / (tf.tf + {BM25_K1}
+                      * (1.0 - {BM25_B}
+                         + {BM25_B} * dl.dl / stats.avg_len)))
+                   AS score
+        FROM tf
+        JOIN df USING (tok)
+        JOIN dl USING (doc_id)
+        CROSS JOIN stats
+        GROUP BY tf.doc_id)
+    SELECT doc_id, ROUND(score, 6) AS bm25
+    FROM scored
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 20
+    """,
+)
+def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-text retrieval scoring: top-20 documents for a fixed query
+    under BM25 (k1=1.2, b=0.75, the Robertson idf with +1 smoothing) —
+    the lexical-search primitive that complements the embedding ANN
+    family (hybrid retrieval = BM25 ∪ ANN, rank-fused downstream).
+
+    Plan shape: the postings list is built by filtering the token
+    explode TO THE QUERY TERMS before any aggregation — the filter
+    lands map-side, so only matching (doc, term) rows ever shuffle; df
+    and the corpus stats are tiny aggregates joined back broadcast.
+    At 100 TB this is one scan + one postings-grain reduce per query
+    batch; real deployments amortize further by scoring many queries
+    in one pass (the query literal becomes a small broadcast table)."""
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    stats = F.broadcast(t.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size("toks")).alias("avg_len")))
+    dl = t.select("doc_id", F.size("toks").alias("dl"))
+    tf = (t.select("doc_id", F.explode("toks").alias("tok"))
+          .filter(F.col("tok").isin(*BM25_QUERY))
+          .groupBy("doc_id", "tok")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    denom = (F.col("tf") + BM25_K1
+             * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avg_len")))
+    term_score = idf * (F.col("tf") * (BM25_K1 + 1.0)) / denom
+    return (tf.join(F.broadcast(df_), "tok").join(dl, "doc_id")
+            .crossJoin(stats)
+            .groupBy("doc_id")
+            .agg(F.sum(term_score).alias("score"))
+            .select("doc_id", F.round("score", 6).alias("bm25"),
+                    F.col("score").alias("_s"))
+            .orderBy(F.desc("_s"), F.asc("doc_id"))
+            .limit(20)
+            .drop("_s"))

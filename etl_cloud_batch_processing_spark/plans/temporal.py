@@ -362,3 +362,46 @@ def value_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.min("value"), 6).alias("low"),
                  F.round(c["value"], 6).alias("close"),
                  F.count(F.lit(1)).alias("n_events")))
+
+
+@query(
+    "event_type_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type AS cur,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+        FROM events),
+    c AS (
+        SELECT cur, nxt, COUNT(*) AS n
+        FROM seq WHERE nxt IS NOT NULL
+        GROUP BY cur, nxt),
+    tot AS (SELECT cur, SUM(n) AS t FROM c GROUP BY cur)
+    SELECT c.cur AS from_type, c.nxt AS to_type, c.n,
+           ROUND(1.0 * c.n / tot.t, 6) AS p
+    FROM c JOIN tot USING (cur)
+    """,
+)
+def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next type | current type), with counts — the behavior
+    model behind funnel design, anomalous-flow detection (a transition
+    whose probability shifts week-over-week), and session synthesis.
+
+    One window-shuffle on user_id builds consecutive pairs (lead with a
+    total (ts, event_id) tiebreak — fixture timestamps can collide),
+    then two tiny aggregations at types² grain.  At 100 TB the window
+    partition key is the user — high cardinality, no skew beyond a
+    single user's own history."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select("user_id", F.col("event_type").alias("cur"),
+                    F.lead("event_type").over(w).alias("nxt"))
+    c = (seq.filter(F.col("nxt").isNotNull())
+         .groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n")))
+    tot = c.groupBy("cur").agg(F.sum("n").alias("t"))
+    return (c.join(F.broadcast(tot), "cur")
+            .select(F.col("cur").alias("from_type"),
+                    F.col("nxt").alias("to_type"), "n",
+                    F.round(F.lit(1.0) * F.col("n") / F.col("t"), 6)
+                    .alias("p")))
