@@ -570,3 +570,106 @@ def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("_s"), F.asc("doc_id"))
             .limit(20)
             .drop("_s"))
+
+
+#: Reciprocal-rank-fusion constant (Cormack et al.'s k=60).
+RRF_K = 60
+
+
+@query(
+    "rrf_fused_ranking",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    stats AS (
+        SELECT COUNT(*) AS n_docs, AVG(len(toks)) AS avg_len FROM t),
+    tf AS (
+        SELECT doc_id, tok, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+        WHERE tok IN {BM25_QUERY!r}
+        GROUP BY doc_id, tok),
+    df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM t),
+    bm_scored AS (
+        SELECT tf.doc_id,
+               SUM(ln(1.0 + (stats.n_docs - df.df + 0.5)
+                            / (df.df + 0.5))
+                   * (tf.tf * ({BM25_K1} + 1.0))
+                   / (tf.tf + {BM25_K1}
+                      * (1.0 - {BM25_B}
+                         + {BM25_B} * dl.dl / stats.avg_len)))
+                   AS score
+        FROM tf JOIN df USING (tok) JOIN dl USING (doc_id)
+        CROSS JOIN stats GROUP BY tf.doc_id),
+    bm_top AS (
+        SELECT doc_id, rnk AS bm25_rank FROM (
+            SELECT doc_id, ROW_NUMBER() OVER (
+                ORDER BY score DESC, doc_id ASC) AS rnk
+            FROM bm_scored) WHERE rnk <= 20),
+    q_scored AS (
+        SELECT doc_id,
+               least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.5
+               + (CAST(len(list_distinct(toks)) AS DOUBLE)
+                  / CAST(len(toks) AS DOUBLE)) * 0.3
+               + (1.0 - CAST(len(list_filter(toks,
+                             x -> x IN ('a', 'the'))) AS DOUBLE)
+                      / CAST(len(toks) AS DOUBLE)) * 0.2 AS q
+        FROM t),
+    q_top AS (
+        SELECT doc_id, rnk AS quality_rank FROM (
+            SELECT doc_id, ROW_NUMBER() OVER (
+                ORDER BY q DESC, doc_id ASC) AS rnk
+            FROM q_scored) WHERE rnk <= 20),
+    fused AS (
+        SELECT COALESCE(b.doc_id, q.doc_id) AS doc_id,
+               b.bm25_rank, q.quality_rank,
+               COALESCE(1.0 / ({RRF_K} + b.bm25_rank), 0.0)
+               + COALESCE(1.0 / ({RRF_K} + q.quality_rank), 0.0)
+                   AS score
+        FROM bm_top b FULL OUTER JOIN q_top q USING (doc_id))
+    SELECT doc_id, bm25_rank, quality_rank,
+           ROUND(score, 6) AS rrf_score
+    FROM fused
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 10
+    """,
+)
+def rrf_fused_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (k=60) of two retrieval signals — the
+    BM25 lexical top-20 and the quality-score top-20 — into one
+    reranked top-10: the standard hybrid-search combiner (lexical ∪
+    semantic ∪ priors), chosen because rank fusion needs no score
+    calibration between heterogeneous scorers.
+
+    Scale discipline: BOTH input rankings are cut to top-k via
+    sort+limit (TakeOrderedAndProject) BEFORE any window touches them,
+    so the row_number that assigns ranks only ever sees k rows — the
+    full corpus is never globally sorted.  The fusion itself is a
+    full-outer join of two k-row frames: driver-trivial at any corpus
+    size."""
+    from etl_cloud_batch_processing_spark.functions.text import (
+        quality_score,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    bm20 = bm25_retrieval_topk(spark, sf_dir)   # already top-20, ordered
+    wb = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    bm_top = bm20.select("doc_id",
+                         F.row_number().over(wb).alias("bm25_rank"))
+    q20 = (docs.select("doc_id", quality_score("text").alias("q"))
+           .orderBy(F.desc("q"), F.asc("doc_id")).limit(20))
+    wq = Window.orderBy(F.desc("q"), F.asc("doc_id"))
+    q_top = q20.select("doc_id",
+                       F.row_number().over(wq).alias("quality_rank"))
+    fused = (bm_top.join(q_top, "doc_id", "full_outer")
+             .select("doc_id", "bm25_rank", "quality_rank",
+                     (F.coalesce(F.lit(1.0)
+                                 / (RRF_K + F.col("bm25_rank")),
+                                 F.lit(0.0))
+                      + F.coalesce(F.lit(1.0)
+                                   / (RRF_K + F.col("quality_rank")),
+                                   F.lit(0.0))).alias("score")))
+    return (fused
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+            .select("doc_id", "bm25_rank", "quality_rank",
+                    F.round("score", 6).alias("rrf_score")))
