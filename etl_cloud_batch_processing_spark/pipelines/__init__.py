@@ -6,10 +6,14 @@ driver/orchestrator concern; the engine guarantees every ``run`` is
 independent and idempotent so backfills parallelize and retries are safe.
 """
 
-from etl_cloud_batch_processing_spark.pipelines import case_a, case_b
+from etl_cloud_batch_processing_spark.pipelines import (
+    case_a,
+    case_b,
+    rollup_job,
+)
 from etl_cloud_batch_processing_spark.pipelines.runner import (
     backfill,
     date_range,
 )
 
-__all__ = ["case_a", "case_b", "backfill", "date_range"]
+__all__ = ["case_a", "case_b", "rollup_job", "backfill", "date_range"]

@@ -119,7 +119,16 @@ def run(spark: SparkSession, ds: str, source_root: str,
         F.sum(F.col("search_result_count").isNull().cast("int"))
          .alias("count_cast_failures"))
     write_append_partition(typed, f"{warehouse}/{SEARCH_RESULTS}", ds)
-    metrics = {k: int(v) for k, v in obs.get.items()}
+    # sum() over zero rows observes NULL — an empty daily file must
+    # yield zeroed metrics, not a TypeError (round-3 ADVICE).
+    metrics = {k: int(v) if v is not None else 0 for k, v in obs.get.items()}
+
+    if metrics["rows_written"] == 0:
+        # A zero-row day writes no dt= partition (dynamic overwrite has
+        # nothing to replace), so stage 3 has no input; if this is the
+        # table's first-ever run the path has no parquet footers at all
+        # and the read below would fail schema inference.
+        return metrics
 
     results = read_parquet(spark, f"{warehouse}/{SEARCH_RESULTS}")
     # Partition-prune to the run's own slice before the day filter; the

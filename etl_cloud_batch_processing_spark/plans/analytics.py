@@ -2402,7 +2402,7 @@ def daily_count_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
     "conditional_agg_functions",
     oracle="""
     SELECT event_type,
-           count_if(value > 20) AS n_high,
+           CAST(count_if(value > 20) AS BIGINT) AS n_high,
            round(COALESCE(SUM(value) FILTER (WHERE user_id % 2 = 0),
                           0.0), 6) AS even_user_value,
            bool_and(value > 0) AS all_positive,

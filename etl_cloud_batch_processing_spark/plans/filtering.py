@@ -64,7 +64,7 @@ MAX_PMI_DOC_TOKENS = 10_000
         FROM l)
     SELECT doc_id,
            COUNT(*) AS n_lines,
-           SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
            ROUND(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END)
                  / CAST(COUNT(*) AS DOUBLE), 6) AS kept_ratio
     FROM k GROUP BY doc_id
@@ -545,6 +545,15 @@ def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB this is one scan + one postings-grain reduce per query
     batch; real deployments amortize further by scoring many queries
     in one pass (the query literal becomes a small broadcast table)."""
+    return (_bm25_top20(spark, sf_dir)
+            .select("doc_id", F.round("score", 6).alias("bm25")))
+
+
+def _bm25_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared BM25 scoring core: top-20 with the UNROUNDED ``score``
+    column, so downstream rank fusion orders on the same key the oracle
+    does (round-3 ADVICE: ranking on the 6-decimal display value could
+    flip two docs whose scores differ only past 1e-6)."""
     docs = table(spark, sf_dir, "documents")
     t = docs.select("doc_id", F.split("text", " ").alias("toks"))
     stats = F.broadcast(t.agg(
@@ -565,11 +574,8 @@ def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .crossJoin(stats)
             .groupBy("doc_id")
             .agg(F.sum(term_score).alias("score"))
-            .select("doc_id", F.round("score", 6).alias("bm25"),
-                    F.col("score").alias("_s"))
-            .orderBy(F.desc("_s"), F.asc("doc_id"))
-            .limit(20)
-            .drop("_s"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(20))
 
 
 #: Reciprocal-rank-fusion constant (Cormack et al.'s k=60).
@@ -652,8 +658,8 @@ def rrf_fused_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = table(spark, sf_dir, "documents")
-    bm20 = bm25_retrieval_topk(spark, sf_dir)   # already top-20, ordered
-    wb = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    bm20 = _bm25_top20(spark, sf_dir)   # top-20 with UNROUNDED score
+    wb = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     bm_top = bm20.select("doc_id",
                          F.row_number().over(wb).alias("bm25_rank"))
     q20 = (docs.select("doc_id", quality_score("text").alias("q"))

@@ -179,7 +179,7 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang,
            COUNT(*) AS n_docs,
            CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
-           SUM(len({_DUCK_TOKS})) AS total_tokens
+           CAST(SUM(len({_DUCK_TOKS})) AS BIGINT) AS total_tokens
     FROM documents
     GROUP BY lang
     """,

@@ -77,6 +77,35 @@ def test_graded_window_rotates_ungraded_first():
 
 
 
+def test_no_hugeint_typed_oracle_columns():
+    """DRIVER_NOTES #12: DuckDB types count_if / SUM(int) / SUM(CASE...)
+    as HUGEINT, which fetchdf converts to float64 while Spark returns
+    int64 — the driver's value hash then fails (123 != 123.0) even when
+    every value is equal.  This caught three red rows in round 3.  Scan
+    EVERY oracle's output types via DuckDB DESCRIBE (no Spark, no
+    execution): any HUGEINT column must be CAST(... AS BIGINT) in the
+    oracle SQL."""
+    import duckdb
+
+    from etl_cloud_batch_processing_spark import plans as P
+
+    con = duckdb.connect()
+    sf = "/root/testdata/sf0.001"
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"]:
+        con.execute(f"create view {t} as select * from "
+                    f"read_parquet('{sf}/{t}.parquet')")
+    offenders = []
+    for name, sql in P.all_oracles().items():
+        desc = con.execute(f"DESCRIBE ({sql})").fetchall()
+        for col, ctype, *_ in desc:
+            if "HUGEINT" in ctype.upper():
+                offenders.append(f"{name}.{col}: {ctype}")
+    assert not offenders, (
+        "HUGEINT-typed oracle columns (wrap in CAST(... AS BIGINT), "
+        "DRIVER_NOTES #12): " + str(offenders))
+
+
 def test_graded_window_outputs_are_scalar_typed(spark):
     """The external driver's canonicalizer crashes on array/map/struct
     cells (CORRECTNESS_r01 approx_value_percentiles TypeError —

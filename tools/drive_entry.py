@@ -30,6 +30,15 @@ def canon(v):
         return tuple(canon(x) for x in v)
     return v
 
+def dclass(dtype):
+    """int/float/bool/other dtype class — the driver's value hash
+    distinguishes 123 from 123.0 (DRIVER_NOTES #12), so value equality
+    alone is not enough: a DuckDB HUGEINT oracle column lands in pandas
+    as float64 while Spark returns int64, and the external harness
+    hash-fails even though every value is equal."""
+    k = getattr(dtype, "kind", "O")
+    return {"i": "int", "u": "int", "f": "float", "b": "bool"}.get(k, "other")
+
 qs, os_ = e.queries(), e.oracle_sql()
 # CI-visible env-gated skips (round-2 verdict item 8): name every query
 # that exists in the codebase but could not register in this container.
@@ -51,9 +60,15 @@ for name, fn in sorted(qs.items()):
     cols = sorted(sdf.columns)
     s = sorted((tuple(canon(r[c]) for c in cols) for _, r in sdf.iterrows()), key=repr)
     d = sorted((tuple(canon(r[c]) for c in cols) for _, r in ddf.iterrows()), key=repr)
+    dtype_bad = [c for c in cols if c in ddf.columns
+                 and dclass(sdf[c].dtype) != dclass(ddf[c].dtype)]
     status = "MATCH" if (cols == sorted(ddf.columns) and s == d) else "MISMATCH"
+    if status == "MATCH" and dtype_bad:
+        status = "DTYPE-MISMATCH " + ",".join(
+            f"{c}(spark={sdf[c].dtype},oracle={ddf[c].dtype})"
+            for c in dtype_bad)
     if status == "MATCH": ok += 1
-    else: bad += 1
+    else: bad += 1  # DTYPE-MISMATCH counts as bad: the driver hash would fail
     print(f"  {name}: {status} rows={len(sdf)}/{len(ddf)}")
 print(f"RESULT: {ok} ok, {bad} mismatched")
 sys.exit(1 if bad else 0)

@@ -51,8 +51,19 @@ def build_8x(spark, out_dir: str) -> None:
      .withColumn("vec_id", F.col("vec_id") + F.col("rep") * F.lit(n_vec))
      .drop("rep")
      .write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet"))
-    # events table passthrough for queries that touch it
-    for t in ("events", "region", "nation", "customer", "supplier",
+    # events replicate with re-strided event ids and user ids (same time
+    # span, FACTORx daily traffic — the realistic growth axis for an
+    # event stream; fresh user ids keep per-key group sizes constant)
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    n_ev = ev.count()
+    n_users = ev.agg(F.max("user_id")).collect()[0][0] + 1
+    (ev.crossJoin(reps)
+     .withColumn("event_id", F.col("event_id") + F.col("rep") * F.lit(n_ev))
+     .withColumn("user_id",
+                 F.col("user_id") + F.col("rep") * F.lit(n_users))
+     .drop("rep")
+     .write.mode("overwrite").parquet(f"{out_dir}/events.parquet"))
+    for t in ("region", "nation", "customer", "supplier",
               "part", "orders", "lineitem"):
         src = f"{SF_DIR}/{t}.parquet"
         if os.path.exists(src):
