@@ -45,6 +45,15 @@ def l2_normalize(a: Column | str) -> Column:
     return F.transform(a, lambda x: x.cast("double") / n)
 
 
+def duckdb_dot_sql(a: str, b: str, dim: int = 64) -> str:
+    """DuckDB oracle twin of :func:`dot` — double-precision inner
+    product summed in index order (bit-identical to the Spark
+    ``aggregate`` fold; DuckDB's ``list_dot_product`` computes in
+    float32 and would drift)."""
+    return (f"list_sum(list_transform(range(1, {dim + 1}), "
+            f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))")
+
+
 def duckdb_cosine_sql(a: str, b: str, dim: int = 64) -> str:
     """DuckDB oracle twin of :func:`cosine` — manual double math.
 

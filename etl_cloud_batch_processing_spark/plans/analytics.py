@@ -2624,3 +2624,90 @@ def daily_count_robust_zscores(spark: SparkSession,
             .select("event_type", "day", "n",
                     (F.round(z, 6) + F.lit(0.0)).alias("robust_z"),
                     (F.abs(z) > 3.5).alias("is_outlier")))
+
+
+@query(
+    "winsorized_value_stats",
+    oracle="""
+    WITH th AS (
+        SELECT event_type,
+               quantile_cont(value, 0.05) AS lo,
+               quantile_cont(value, 0.95) AS hi
+        FROM events GROUP BY event_type)
+    SELECT e.event_type,
+           COUNT(*) AS n,
+           ROUND(AVG(LEAST(GREATEST(e.value, th.lo), th.hi)), 6) + 0.0
+               AS win_mean,
+           ROUND(STDDEV_SAMP(LEAST(GREATEST(e.value, th.lo), th.hi)), 6)
+               + 0.0 AS win_std,
+           ROUND(th.lo, 6) + 0.0 AS p05,
+           ROUND(th.hi, 6) + 0.0 AS p95
+    FROM events e JOIN th USING (event_type)
+    GROUP BY e.event_type, th.lo, th.hi
+    """,
+)
+def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean/std per event type: clamp values to the exact
+    [p05, p95] band, then aggregate — the outlier-robust moment
+    estimator between the raw mean (breaks on one bad sensor reading)
+    and the median/MAD pair (`daily_count_robust_zscores`), and the
+    robust twin of `trimmed_mean_by_type` (which DROPS the tails
+    instead of clamping them).
+
+    Same broadcast-threshold shape as the RFM scale form: pass 1 is a
+    per-type exact-percentile aggregate (5 rows), joined back broadcast
+    for pass 2's clamp+aggregate — two scans, zero windows, no
+    unpartitioned sort anywhere.  At 100 TB swap pass 1 to
+    approx_percentile and only the thresholds move ±ε; the clamped
+    aggregate is unchanged."""
+    events = table(spark, sf_dir, "events")
+    th = F.broadcast(events.groupBy("event_type").agg(
+        F.percentile("value", 0.05).alias("lo"),
+        F.percentile("value", 0.95).alias("hi")))
+    clamped = F.least(F.greatest(F.col("value"), F.col("lo")),
+                      F.col("hi"))
+    return (events.join(th, "event_type")
+            .groupBy("event_type", "lo", "hi")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 (F.round(F.avg(clamped), 6) + F.lit(0.0))
+                 .alias("win_mean"),
+                 (F.round(F.stddev_samp(clamped), 6) + F.lit(0.0))
+                 .alias("win_std"))
+            .select("event_type", "n", "win_mean", "win_std",
+                    (F.round("lo", 6) + F.lit(0.0)).alias("p05"),
+                    (F.round("hi", 6) + F.lit(0.0)).alias("p95")))
+
+
+@query(
+    "value_bucket_histogram",
+    oracle="""
+    WITH mm AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events)
+    SELECT event_type,
+           LEAST(CAST(FLOOR((value - mm.lo)
+                            / ((mm.hi - mm.lo) / 20.0)) AS BIGINT),
+                 19) AS bucket,
+           COUNT(*) AS n
+    FROM events, mm
+    GROUP BY event_type, bucket
+    """,
+)
+def value_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bucket histogram of event values per type — the
+    data-profiling primitive behind distribution dashboards, drift
+    monitors, and equi-width binning for downstream discretization.
+
+    The global [min, max] is a one-row aggregate broadcast back onto
+    the scan (no collect), bucket assignment is pure codegen
+    arithmetic, and the groupBy carries at most types×20 partially
+    aggregated rows into the shuffle — at 100 TB the histogram costs
+    exactly one scan.  The top edge folds into the last bucket
+    (LEAST(…, 19)) so value = max lands in bucket 19 on both engines."""
+    events = table(spark, sf_dir, "events")
+    mm = F.broadcast(events.agg(F.min("value").alias("lo"),
+                                F.max("value").alias("hi")))
+    width = (F.col("hi") - F.col("lo")) / F.lit(20.0)
+    bucket = F.least(F.floor((F.col("value") - F.col("lo")) / width),
+                     F.lit(19).cast("bigint"))
+    return (events.crossJoin(mm)
+            .groupBy("event_type", bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n")))

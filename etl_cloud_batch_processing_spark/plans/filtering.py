@@ -679,3 +679,101 @@ def rrf_fused_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
             .select("doc_id", "bm25_rank", "quality_rank",
                     F.round("score", 6).alias("rrf_score")))
+
+
+@query(
+    "vocab_growth_heaps_law",
+    oracle="""
+    WITH d AS (
+        SELECT lang,
+               CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+               CAST(len(list_distinct(string_split(text, ' ')))
+                    AS DOUBLE) AS n_vocab
+        FROM documents)
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           ROUND(regr_slope(ln(n_vocab), ln(n_tok)), 6) + 0.0
+               AS heaps_beta,
+           ROUND(exp(regr_intercept(ln(n_vocab), ln(n_tok))), 6) + 0.0
+               AS heaps_k,
+           ROUND(regr_r2(ln(n_vocab), ln(n_tok)), 6) + 0.0 AS fit_r2
+    FROM d GROUP BY lang
+    """,
+)
+def vocab_growth_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit per language: V(N) ≈ K·N^β estimated by
+    log-log regression of per-document distinct-token count on
+    per-document token count.  β tells a tokenizer-training run how
+    fast vocabulary grows with corpus size (natural text ≈ 0.4–0.6;
+    near-1 flags id-like/garbage streams, near-0 flags template spam)
+    — the corpus-level twin of `token_zipf_fit`'s frequency-rank law.
+
+    One scan, one partial-aggregated groupBy: the regression moments
+    (Σx, Σy, Σxy, Σx², n) combine map-side, so the shuffle carries 5
+    langs × a handful of doubles no matter the corpus size.  The
+    doc-scatter estimator deliberately avoids the cumulative-prefix
+    form of Heaps' law, which would need a global running-distinct
+    window (unpartitionable at 100 TB)."""
+    docs = table(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang",
+        F.size(F.split("text", " ")).cast("double").alias("n_tok"),
+        F.size(F.array_distinct(F.split("text", " ")))
+         .cast("double").alias("n_vocab"))
+    y, x = F.log("n_vocab"), F.log("n_tok")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.round(F.regr_slope(y, x), 6) + F.lit(0.0)).alias("heaps_beta"),
+        (F.round(F.exp(F.regr_intercept(y, x)), 6) + F.lit(0.0))
+        .alias("heaps_k"),
+        (F.round(F.regr_r2(y, x), 6) + F.lit(0.0)).alias("fit_r2"))
+
+
+@query(
+    "weighted_sample_exponential",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, lang, n_chars,
+               -ln((CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                             1, 15) AS BIGINT) AS DOUBLE)
+                    + 1.0) / 1152921504606846977.0)
+               / CAST(n_chars AS DOUBLE) AS race_key
+        FROM documents)
+    SELECT doc_id, lang, n_chars, rnk FROM (
+        SELECT doc_id, lang, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY race_key, doc_id) AS rnk
+        FROM w)
+    WHERE rnk <= 5
+    """,
+)
+def weighted_sample_exponential(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Deterministic WEIGHTED sample per language: the
+    Efraimidis–Spirakis exponential-race reservoir (keep the k items
+    with the smallest ``-ln(u)/w``), with ``u`` derived from the md5 of
+    the document id so both engines — and any two cluster runs — draw
+    the identical sample.  Weight = ``n_chars``: longer documents are
+    proportionally more likely to be kept, the standard size-biased
+    draw for token-budgeted data mixes (a uniform doc sample
+    under-represents long documents' tokens).
+
+    Complements the uniform exact-k sampler (`hash_sample_per_lang`,
+    same md5-race shape with w≡1) and the keep-rate sampler
+    (`stratified_sample_by_lang`).  One window-shuffle on lang with the
+    rank filter pushed as a per-group top-k; the race key is pure
+    whole-stage-codegen arithmetic on a 60-bit hash — no RNG state, so
+    the sample is reproducible under retries, re-partitioning, and
+    speculative execution at any scale."""
+    docs = table(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+               16, 10).cast("bigint")
+    u = (h.cast("double") + F.lit(1.0)) / F.lit(1152921504606846977.0)
+    race = -F.log(u) / F.col("n_chars").cast("double")
+    w = Window.partitionBy("lang").orderBy(F.asc("race_key"),
+                                           F.asc("doc_id"))
+    return (docs.select("doc_id", "lang", "n_chars",
+                        race.alias("race_key"))
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 5)
+            .select("doc_id", "lang", "n_chars", "rnk"))

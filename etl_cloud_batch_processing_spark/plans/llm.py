@@ -918,6 +918,63 @@ def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "vector_mips_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+               FROM embeddings WHERE vec_id < 5),
+    scored AS (
+        SELECT q.query_id, e.vec_id, e.label,
+               round({V.duckdb_dot_sql('q.qe', 'e.embedding')}, 6) + 0.0
+                   AS dot_score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY {V.duckdb_dot_sql('q.qe', 'e.embedding')}
+                            DESC, e.vec_id ASC) AS rnk
+        FROM q CROSS JOIN embeddings e
+        WHERE e.vec_id <> q.query_id)
+    SELECT query_id, vec_id, label, dot_score, rnk
+    FROM scored WHERE rnk <= 10
+    """,
+)
+def vector_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NS3 maximum-inner-product search (MIPS) top-k: the retrieval
+    primitive for UNNORMALIZED embedding spaces (recommendation scores,
+    learned late-interaction weights), where the dot product — not
+    cosine — is the trained similarity.  5 query vectors × all
+    candidates, top-10 per query by raw inner product, vec_id tiebreak.
+
+    Same shape and guard as ``knn_cosine_topk``: the query side is
+    broadcast so the candidate scan is embarrassingly parallel, and
+    ``MAX_BRUTE_FORCE_ROWS`` caps the O(queries × corpus) exact
+    baseline.  At 100 TB the scale path is the standard MIPS→cosine
+    reduction (append ``sqrt(M² − ‖x‖²)`` as an extra dimension, then
+    reuse the ANN cosine index) — this query is the exact reference
+    those recalls are measured against."""
+    n_candidates = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    if n_candidates > MAX_BRUTE_FORCE_ROWS:
+        raise ValueError(
+            f"vector_mips_topk is the EXACT all-pairs baseline; "
+            f"{n_candidates} candidate vectors exceed "
+            f"MAX_BRUTE_FORCE_ROWS={MAX_BRUTE_FORCE_ROWS}. Reduce MIPS "
+            f"to cosine (extra-dimension transform) and use ivf_ann_topk "
+            f"or ann_lsh_topk at this scale.")
+    emb = ptable(spark, sf_dir, "embeddings")
+    q = F.broadcast(emb.filter(F.col("vec_id") < 5)
+                    .select(F.col("vec_id").alias("query_id"),
+                            F.col("embedding").alias("qe")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("raw_dot"),
+                                               F.asc("vec_id"))
+    return (q.join(emb, F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "vec_id", "label",
+                    V.dot("qe", "embedding").alias("raw_dot"))
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 10)
+            .select("query_id", "vec_id", "label",
+                    (F.round("raw_dot", 6) + F.lit(0.0))
+                    .alias("dot_score"), "rnk"))
+
+
+@query(
     "embedding_near_dup_blocked",
     oracle=f"""
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
