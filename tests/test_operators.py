@@ -597,3 +597,89 @@ def test_pmi_doc_token_cap_is_wired(spark, monkeypatch):
     sf = "/root/testdata/sf0.001"
     monkeypatch.setattr(filtering, "MAX_PMI_DOC_TOKENS", 0)
     assert filtering.token_pmi_top_pairs(spark, sf).count() == 0
+
+
+def test_mips_brute_force_row_cap_raises(spark, monkeypatch):
+    from etl_cloud_batch_processing_spark.plans import llm
+
+    sf = "/root/testdata/sf0.001"
+    monkeypatch.setattr(llm, "MAX_BRUTE_FORCE_ROWS", 10)
+    with pytest.raises(ValueError, match="ivf_ann_topk"):
+        llm.vector_mips_topk(spark, sf)
+
+
+def test_mips_top1_matches_numpy(spark):
+    """The distributed MIPS top-1 per query must equal a dense numpy
+    argmax over the same embeddings (self excluded)."""
+    import numpy as np
+
+    from etl_cloud_batch_processing_spark.plans import llm
+
+    sf = "/root/testdata/sf0.001"
+    emb = (spark.read.parquet(f"{sf}/embeddings.parquet")
+           .orderBy("vec_id").toPandas())
+    mat = np.array([np.asarray(v, dtype=np.float64)
+                    for v in emb["embedding"]])
+    ids = emb["vec_id"].to_numpy()
+    got = {r["query_id"]: r["vec_id"]
+           for r in llm.vector_mips_topk(spark, sf)
+           .filter(F.col("rnk") == 1).collect()}
+    for qi in range(5):
+        scores = mat @ mat[ids == qi][0]
+        scores[ids == qi] = -np.inf
+        assert got[qi] == ids[int(np.argmax(scores))]
+
+
+def test_heaps_law_matches_numpy_polyfit(spark):
+    """Per-lang Heaps' beta/K from the regression aggregates must equal
+    numpy's least-squares fit over the same per-doc log-log points."""
+    import numpy as np
+
+    from etl_cloud_batch_processing_spark.plans import filtering
+
+    sf = "/root/testdata/sf0.001"
+    rows = filtering.vocab_growth_heaps_law(spark, sf).collect()
+    docs = spark.read.parquet(f"{sf}/documents.parquet").toPandas()
+    for r in rows:
+        sub = docs[docs["lang"] == r["lang"]]
+        toks = sub["text"].str.split(" ")
+        x = np.log(toks.str.len().to_numpy(dtype=np.float64))
+        y = np.log(toks.apply(lambda t: len(set(t)))
+                   .to_numpy(dtype=np.float64))
+        beta, logk = np.polyfit(x, y, 1)
+        assert abs(r["heaps_beta"] - beta) < 1e-5
+        assert abs(r["heaps_k"] - np.exp(logk)) < 1e-4
+        assert 0.0 < r["heaps_beta"] < 1.0   # natural-text sanity band
+
+
+def test_weighted_sample_is_exact_k_and_deterministic(spark):
+    from etl_cloud_batch_processing_spark.plans import filtering
+
+    sf = "/root/testdata/sf0.001"
+    a = filtering.weighted_sample_exponential(spark, sf).toPandas()
+    b = filtering.weighted_sample_exponential(spark, sf).toPandas()
+    assert (a.groupby("lang")["doc_id"].count() == 5).all()
+    key = lambda d: sorted(map(tuple, d[["lang", "doc_id", "rnk"]]
+                               .to_numpy()))
+    assert key(a) == key(b)  # no RNG state anywhere — retry-stable
+
+
+def test_winsorized_mean_within_clamp_band(spark):
+    from etl_cloud_batch_processing_spark.plans import analytics
+
+    sf = "/root/testdata/sf0.001"
+    for r in analytics.winsorized_value_stats(spark, sf).collect():
+        assert r["p05"] <= r["win_mean"] <= r["p95"]
+        assert r["win_std"] >= 0.0
+
+
+def test_value_histogram_partitions_all_events(spark):
+    """Bucket counts must partition the event set exactly: every event
+    in exactly one bucket, all bucket ids inside [0, 19]."""
+    from etl_cloud_batch_processing_spark.plans import analytics
+
+    sf = "/root/testdata/sf0.001"
+    h = analytics.value_bucket_histogram(spark, sf).toPandas()
+    n_events = spark.read.parquet(f"{sf}/events.parquet").count()
+    assert int(h["n"].sum()) == n_events
+    assert h["bucket"].between(0, 19).all()
