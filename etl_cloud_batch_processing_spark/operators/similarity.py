@@ -524,3 +524,143 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
                     F.round(F.coalesce("n_hits", F.lit(0)) / F.lit(5.0), 6)
                     .alias("recall_at_5")))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the billion-vector compression stage.
+# ---------------------------------------------------------------------------
+
+PQ_SUBS = 8       # subspaces: 64 dims -> 8 blocks of 8
+PQ_SUBDIM = 8
+PQ_K = 16         # codes per subspace -> 8 x 4-bit codes per vector
+
+_PQ_DIST = ("list_sum(list_transform(range(1, 9), "
+            "d -> (s.sv[d] - c.cv[d]) * (s.sv[d] - c.cv[d])))")
+
+
+def _pq_assign(subs: DataFrame, cents: DataFrame) -> DataFrame:
+    """Per-subspace nearest-code assignment: equi-join on the subspace
+    id against the broadcast codebook (SUBS×K = 128 rows), squared-L2
+    via zip_with/aggregate, argmin via ``min(struct(dist, cid, sv))``
+    — the same no-window argmax discipline as full-dim ``_assign``."""
+    d = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("cv"),
+                   lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    return (subs.join(F.broadcast(cents), "sub")
+            .select("vec_id", "sub", d.alias("dist"), "cid", "sv")
+            .groupBy("vec_id", "sub")
+            .agg(F.min(F.struct("dist", "cid", "sv")).alias("m"))
+            .select("vec_id", "sub", F.col("m.sv").alias("sv"),
+                    F.col("m.cid").alias("cid"),
+                    F.col("m.dist").alias("dist")))
+
+
+def _pq_update(assigned: DataFrame) -> DataFrame:
+    """Codebook update: positional means per (subspace, code), ROUNDED
+    to 6 decimals on BOTH engines — a quantized codebook is standard PQ
+    practice, and it makes the second assignment's distance comparisons
+    bit-identical across engines (unrounded means differ in the last
+    ulp between summation orders, and an integer code must not flip on
+    that)."""
+    avgs = [F.round(F.avg(F.col("sv")[i]), 6).alias(f"m{i}")
+            for i in range(PQ_SUBDIM)]
+    return (assigned.groupBy("sub", "cid").agg(*avgs)
+            .select("sub", "cid",
+                    F.array(*[F.col(f"m{i}") for i in range(PQ_SUBDIM)])
+                    .alias("cv")))
+
+
+@query(
+    "vector_pq_encode",
+    oracle=f"""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, v -> CAST(v AS DOUBLE))
+                          AS emb
+               FROM embeddings),
+    s AS (SELECT vec_id, sub,
+                 list_slice(emb, sub * {PQ_SUBDIM} + 1,
+                            sub * {PQ_SUBDIM} + {PQ_SUBDIM}) AS sv
+          FROM e, (SELECT unnest(range(0, {PQ_SUBS})) AS sub) t),
+    c0 AS (SELECT sub,
+                  ROW_NUMBER() OVER (PARTITION BY sub
+                                     ORDER BY vec_id) - 1 AS cid,
+                  sv AS cv
+           FROM s WHERE vec_id IN (SELECT vec_id FROM e
+                                   ORDER BY vec_id LIMIT {PQ_K})),
+    a1 AS (SELECT vec_id, sub, cid FROM (
+               SELECT s.vec_id, s.sub, c.cid,
+                      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+                          ORDER BY {_PQ_DIST} ASC, c.cid ASC) AS rn
+               FROM s JOIN c0 c USING (sub)) WHERE rn = 1),
+    c1 AS (SELECT sub, cid, list(m ORDER BY pos) AS cv FROM (
+               SELECT a.sub, a.cid, r.d AS pos,
+                      ROUND(AVG(s.sv[r.d]), 6) AS m
+               FROM a1 a JOIN s ON a.vec_id = s.vec_id AND a.sub = s.sub
+               CROSS JOIN (SELECT unnest(range(1, {PQ_SUBDIM + 1}))
+                           AS d) r
+               GROUP BY a.sub, a.cid, r.d)
+           GROUP BY sub, cid),
+    a2 AS (SELECT vec_id, sub, cid, dist FROM (
+               SELECT s.vec_id, s.sub, c.cid, {_PQ_DIST} AS dist,
+                      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+                          ORDER BY {_PQ_DIST} ASC, c.cid ASC) AS rn
+               FROM s JOIN c1 c USING (sub)) WHERE rn = 1)
+    SELECT vec_id,
+           string_agg(CAST(cid AS VARCHAR), ',' ORDER BY sub)
+               AS codes_csv,
+           ROUND(SUM(dist), 6) + 0.0 AS recon_err
+    FROM a2 GROUP BY vec_id
+    """,
+)
+def vector_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization encode — the compression stage of an IVF-PQ
+    index, the standard way a billion-vector corpus fits in memory:
+    split every 64-dim embedding into 8 contiguous 8-dim subvectors,
+    train a 16-entry codebook per subspace (k-means, deterministic
+    seeds = the 16 lowest vec_ids, one unrolled Lloyd update then a
+    final assignment — the same unrolling discipline as
+    ``kmeans_lloyd_centroids``), and emit each vector's 8 codes plus
+    its reconstruction error.  64 floats (256 B) compress to 8×4-bit
+    codes (4 B) — 64×; at search time asymmetric distances come from
+    SUBS×K lookup tables instead of full-dim arithmetic.
+
+    Plan shape: one explode to (vec, sub, subvec) — 8 rows per vector,
+    subvec 8 doubles wide, so the exploded frame is the SAME total
+    width as the input; every codebook is a broadcast 128-row frame;
+    assignment is equi-join + argmin-by-struct (no window, no cross
+    join); the update is a partial-aggregated (sub, cid) reduce whose
+    output is corpus-size-independent.  The codebook is rounded to 6
+    decimals on both engines (quantized codebooks are standard PQ
+    practice) so integer code assignments cannot flip on last-ulp
+    summation-order drift.  The trained codebook scales by K and SUBS,
+    not corpus size — at 100 TB, train on a sample, encode everything
+    with the broadcast codebook in one scan."""
+    emb = (ptable(spark, sf_dir, "embeddings")
+           .select("vec_id",
+                   F.transform("embedding",
+                               lambda v: v.cast("double")).alias("emb")))
+    subs = (emb.select(
+        "vec_id", "emb",
+        F.explode(F.sequence(F.lit(0), F.lit(PQ_SUBS - 1))).alias("sub"))
+        .select("vec_id", "sub",
+                F.slice("emb", F.col("sub") * PQ_SUBDIM + 1,
+                        PQ_SUBDIM).alias("sv")))
+    seed_ids = F.broadcast(emb.orderBy("vec_id").limit(PQ_K)
+                           .select("vec_id"))
+    wseed = Window.partitionBy("sub").orderBy("vec_id")
+    c0 = (subs.join(seed_ids, "vec_id")
+          .select("sub",
+                  (F.row_number().over(wseed) - 1).cast("bigint")
+                  .alias("cid"),
+                  F.col("sv").alias("cv")))
+    a1 = _pq_assign(subs, c0)
+    c1 = _pq_update(a1)
+    a2 = _pq_assign(subs, c1)
+    codes = F.concat_ws(
+        ",", F.transform(F.array_sort(F.collect_list(F.struct("sub", "cid"))),
+                         lambda x: x["cid"].cast("string")))
+    return (a2.groupBy("vec_id")
+            .agg(codes.alias("codes_csv"),
+                 (F.round(F.sum("dist"), 6) + F.lit(0.0))
+                 .alias("recon_err")))

@@ -683,3 +683,38 @@ def test_value_histogram_partitions_all_events(spark):
     n_events = spark.read.parquet(f"{sf}/events.parquet").count()
     assert int(h["n"].sum()) == n_events
     assert h["bucket"].between(0, 19).all()
+
+
+def test_pq_encode_matches_numpy(spark):
+    """The distributed PQ encode must equal the same algorithm done
+    densely in numpy: identical seeds (16 lowest vec_ids), one Lloyd
+    update with 6-decimal codebook rounding, final assignment with
+    lowest-cid tiebreak."""
+    import numpy as np
+
+    from etl_cloud_batch_processing_spark.operators import similarity as S
+
+    sf = "/root/testdata/sf0.001"
+    emb = (spark.read.parquet(f"{sf}/embeddings.parquet")
+           .orderBy("vec_id").toPandas())
+    mat = np.array([np.asarray(v, dtype=np.float64)
+                    for v in emb["embedding"]])
+    ids = emb["vec_id"].to_numpy()
+    got = {r["vec_id"]: r["codes_csv"]
+           for r in S.vector_pq_encode(spark, sf).collect()}
+
+    order = np.argsort(ids)
+    mat, ids = mat[order], ids[order]
+    for sub in range(S.PQ_SUBS):
+        block = mat[:, sub * S.PQ_SUBDIM:(sub + 1) * S.PQ_SUBDIM]
+        cb = block[:S.PQ_K].copy()                      # seeds
+        d = ((block[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+        a1 = d.argmin(axis=1)                           # ties -> lowest cid
+        cb1 = np.array([np.round(block[a1 == c].mean(axis=0), 6)
+                        if (a1 == c).any() else cb[c]
+                        for c in range(S.PQ_K)])
+        present = sorted(set(a1))                       # empty codes vanish
+        d2 = ((block[:, None, :] - cb1[None, present, :]) ** 2).sum(axis=2)
+        a2 = np.array(present)[d2.argmin(axis=1)]
+        for i, vid in enumerate(ids):
+            assert int(got[vid].split(",")[sub]) == a2[i], (sub, vid)
