@@ -664,3 +664,142 @@ def vector_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(codes.alias("codes_csv"),
                  (F.round(F.sum("dist"), 6) + F.lit(0.0))
                  .alias("recon_err")))
+
+
+_PQ_QDIST = ("list_sum(list_transform(range(1, 9), "
+             "d -> (qs.qv[d] - c.cv[d]) * (qs.qv[d] - c.cv[d])))")
+_PQ_EXACT = ("list_sum(list_transform(range(1, 65), "
+             "d -> (q.qe[d] - e.emb[d]) * (q.qe[d] - e.emb[d])))")
+
+
+@query(
+    "vector_pq_adc_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, v -> CAST(v AS DOUBLE))
+                          AS emb
+               FROM embeddings),
+    s AS (SELECT vec_id, sub,
+                 list_slice(emb, sub * {PQ_SUBDIM} + 1,
+                            sub * {PQ_SUBDIM} + {PQ_SUBDIM}) AS sv
+          FROM e, (SELECT unnest(range(0, {PQ_SUBS})) AS sub) t),
+    c0 AS (SELECT sub,
+                  ROW_NUMBER() OVER (PARTITION BY sub
+                                     ORDER BY vec_id) - 1 AS cid,
+                  sv AS cv
+           FROM s WHERE vec_id IN (SELECT vec_id FROM e
+                                   ORDER BY vec_id LIMIT {PQ_K})),
+    a1 AS (SELECT vec_id, sub, cid FROM (
+               SELECT s.vec_id, s.sub, c.cid,
+                      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+                          ORDER BY {_PQ_DIST} ASC, c.cid ASC) AS rn
+               FROM s JOIN c0 c USING (sub)) WHERE rn = 1),
+    c1 AS (SELECT sub, cid, list(m ORDER BY pos) AS cv FROM (
+               SELECT a.sub, a.cid, r.d AS pos,
+                      ROUND(AVG(s.sv[r.d]), 6) AS m
+               FROM a1 a JOIN s ON a.vec_id = s.vec_id AND a.sub = s.sub
+               CROSS JOIN (SELECT unnest(range(1, {PQ_SUBDIM + 1}))
+                           AS d) r
+               GROUP BY a.sub, a.cid, r.d)
+           GROUP BY sub, cid),
+    a2 AS (SELECT vec_id, sub, cid FROM (
+               SELECT s.vec_id, s.sub, c.cid,
+                      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+                          ORDER BY {_PQ_DIST} ASC, c.cid ASC) AS rn
+               FROM s JOIN c1 c USING (sub)) WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 5),
+    qs AS (SELECT query_id, sub,
+                  list_slice(qe, sub * {PQ_SUBDIM} + 1,
+                             sub * {PQ_SUBDIM} + {PQ_SUBDIM}) AS qv
+           FROM q, (SELECT unnest(range(0, {PQ_SUBS})) AS sub) t),
+    lut AS (SELECT qs.query_id, c.sub, c.cid, {_PQ_QDIST} AS pd
+            FROM qs JOIN c1 c USING (sub)),
+    adc AS (SELECT l.query_id, a2.vec_id, SUM(l.pd) AS adc_raw
+            FROM a2 JOIN lut l ON a2.sub = l.sub AND a2.cid = l.cid
+            WHERE a2.vec_id <> l.query_id
+            GROUP BY l.query_id, a2.vec_id),
+    r AS (SELECT query_id, vec_id,
+                 ROUND(adc_raw, 6) + 0.0 AS adc_dist,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY ROUND(adc_raw, 6) ASC, vec_id ASC) AS rnk
+          FROM adc)
+    SELECT r.query_id, r.vec_id, r.adc_dist,
+           ROUND({_PQ_EXACT}, 6) + 0.0 AS exact_dist, r.rnk
+    FROM r JOIN q ON r.query_id = q.query_id
+    JOIN e ON r.vec_id = e.vec_id
+    WHERE r.rnk <= 10
+    """,
+)
+def vector_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ search via asymmetric distance computation (ADC) — the query
+    path of an IVF-PQ index: each query precomputes a SUBS×K lookup
+    table of partial squared distances to every codebook entry, and a
+    candidate's distance is then 8 table lookups + adds on its CODES —
+    the full vectors are never touched during scoring.  Top-10 per
+    query by ADC distance, with the true squared distance joined onto
+    the 10 reported rows so the approximation error is visible in the
+    output (the PQ twin of `ann_recall_report`'s go/no-go evidence).
+
+    Plan shape: the LUT is queries×SUBS×K = 640 rows — broadcast; the
+    scoring join is codes ⋈ broadcast-LUT on (sub, cid) followed by one
+    partial-aggregated (query, vec) sum — one scan of the 4-byte-code
+    frame per query batch, no full-dim arithmetic, no cross join.
+    Ranks order by the 6-decimal-ROUNDED ADC distance on both engines:
+    candidates with identical codes have identical rounded distances
+    and resolve by vec_id, so per-group float summation order (which
+    differs between engines AND between Spark runs) cannot flip an
+    integer rank.  At 100 TB this is why PQ exists: the code frame is
+    64× smaller than the vectors, so the scoring scan reads ~1.5 GB
+    where exact search reads 100 GB — per billion vectors."""
+    emb = (ptable(spark, sf_dir, "embeddings")
+           .select("vec_id",
+                   F.transform("embedding",
+                               lambda v: v.cast("double")).alias("emb")))
+    sub_seq = F.explode(F.sequence(F.lit(0), F.lit(PQ_SUBS - 1))).alias("sub")
+    subs = (emb.select("vec_id", "emb", sub_seq)
+            .select("vec_id", "sub",
+                    F.slice("emb", F.col("sub") * PQ_SUBDIM + 1,
+                            PQ_SUBDIM).alias("sv")))
+    seed_ids = F.broadcast(emb.orderBy("vec_id").limit(PQ_K)
+                           .select("vec_id"))
+    wseed = Window.partitionBy("sub").orderBy("vec_id")
+    c0 = (subs.join(seed_ids, "vec_id")
+          .select("sub",
+                  (F.row_number().over(wseed) - 1).cast("bigint")
+                  .alias("cid"),
+                  F.col("sv").alias("cv")))
+    c1 = _pq_update(_pq_assign(subs, c0))
+    codes = _pq_assign(subs, c1).select("vec_id", "sub", "cid")
+
+    qe = emb.filter(F.col("vec_id") < 5) \
+            .select(F.col("vec_id").alias("query_id"),
+                    F.col("emb").alias("qe"))
+    qsubs = (qe.select("query_id", "qe", sub_seq)
+             .select("query_id", "sub",
+                     F.slice("qe", F.col("sub") * PQ_SUBDIM + 1,
+                             PQ_SUBDIM).alias("qv")))
+    pd = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"),
+                   lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    lut = (qsubs.join(F.broadcast(c1), "sub")
+           .select("query_id", "sub", "cid", pd.alias("pd")))
+    adc = (codes.join(F.broadcast(lut), ["sub", "cid"])
+           .filter(F.col("vec_id") != F.col("query_id"))
+           .groupBy("query_id", "vec_id")
+           .agg(F.sum("pd").alias("adc_raw")))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("vec_id"))
+    top = (adc.select("query_id", "vec_id",
+                      (F.round("adc_raw", 6) + F.lit(0.0))
+                      .alias("adc_dist"))
+           .withColumn("rnk", F.row_number().over(wq))
+           .filter(F.col("rnk") <= 10))
+    exact = F.aggregate(
+        F.zip_with(F.col("qe"), F.col("emb"),
+                   lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    return (top.join(F.broadcast(qe), "query_id").join(emb, "vec_id")
+            .select("query_id", "vec_id", "adc_dist",
+                    (F.round(exact, 6) + F.lit(0.0)).alias("exact_dist"),
+                    "rnk"))
