@@ -803,3 +803,124 @@ def vector_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "vec_id", "adc_dist",
                     (F.round(exact, 6) + F.lit(0.0)).alias("exact_dist"),
                     "rnk"))
+
+
+#: Truncation levels probed by the fidelity report (leading-dims
+#: prefixes, Matryoshka-style).
+TRUNC_DIMS = (8, 16, 32, 64)
+
+#: Keep-rate numerator for the deterministic pair sample: first md5 hex
+#: digit in 0..3 keeps ~1/4 of candidate pairs.
+_TRUNC_KEEP = ("0", "1", "2", "3")
+
+#: Sampling-bucket sizing: bucket count B = max(1, n_vectors div
+#: _TRUNC_BUCKET_DIV), so expected per-bucket population stays ~flat
+#: and the pair join cost is O(n × _TRUNC_BUCKET_DIV), LINEAR in
+#: corpus size (a fixed blocking key would go quadratic — observed: a
+#: label-only block at 32× fixture data exceeded a 10-minute budget).
+_TRUNC_BUCKET_DIV = 512
+
+
+def _duck_cos_k(a: str, b: str, k: str) -> str:
+    """DuckDB cosine over the first ``k`` dims (k may be a column)."""
+    def d(x, y):
+        return (f"list_sum(list_transform(range(1, {k} + 1), "
+                f"d -> CAST({x}[d] AS DOUBLE) * CAST({y}[d] AS DOUBLE)))")
+    return f"({d(a, b)} / (sqrt({d(a, a)}) * sqrt({d(b, b)})))"
+
+
+@query(
+    "vector_truncation_fidelity",
+    oracle=f"""
+    WITH n AS (SELECT COUNT(*) AS n_total FROM embeddings),
+    v AS (SELECT vec_id, label, embedding,
+                 CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+                      AS BIGINT)
+                 % GREATEST(1, n_total // {_TRUNC_BUCKET_DIV}) AS bkt
+          FROM embeddings, n),
+    p AS (
+        SELECT a.embedding AS ea, b.embedding AS eb
+        FROM v a JOIN v b
+          ON a.label = b.label AND a.bkt = b.bkt
+         AND a.vec_id < b.vec_id
+        WHERE substr(md5(CAST(a.vec_id AS VARCHAR) || ','
+                         || CAST(b.vec_id AS VARCHAR)), 1, 1)
+              IN {_TRUNC_KEEP!r}),
+    x AS (
+        SELECT k.k AS trunc_dim,
+               {_duck_cos_k('p.ea', 'p.eb', 'k.k')} AS cos_k,
+               {V.duckdb_cosine_sql('p.ea', 'p.eb')} AS cos_full
+        FROM p, (VALUES (8), (16), (32), (64)) k(k))
+    SELECT trunc_dim,
+           COUNT(*) AS n_pairs,
+           ROUND(AVG(ABS(cos_k - cos_full)), 6) + 0.0 AS mean_abs_err,
+           ROUND(MAX(ABS(cos_k - cos_full)), 6) + 0.0 AS max_abs_err,
+           ROUND(regr_r2(cos_k, cos_full), 6) + 0.0 AS r2
+    FROM x GROUP BY trunc_dim
+    """,
+)
+def vector_truncation_fidelity(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Dimension-truncation calibration report (Matryoshka-style): how
+    well does cosine over the first k ∈ {{8, 16, 32, 64}} dims agree
+    with full-dimension cosine, measured over a deterministic pair
+    sample?  Truncating an ANN index to k dims cuts its scan and
+    memory cost by 64/k — this report is the go/no-go evidence for
+    that trade, the same calibration-gate pattern as
+    ``ann_recall_report`` (LSH) and ``approx_percentile_error_report``
+    (sketches): measure on a sample, THEN flip the switch.
+
+    Pair generation is SELF-TUNING: vectors block on (label, md5-bucket)
+    where the bucket count scales with the corpus
+    (n div ``_TRUNC_BUCKET_DIV``), so expected bucket population — and
+    therefore total join output — stays LINEAR in n at any scale; a
+    fixed blocking key would grow pair count quadratically (measured:
+    the label-only form blew a 10-minute budget at 32× fixture data).
+    The md5 keep-rate then trims constants.  Everything is
+    deterministic from ids, so the oracle sees the identical pair set;
+    the corpus count rides in as a broadcast one-row frame, no
+    collect.  All four truncation levels are scored in ONE pass over
+    the pair frame (k is an exploded column driving a sliced fold),
+    and the output is 4 rows of aggregate moments — the shuffle after
+    the pair join carries regression partials only."""
+    emb = ptable(spark, sf_dir, "embeddings")
+    cnt = F.broadcast(emb.agg(F.count(F.lit(1)).alias("n_total")))
+    nbuckets = F.greatest(F.lit(1).cast("bigint"),
+                          F.expr(f"n_total div {_TRUNC_BUCKET_DIV}"))
+    bkt = (F.conv(F.substring(F.md5(F.col("vec_id").cast("string")),
+                              1, 15), 16, 10).cast("bigint") % nbuckets)
+    v = (emb.crossJoin(cnt)
+         .select("vec_id", "label", "embedding", bkt.alias("bkt")))
+    a, b = v.alias("a"), v.alias("b")
+    keep = F.substring(
+        F.md5(F.concat_ws(",", F.col("a.vec_id"), F.col("b.vec_id"))
+              .cast("binary")), 1, 1).isin(*_TRUNC_KEEP)
+    pairs = (a.join(b, (F.col("a.label") == F.col("b.label"))
+                    & (F.col("a.bkt") == F.col("b.bkt"))
+                    & (F.col("a.vec_id") < F.col("b.vec_id")))
+             .filter(keep)
+             .select(F.col("a.embedding").alias("ea"),
+                     F.col("b.embedding").alias("eb")))
+
+    def cos_k(x, y, k):
+        def d(u, v):
+            return F.aggregate(
+                F.zip_with(F.slice(u, 1, k), F.slice(v, 1, k),
+                           lambda p, q: p.cast("double") * q.cast("double")),
+                F.lit(0.0), lambda acc, z: acc + z)
+        return d(F.col(x), F.col(y)) / (
+            F.sqrt(d(F.col(x), F.col(x))) * F.sqrt(d(F.col(y), F.col(y))))
+
+    x = (pairs.select(
+        "ea", "eb",
+        F.explode(F.array(*[F.lit(k) for k in TRUNC_DIMS])).alias("k"))
+        .select(F.col("k").cast("int").alias("trunc_dim"),
+                cos_k("ea", "eb", F.col("k")).alias("cos_k"),
+                V.cosine("ea", "eb").alias("cos_full")))
+    err = F.abs(F.col("cos_k") - F.col("cos_full"))
+    return x.groupBy("trunc_dim").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        (F.round(F.avg(err), 6) + F.lit(0.0)).alias("mean_abs_err"),
+        (F.round(F.max(err), 6) + F.lit(0.0)).alias("max_abs_err"),
+        (F.round(F.regr_r2("cos_k", "cos_full"), 6) + F.lit(0.0))
+        .alias("r2"))
