@@ -281,3 +281,16 @@ def test_case_a_empty_day_zeroes_metrics(spark, tmp_path):
     m = case_a.run(spark, ds, src, wh)
     assert m == {"rows_written": 0, "user_id_cast_failures": 0,
                  "count_cast_failures": 0}
+
+
+def test_case_b_empty_window_completes(spark, tmp_path):
+    """A run whose 3-day window matches zero purchase events must
+    complete: the unpartitioned staging overwrite writes a schema-
+    bearing empty parquet (so the stage-3 read-back infers fine), and
+    the final partitioned append simply writes no dt= partition."""
+    src, wh = str(tmp_path / "src"), str(tmp_path / "wh")
+    _case_b_events(spark).write.parquet(f"{src}/unified_events.parquet")
+    case_b.run(spark, "1999-01-01", f"{src}/unified_events.parquet", wh)
+    raw = read_parquet(spark, f"{wh}/{case_b.RAW_TABLE}")
+    assert raw.count() == 0
+    assert "transaction_number" in raw.columns
