@@ -924,3 +924,64 @@ def vector_truncation_fidelity(spark: SparkSession,
         (F.round(F.max(err), 6) + F.lit(0.0)).alias("max_abs_err"),
         (F.round(F.regr_r2("cos_k", "cos_full"), 6) + F.lit(0.0))
         .alias("r2"))
+
+
+def train_pq_codebook(spark: SparkSession, sf_dir: str,
+                      out_path: str) -> str:
+    """Maintenance half of the PQ pattern: train the per-subspace
+    codebooks once (the same deterministic unrolled-Lloyd procedure the
+    self-contained ``vector_pq_encode`` query uses) and persist them as
+    a (sub, cid, cv) parquet table.  At 100 TB the codebook trains on a
+    SAMPLE on a schedule — like ``maintain_daily_rollup`` maintains the
+    continuous aggregate — and every encode/search job thereafter reads
+    this kilobyte-scale table instead of re-training; SUBS×K rows is
+    broadcast-trivial forever."""
+    emb = (ptable(spark, sf_dir, "embeddings")
+           .select("vec_id",
+                   F.transform("embedding",
+                               lambda v: v.cast("double")).alias("emb")))
+    subs = (emb.select(
+        "vec_id", "emb",
+        F.explode(F.sequence(F.lit(0), F.lit(PQ_SUBS - 1))).alias("sub"))
+        .select("vec_id", "sub",
+                F.slice("emb", F.col("sub") * PQ_SUBDIM + 1,
+                        PQ_SUBDIM).alias("sv")))
+    seed_ids = F.broadcast(emb.orderBy("vec_id").limit(PQ_K)
+                           .select("vec_id"))
+    wseed = Window.partitionBy("sub").orderBy("vec_id")
+    c0 = (subs.join(seed_ids, "vec_id")
+          .select("sub",
+                  (F.row_number().over(wseed) - 1).cast("bigint")
+                  .alias("cid"),
+                  F.col("sv").alias("cv")))
+    c1 = _pq_update(_pq_assign(subs, c0))
+    c1.write.mode("overwrite").parquet(out_path)
+    return out_path
+
+
+def pq_encode_with_codebook(spark: SparkSession, sf_dir: str,
+                            codebook_path: str) -> DataFrame:
+    """Query half: encode the corpus against a PERSISTED codebook —
+    one scan, one broadcast join, one argmin aggregation; no training
+    work at encode time.  Output schema matches ``vector_pq_encode``
+    exactly (proven equal in tests), so the self-contained query is
+    the oracle for this maintained path."""
+    emb = (ptable(spark, sf_dir, "embeddings")
+           .select("vec_id",
+                   F.transform("embedding",
+                               lambda v: v.cast("double")).alias("emb")))
+    subs = (emb.select(
+        "vec_id", "emb",
+        F.explode(F.sequence(F.lit(0), F.lit(PQ_SUBS - 1))).alias("sub"))
+        .select("vec_id", "sub",
+                F.slice("emb", F.col("sub") * PQ_SUBDIM + 1,
+                        PQ_SUBDIM).alias("sv")))
+    c1 = spark.read.parquet(codebook_path)
+    a2 = _pq_assign(subs, c1)
+    codes = F.concat_ws(
+        ",", F.transform(F.array_sort(F.collect_list(F.struct("sub", "cid"))),
+                         lambda x: x["cid"].cast("string")))
+    return (a2.groupBy("vec_id")
+            .agg(codes.alias("codes_csv"),
+                 (F.round(F.sum("dist"), 6) + F.lit(0.0))
+                 .alias("recon_err")))

@@ -747,3 +747,18 @@ def test_pq_adc_ranks_monotonic_and_recall_floor(spark):
         exact10 = set(ids[np.argsort(d, kind="stable")[:10]])
         recalls.append(len(exact10 & set(sub["vec_id"])) / 10)
     assert sum(recalls) / len(recalls) >= 0.25, recalls
+
+
+def test_pq_maintained_codebook_encode_equals_inline(spark, tmp_path):
+    """The persisted-codebook encode path (train_pq_codebook +
+    pq_encode_with_codebook — the scheduled-maintenance form) must
+    produce exactly the self-contained vector_pq_encode query's output:
+    same codes, same reconstruction error."""
+    from etl_cloud_batch_processing_spark.operators import similarity as S
+
+    sf = "/root/testdata/sf0.001"
+    cb = S.train_pq_codebook(spark, sf, str(tmp_path / "pq_codebook"))
+    via_table = (S.pq_encode_with_codebook(spark, sf, cb)
+                 .orderBy("vec_id").collect())
+    inline = S.vector_pq_encode(spark, sf).orderBy("vec_id").collect()
+    assert [tuple(r) for r in via_table] == [tuple(r) for r in inline]
