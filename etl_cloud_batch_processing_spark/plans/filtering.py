@@ -777,3 +777,103 @@ def weighted_sample_exponential(spark: SparkSession,
             .withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") <= 5)
             .select("doc_id", "lang", "n_chars", "rnk"))
+
+
+#: Skip-gram window radius for windowed PMI: tokens co-occur if their
+#: positions differ by 1 or 2 (word2vec-style local context).
+COOC_MAX_DIST = 2
+
+#: Minimum co-occurrence events for a pair to be scored.
+COOC_MIN_SUPPORT = 5
+
+
+@query(
+    "window_cooccurrence_pmi",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    p AS (
+        SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos,
+               unnest(toks) AS tok
+        FROM t),
+    ev AS (
+        SELECT LEAST(l.tok, r.tok) AS tok_a,
+               GREATEST(l.tok, r.tok) AS tok_b
+        FROM p l
+        JOIN (SELECT unnest(range(1, {COOC_MAX_DIST + 1})) AS off) o
+          ON true
+        JOIN p r ON r.doc_id = l.doc_id AND r.pos = l.pos + o.off),
+    tot AS (SELECT SUM(len(toks)) AS tt,
+                   SUM(GREATEST(len(toks) - 1, 0)
+                       + GREATEST(len(toks) - 2, 0)) AS pp
+            FROM t),
+    uni AS (SELECT tok, COUNT(*) AS c FROM p GROUP BY tok),
+    pairs AS (SELECT tok_a, tok_b, COUNT(*) AS c_ab FROM ev
+              GROUP BY tok_a, tok_b
+              HAVING COUNT(*) >= {COOC_MIN_SUPPORT})
+    SELECT pr.tok_a, pr.tok_b, pr.c_ab,
+           ROUND(ln(1.0 * pr.c_ab * tot.tt * tot.tt
+                    / (1.0 * tot.pp * ua.c * ub.c)), 6) + 0.0 AS pmi
+    FROM pairs pr
+    JOIN uni ua ON pr.tok_a = ua.tok
+    JOIN uni ub ON pr.tok_b = ub.tok
+    CROSS JOIN tot
+    ORDER BY pmi DESC, tok_a ASC, tok_b ASC
+    LIMIT 20
+    """,
+)
+def window_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed (skip-gram) PMI collocations: top-20 token pairs by
+    pointwise mutual information over co-occurrence WITHIN ±2 positions
+    — the word2vec-context association statistic.  Complements the two
+    existing collocation views: ``bpe_merge_candidates`` sees only
+    ADJACENT pairs, ``token_pmi_top_pairs`` sees whole-document
+    co-occurrence (topical affinity); the position window in between is
+    what phrase detectors actually train on.
+
+    Scale shape — and the reason this is NOT the doc-level PMI join:
+    pair events come from an EQUI-join of the position frame against
+    itself on (doc_id, pos + offset) with offset exploded to {{1, 2}},
+    so output is exactly ≤2 rows per token — LINEAR in corpus tokens,
+    with no per-document quadratic blowup and therefore no need for the
+    doc-size cap the document-level form carries.  Totals ride as a
+    broadcast one-row frame; unigram counts join back onto the
+    min-support survivors only."""
+    docs = table(spark, sf_dir, "documents")
+    p = (docs.select("doc_id",
+                     F.posexplode(F.split("text", " "))
+                     .alias("pos", "tok")))
+    left = (p.select("doc_id", "pos", F.col("tok").alias("ltok"),
+                     F.explode(F.sequence(F.lit(1),
+                                          F.lit(COOC_MAX_DIST)))
+                     .alias("off"))
+            .select("doc_id", F.col("ltok"),
+                    (F.col("pos") + F.col("off")).alias("rpos")))
+    ev = (left.join(p.select("doc_id", F.col("pos").alias("rpos"),
+                             F.col("tok").alias("rtok")),
+                    ["doc_id", "rpos"])
+          .select(F.least("ltok", "rtok").alias("tok_a"),
+                  F.greatest("ltok", "rtok").alias("tok_b")))
+    # Totals computed ANALYTICALLY from per-doc token counts (pair
+    # events per doc = (n-1) + (n-2), clamped) — a tiny aggregate over
+    # the doc frame instead of a second full pass over the exploded
+    # pair-event frame (measured: the COUNT(ev) form re-ran the
+    # explode+join pipeline twice).
+    nl = F.size(F.split("text", " "))
+    tot = F.broadcast(docs.agg(
+        F.sum(nl).alias("tt"),
+        F.sum(F.greatest(nl - 1, F.lit(0))
+              + F.greatest(nl - 2, F.lit(0))).alias("pp")))
+    uni = p.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    pairs = (ev.groupBy("tok_a", "tok_b")
+             .agg(F.count(F.lit(1)).alias("c_ab"))
+             .filter(F.col("c_ab") >= COOC_MIN_SUPPORT))
+    ua = uni.select(F.col("tok").alias("tok_a"), F.col("c").alias("ca"))
+    ub = uni.select(F.col("tok").alias("tok_b"), F.col("c").alias("cb"))
+    pmi = F.log(F.lit(1.0) * F.col("c_ab") * F.col("tt") * F.col("tt")
+                / (F.lit(1.0) * F.col("pp") * F.col("ca") * F.col("cb")))
+    return (pairs.join(ua, "tok_a").join(ub, "tok_b").crossJoin(tot)
+            .select("tok_a", "tok_b", "c_ab",
+                    (F.round(pmi, 6) + F.lit(0.0)).alias("pmi"))
+            .orderBy(F.desc("pmi"), F.asc("tok_a"), F.asc("tok_b"))
+            .limit(20))
