@@ -762,3 +762,38 @@ def test_pq_maintained_codebook_encode_equals_inline(spark, tmp_path):
                  .orderBy("vec_id").collect())
     inline = S.vector_pq_encode(spark, sf).orderBy("vec_id").collect()
     assert [tuple(r) for r in via_table] == [tuple(r) for r in inline]
+
+
+def test_y4m_roundtrip_and_malformed_inputs():
+    """decode_y4m must invert encode_y4m exactly and reject malformed
+    streams (wrong magic, missing geometry, unsupported chroma, broken
+    FRAME marker, truncated frame) with ValueError — the same
+    error-path contract as the image decoder."""
+    import numpy as np
+    import pytest as _pytest
+
+    from etl_cloud_batch_processing_spark.operators.multimodal import (
+        decode_y4m,
+        encode_y4m,
+    )
+
+    rng = np.random.default_rng(7)
+    frames = [rng.integers(0, 256, size=(4, 8), dtype=np.uint8)
+              for _ in range(3)]
+    stream = encode_y4m(frames)
+    w, h, got = decode_y4m(stream)
+    assert (w, h, len(got)) == (8, 4, 3)
+    for a, b in zip(frames, got):
+        assert (a == b).all()
+
+    with _pytest.raises(ValueError, match="not a YUV4MPEG2"):
+        decode_y4m(b"RIFF....")
+    with _pytest.raises(ValueError, match="missing W/H"):
+        decode_y4m(b"YUV4MPEG2 F25:1\nFRAME\n")
+    with _pytest.raises(ValueError, match="unsupported chroma"):
+        decode_y4m(b"YUV4MPEG2 W8 H4 C444\nFRAME\n" + bytes(96))
+    with _pytest.raises(ValueError, match="FRAME marker"):
+        decode_y4m(stream[:len(stream) - 48 - 6] + b"JUNK!\n"
+                   + stream[len(stream) - 48:])
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_y4m(stream[:-5])
