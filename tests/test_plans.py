@@ -406,3 +406,33 @@ def test_line_dedup_sheds_text_before_window_shuffle(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert re.search(r"Exchange hashpartitioning\(h#\d+", plan), plan
     assert "line#" not in plan
+
+
+def test_pq_codebook_joins_broadcast(spark):
+    """PQ encode/search must join codebooks (and the ADC lookup table)
+    BROADCAST — a shuffled join against a 128-row codebook would
+    shuffle the full corpus for nothing."""
+    for name in ("vector_pq_encode", "vector_pq_adc_topk"):
+        plan = plan_of(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+
+
+def test_truncation_fidelity_pairs_on_bucket_key(spark):
+    """The fidelity report's pair join must include the self-tuning
+    md5 bucket in its join key (the linearity guarantee — SCALE.md
+    pathology: a label-only block went quadratic at 32×)."""
+    plan = plan_of(spark, "vector_truncation_fidelity")
+    keys = [ln for ln in plan.splitlines()
+            if "keys" in ln and "bkt" in ln]
+    assert keys, plan     # join KEYS include the bucket, not just a filter
+
+
+def test_window_pmi_pair_join_is_equi(spark):
+    """Skip-gram pair events must come from an EQUI-join on
+    (doc_id, pos+offset) — a nested-loop position-range join would be
+    per-document quadratic.  The ONLY nested-loop node allowed is the
+    one-row totals crossJoin (broadcast scalar pattern)."""
+    plan = plan_of(spark, "window_cooccurrence_pmi")
+    nodes = re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)
+    assert len(nodes) <= 1, plan
+    assert "CartesianProduct" not in plan
