@@ -577,3 +577,57 @@ def shingle_containment_pairs(spark: SparkSession,
             .orderBy(F.desc("_m"), F.asc("doc_a"), F.asc("doc_b"))
             .limit(20)
             .drop("_m"))
+
+
+# ---------------------------------------------------------------------------
+# Incremental near-dup: persisted band index + O(batch) probe/append.
+# ---------------------------------------------------------------------------
+
+def band_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key) — the exploded LSH band table of a
+    document frame, the unit both the index build and the incremental
+    probe share."""
+    mh = minhash_table(docs)
+    return mh.select(
+        "doc_id",
+        F.posexplode(F.array(*band_key_exprs())).alias("band", "band_key"))
+
+
+def build_minhash_band_index(docs: DataFrame, path: str) -> str:
+    """Maintenance half of INCREMENTAL near-dup: persist the corpus's
+    LSH band table.  At 100 TB this is written once (and appended per
+    ingest batch by :func:`append_to_band_index`); each new batch then
+    probes it with an equi-join instead of re-hashing the whole corpus
+    — the O(batch) form of the O(corpus) ``minhash_lsh_near_dup``.
+    Partitioned by ``band`` so a probe reads only matching band
+    partitions; on a real cluster, additionally bucket by ``band_key``
+    (sources.writers.write_overwrite ``bucket_by=``) to make the probe
+    join exchange-free."""
+    band_table(docs).write.mode("overwrite").partitionBy("band") \
+        .parquet(path)
+    return path
+
+
+def append_to_band_index(new_docs: DataFrame, path: str) -> None:
+    """Fold one ingest batch into the persisted index — O(batch) work,
+    the same accumulate-disposition as the pipelines' dt= appends."""
+    band_table(new_docs).write.mode("append").partitionBy("band") \
+        .parquet(path)
+
+
+def probe_band_index(spark: SparkSession, new_docs: DataFrame,
+                     path: str) -> DataFrame:
+    """Query half: near-dup CANDIDATES of a new batch against the
+    indexed corpus — (new_doc, indexed_doc, n_band_collisions), from
+    one equi-join of the batch's band table against the persisted one.
+    Only banded collisions move; the batch side is tiny, so AQE
+    broadcasts it and the probe never shuffles the index.  Exact
+    verification (Jaccard on shingle sets) then runs on the candidate
+    pairs only, exactly as in ``minhash_lsh_near_dup``."""
+    idx = spark.read.parquet(path)
+    nb = band_table(new_docs)
+    return (nb.join(idx.withColumnRenamed("doc_id", "indexed_doc"),
+                    ["band", "band_key"])
+            .filter(F.col("doc_id") != F.col("indexed_doc"))
+            .groupBy(F.col("doc_id").alias("new_doc"), "indexed_doc")
+            .agg(F.count(F.lit(1)).alias("n_band_collisions")))

@@ -797,3 +797,39 @@ def test_y4m_roundtrip_and_malformed_inputs():
                    + stream[len(stream) - 48:])
     with _pytest.raises(ValueError, match="truncated"):
         decode_y4m(stream[:-5])
+
+
+def test_incremental_band_index_probe_equals_batch(spark, tmp_path):
+    """Split the corpus into an indexed 'old' half and a 'new' batch:
+    probing the persisted band index with the batch must surface
+    exactly the (new, old) collision pairs the full-batch LSH band join
+    produces — and appending the batch then makes the index answer for
+    the whole corpus."""
+    from etl_cloud_batch_processing_spark.operators import dedup as D
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    cut = 400
+    old = docs.filter(F.col("doc_id") < cut)
+    new = docs.filter(F.col("doc_id") >= cut)
+
+    idx = D.build_minhash_band_index(old, str(tmp_path / "band_index"))
+    probed = {(r["new_doc"], r["indexed_doc"])
+              for r in D.probe_band_index(spark, new, idx).collect()}
+
+    full = D.band_table(docs)
+    a, b = full.alias("a"), full.alias("b")
+    batch_pairs = {(r["na"], r["oa"]) for r in
+                   (a.join(b, (F.col("a.band") == F.col("b.band"))
+                           & (F.col("a.band_key") == F.col("b.band_key"))
+                           & (F.col("a.doc_id") >= cut)
+                           & (F.col("b.doc_id") < cut))
+                    .select(F.col("a.doc_id").alias("na"),
+                            F.col("b.doc_id").alias("oa"))
+                    .distinct().collect())}
+    assert probed == batch_pairs and probed  # non-empty on the fixture
+
+    D.append_to_band_index(new, idx)
+    n_idx = spark.read.parquet(idx).select("doc_id").distinct().count()
+    assert n_idx == docs.filter(
+        F.size(F.split("text", " ")) >= 3).count()
