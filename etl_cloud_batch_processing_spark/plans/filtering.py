@@ -877,3 +877,134 @@ def window_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.round(pmi, 6) + F.lit(0.0)).alias("pmi"))
             .orderBy(F.desc("pmi"), F.asc("tok_a"), F.asc("tok_b"))
             .limit(20))
+
+
+#: Token budget as a fraction of total corpus tokens for the mixture
+#: allocation plan.
+BUDGET_FRACTION = 0.2
+
+_DUCK_QUALITY = """
+        least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.5
+        + (CAST(len(list_distinct(toks)) AS DOUBLE)
+           / CAST(len(toks) AS DOUBLE)) * 0.3
+        + (1.0 - CAST(len(list_filter(toks,
+                      x -> x IN ('a', 'the'))) AS DOUBLE)
+               / CAST(len(toks) AS DOUBLE)) * 0.2
+"""
+
+
+@query(
+    "weighted_token_budget_allocation",
+    oracle=f"""
+    WITH d AS (
+        SELECT source, string_split(text, ' ') AS toks FROM documents),
+    s AS (
+        SELECT source,
+               CAST(SUM(len(toks)) AS DOUBLE) AS avail,
+               AVG({_DUCK_QUALITY}) AS w
+        FROM d GROUP BY source),
+    t AS (SELECT SUM(avail) AS tot_avail, SUM(w) AS wsum FROM s),
+    r AS (
+        SELECT s.*, t.wsum, {BUDGET_FRACTION} * t.tot_avail AS budget,
+               s.avail / s.w AS ratio
+        FROM s, t),
+    f AS (
+        SELECT *,
+               COALESCE(SUM(avail) OVER win, 0.0) AS exc_avail,
+               COALESCE(SUM(w) OVER win, 0.0) AS exc_w
+        FROM r
+        WINDOW win AS (ORDER BY ratio ASC, source ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING)),
+    g AS (
+        SELECT *,
+               avail <= (budget - exc_avail) / (wsum - exc_w) * w
+                   AS saturated
+        FROM f),
+    fin AS (
+        SELECT SUM(CASE WHEN saturated THEN avail ELSE 0.0 END)
+                   AS sat_avail,
+               SUM(CASE WHEN saturated THEN 0.0 ELSE w END) AS unsat_w
+        FROM g)
+    SELECT g.source,
+           CAST(g.avail AS BIGINT) AS avail_tokens,
+           ROUND(g.w, 6) + 0.0 AS weight,
+           g.saturated,
+           ROUND(CASE WHEN g.saturated THEN g.avail
+                      ELSE (g.budget - fin.sat_avail) / fin.unsat_w * g.w
+                 END, 6) + 0.0 AS allocated_tokens,
+           ROUND(CASE WHEN g.saturated THEN g.avail
+                      ELSE (g.budget - fin.sat_avail) / fin.unsat_w * g.w
+                 END / g.avail, 6) + 0.0 AS keep_rate
+    FROM g, fin
+    """,
+)
+def weighted_token_budget_allocation(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """Mixture planning by WATERFILLING: split a global token budget
+    (``BUDGET_FRACTION`` of the corpus) across sources proportionally
+    to a per-source quality weight, capped at each source's
+    availability, with the excess redistributed to the remaining
+    sources — allocated_s = min(avail_s, λ·w_s) with λ solving
+    Σ allocated = budget.  This is the planning step that produces the
+    per-source keep-rates ``mixture_sampling`` then applies; capping at
+    availability is what a plain proportional split gets wrong (it
+    silently over-asks small high-quality sources and under-uses the
+    budget).
+
+    The saturation point is found closed-form, not iteratively:
+    sources sorted by avail/w saturate in order, so a running
+    (exclusive) prefix sum decides each source's side of the boundary
+    and one conditional aggregate yields the final λ.  Scale shape:
+    the ONLY corpus-scale work is the per-source token/quality
+    aggregate (one scan, partial-agg); everything after runs on the
+    source-grain frame — a config-scale dimension (tens to thousands
+    of rows), which is why its unpartitioned window is acceptable
+    where a user- or doc-grain one would not be (SCALE.md window
+    rule)."""
+    from etl_cloud_batch_processing_spark.functions.text import (
+        quality_score,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    per_src = (docs.select(
+        "source",
+        F.size(F.split("text", " ")).alias("n_tok"),
+        quality_score("text").alias("q"))
+        .groupBy("source")
+        .agg(F.sum("n_tok").cast("double").alias("avail"),
+             F.avg("q").alias("w")))
+    tot = F.broadcast(per_src.agg(F.sum("avail").alias("tot_avail"),
+                                  F.sum("w").alias("wsum")))
+    r = (per_src.crossJoin(tot)
+         .select("source", "avail", "w", "wsum",
+                 (F.lit(BUDGET_FRACTION) * F.col("tot_avail"))
+                 .alias("budget"),
+                 (F.col("avail") / F.col("w")).alias("ratio")))
+    win = (Window.orderBy(F.asc("ratio"), F.asc("source"))
+           .rowsBetween(Window.unboundedPreceding, -1))
+    g = r.select(
+        "*",
+        F.coalesce(F.sum("avail").over(win), F.lit(0.0)).alias("exc_avail"),
+        F.coalesce(F.sum("w").over(win), F.lit(0.0)).alias("exc_w"))
+    g = g.withColumn(
+        "saturated",
+        F.col("avail") <= (F.col("budget") - F.col("exc_avail"))
+        / (F.col("wsum") - F.col("exc_w")) * F.col("w"))
+    fin = F.broadcast(g.agg(
+        F.sum(F.when(F.col("saturated"), F.col("avail"))
+              .otherwise(F.lit(0.0))).alias("sat_avail"),
+        F.sum(F.when(F.col("saturated"), F.lit(0.0))
+              .otherwise(F.col("w"))).alias("unsat_w")))
+    alloc = F.when(F.col("saturated"), F.col("avail")).otherwise(
+        (F.col("budget") - F.col("sat_avail")) / F.col("unsat_w")
+        * F.col("w"))
+    return (g.crossJoin(fin)
+            .select("source",
+                    F.col("avail").cast("bigint").alias("avail_tokens"),
+                    (F.round("w", 6) + F.lit(0.0)).alias("weight"),
+                    "saturated",
+                    (F.round(alloc, 6) + F.lit(0.0))
+                    .alias("allocated_tokens"),
+                    (F.round(alloc / F.col("avail"), 6) + F.lit(0.0))
+                    .alias("keep_rate")))

@@ -833,3 +833,27 @@ def test_incremental_band_index_probe_equals_batch(spark, tmp_path):
     n_idx = spark.read.parquet(idx).select("doc_id").distinct().count()
     assert n_idx == docs.filter(
         F.size(F.split("text", " ")) >= 3).count()
+
+
+def test_budget_allocation_waterfilling_invariants(spark):
+    """The waterfilling plan must (1) spend exactly the budget,
+    (2) never allocate beyond a source's availability, (3) give every
+    saturated source keep_rate 1.0, and (4) give all unsaturated
+    sources allocations proportional to their weights (shared λ)."""
+    from etl_cloud_batch_processing_spark.plans import filtering as FL
+
+    sf = "/root/testdata/sf0.001"
+    rows = FL.weighted_token_budget_allocation(spark, sf).collect()
+    total_avail = sum(r["avail_tokens"] for r in rows)
+    spent = sum(r["allocated_tokens"] for r in rows)
+    assert abs(spent - FL.BUDGET_FRACTION * total_avail) < 1e-3
+    lams = []
+    for r in rows:
+        assert 0 < r["keep_rate"] <= 1.0 + 1e-9
+        assert r["allocated_tokens"] <= r["avail_tokens"] + 1e-6
+        if r["saturated"]:
+            assert r["keep_rate"] == 1.0
+        else:
+            lams.append(r["allocated_tokens"] / r["weight"])
+    if lams:   # shared water level across all unsaturated sources
+        assert max(lams) - min(lams) < 1e-2
