@@ -2711,3 +2711,43 @@ def value_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (events.crossJoin(mm)
             .groupBy("event_type", bucket.alias("bucket"))
             .agg(F.count(F.lit(1)).alias("n")))
+
+
+@query(
+    "yearly_revenue_growth",
+    oracle="""
+    WITH y AS (
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS year,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DOUBLE) AS revenue,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY 1)
+    SELECT year, revenue, n_orders,
+           ROUND((revenue - LAG(revenue) OVER (ORDER BY year))
+                 / LAG(revenue) OVER (ORDER BY year), 6) + 0.0
+               AS yoy_growth
+    FROM y
+    """,
+)
+def yearly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth: the lag-over-aggregated-grain
+    reporting shape (aggregate to a coarse grain first, THEN window
+    over the handful of result rows).  Revenue sums in DECIMAL(18,2)
+    so the money total is exact and summation-order-independent; the
+    growth ratio is computed on the already-aggregated year frame.
+
+    Scale: the corpus-scale work is one partial-aggregated groupBy to
+    ~7 rows; the unpartitioned lag window runs on the YEAR grain — a
+    calendar-bounded dimension, which is the only place a global
+    window is acceptable (same argument as the source-grain budget
+    plan)."""
+    orders = table(spark, sf_dir, "orders")
+    y = (orders.groupBy(F.year("o_orderdate").cast("bigint").alias("year"))
+         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+              .cast("double").alias("revenue"),
+              F.count(F.lit(1)).alias("n_orders")))
+    w = Window.orderBy("year")
+    growth = (F.col("revenue") - F.lag("revenue").over(w)) \
+        / F.lag("revenue").over(w)
+    return y.select("year", "revenue", "n_orders",
+                    (F.round(growth, 6) + F.lit(0.0)).alias("yoy_growth"))
