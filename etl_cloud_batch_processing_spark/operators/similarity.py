@@ -985,3 +985,168 @@ def pq_encode_with_codebook(spark: SparkSession, sf_dir: str,
             .agg(codes.alias("codes_csv"),
                  (F.round(F.sum("dist"), 6) + F.lit(0.0))
                  .alias("recon_err")))
+
+
+@query(
+    "vector_ivf_pq_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding,
+                      list_transform(embedding, v -> CAST(v AS DOUBLE))
+                          AS emb
+               FROM embeddings),
+    cents AS (
+        SELECT vec_id AS ccid, embedding AS cvec
+        FROM embeddings WHERE vec_id < {N_CELLS}),
+    assign AS (
+        SELECT e.vec_id, c.ccid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {V.duckdb_cosine_sql('e.embedding', 'c.cvec')}
+                            DESC, c.ccid ASC) AS crnk
+        FROM e CROSS JOIN cents c),
+    cells AS (SELECT vec_id, ccid AS cell FROM assign WHERE crnk = 1),
+    probes AS (SELECT vec_id AS query_id, ccid AS cell
+               FROM assign WHERE crnk <= {N_PROBE} AND vec_id < 5),
+    s AS (SELECT vec_id, sub,
+                 list_slice(emb, sub * {PQ_SUBDIM} + 1,
+                            sub * {PQ_SUBDIM} + {PQ_SUBDIM}) AS sv
+          FROM e, (SELECT unnest(range(0, {PQ_SUBS})) AS sub) t),
+    c0 AS (SELECT sub,
+                  ROW_NUMBER() OVER (PARTITION BY sub
+                                     ORDER BY vec_id) - 1 AS cid,
+                  sv AS cv
+           FROM s WHERE vec_id IN (SELECT vec_id FROM e
+                                   ORDER BY vec_id LIMIT {PQ_K})),
+    a1 AS (SELECT vec_id, sub, cid FROM (
+               SELECT s.vec_id, s.sub, c.cid,
+                      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+                          ORDER BY {_PQ_DIST} ASC, c.cid ASC) AS rn
+               FROM s JOIN c0 c USING (sub)) WHERE rn = 1),
+    c1 AS (SELECT sub, cid, list(m ORDER BY pos) AS cv FROM (
+               SELECT a.sub, a.cid, r.d AS pos,
+                      ROUND(AVG(s.sv[r.d]), 6) AS m
+               FROM a1 a JOIN s ON a.vec_id = s.vec_id AND a.sub = s.sub
+               CROSS JOIN (SELECT unnest(range(1, {PQ_SUBDIM + 1}))
+                           AS d) r
+               GROUP BY a.sub, a.cid, r.d)
+           GROUP BY sub, cid),
+    codes AS (SELECT vec_id, sub, cid FROM (
+               SELECT s.vec_id, s.sub, c.cid,
+                      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+                          ORDER BY {_PQ_DIST} ASC, c.cid ASC) AS rn
+               FROM s JOIN c1 c USING (sub)) WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 5),
+    qs AS (SELECT query_id, sub,
+                  list_slice(qe, sub * {PQ_SUBDIM} + 1,
+                             sub * {PQ_SUBDIM} + {PQ_SUBDIM}) AS qv
+           FROM q, (SELECT unnest(range(0, {PQ_SUBS})) AS sub) t),
+    lut AS (SELECT qs.query_id, c.sub, c.cid, {_PQ_QDIST} AS pd
+            FROM qs JOIN c1 c USING (sub)),
+    cand AS (
+        SELECT p.query_id, m.vec_id
+        FROM probes p JOIN cells m ON p.cell = m.cell
+        WHERE m.vec_id <> p.query_id),
+    adc AS (
+        SELECT cand.query_id, cand.vec_id, SUM(l.pd) AS adc_raw
+        FROM cand
+        JOIN codes ON codes.vec_id = cand.vec_id
+        JOIN lut l ON l.query_id = cand.query_id
+                  AND l.sub = codes.sub AND l.cid = codes.cid
+        GROUP BY cand.query_id, cand.vec_id)
+    SELECT query_id, vec_id,
+           ROUND(adc_raw, 6) + 0.0 AS adc_dist, rnk
+    FROM (SELECT query_id, vec_id, adc_raw,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY ROUND(adc_raw, 6) ASC, vec_id ASC) AS rnk
+          FROM adc)
+    WHERE rnk <= 5
+    """,
+)
+def vector_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full IVF-PQ search — the standard billion-vector ANN index,
+    composed end-to-end from this module's parts: the coarse quantizer
+    partitions the corpus into cells (``ivf_ann_topk``'s deterministic
+    sampled centroids), each query probes its ``N_PROBE`` nearest
+    cells, and the in-cell candidates are scored by PQ asymmetric
+    distance on their 8 codes against the query's broadcast lookup
+    table (``vector_pq_adc_topk``'s ADC).  Top-5 per query.
+
+    Work per query = corpus × (nprobe/k) candidate LOOKUPS of 8 code
+    table entries — versus corpus × 64 float multiplies for exact
+    search: the two reductions (candidate count via IVF, per-candidate
+    cost via PQ) multiply, which is why this composition is the
+    industry-standard index.  Classic simplification kept here: PQ
+    encodes raw vectors, not cell residuals — the plan shape is
+    identical, only the codebook input changes.  Everything stays
+    deterministic (sampled centroids, seeded codebooks, 6-decimal
+    codebook rounding, rounded-ADC ranking), so the WHOLE index —
+    build + search — is value-checked against the DuckDB twin."""
+    emb = (ptable(spark, sf_dir, "embeddings")
+           .withColumn("nrm", F.sqrt(V.dot("embedding", "embedding")))
+           .withColumn("emb", F.transform(
+               "embedding", lambda v: v.cast("double"))))
+    # --- coarse quantizer (cells + probes), cosine metric -------------
+    cents = F.broadcast(
+        emb.filter(F.col("vec_id") < N_CELLS)
+        .select(F.col("vec_id").alias("ccid"),
+                F.col("embedding").alias("cvec"),
+                F.col("nrm").alias("cnrm")))
+    ccos = V.dot("embedding", "cvec") / (F.col("nrm") * F.col("cnrm"))
+    cw = Window.partitionBy("vec_id").orderBy(F.desc("ccos"),
+                                              F.asc("ccid"))
+    assign = (emb.join(cents)
+              .select("vec_id", "ccid", ccos.alias("ccos"))
+              .withColumn("crnk", F.row_number().over(cw)))
+    cells = (assign.filter(F.col("crnk") == 1)
+             .select("vec_id", F.col("ccid").alias("cell")))
+    probes = F.broadcast(
+        assign.filter((F.col("crnk") <= N_PROBE) & (F.col("vec_id") < 5))
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("ccid").alias("cell")))
+    # --- PQ codes + per-query LUT (shared helpers) --------------------
+    subs = (emb.select(
+        "vec_id", "emb",
+        F.explode(F.sequence(F.lit(0), F.lit(PQ_SUBS - 1))).alias("sub"))
+        .select("vec_id", "sub",
+                F.slice("emb", F.col("sub") * PQ_SUBDIM + 1,
+                        PQ_SUBDIM).alias("sv")))
+    seed_ids = F.broadcast(emb.orderBy("vec_id").limit(PQ_K)
+                           .select("vec_id"))
+    wseed = Window.partitionBy("sub").orderBy("vec_id")
+    c0 = (subs.join(seed_ids, "vec_id")
+          .select("sub",
+                  (F.row_number().over(wseed) - 1).cast("bigint")
+                  .alias("cid"),
+                  F.col("sv").alias("cv")))
+    c1 = _pq_update(_pq_assign(subs, c0))
+    codes = _pq_assign(subs, c1).select("vec_id", "sub", "cid")
+    qsubs = (emb.filter(F.col("vec_id") < 5)
+             .select(F.col("vec_id").alias("query_id"), "emb")
+             .select("query_id",
+                     F.explode(F.sequence(F.lit(0),
+                                          F.lit(PQ_SUBS - 1))).alias("sub"),
+                     "emb")
+             .select("query_id", "sub",
+                     F.slice("emb", F.col("sub") * PQ_SUBDIM + 1,
+                             PQ_SUBDIM).alias("qv")))
+    pd = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"),
+                   lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    lut = (qsubs.join(F.broadcast(c1), "sub")
+           .select("query_id", "sub", "cid", pd.alias("pd")))
+    # --- probe + ADC score --------------------------------------------
+    cand = (probes.join(cells, "cell")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "vec_id"))
+    adc = (cand.join(codes, "vec_id")
+           .join(F.broadcast(lut), ["query_id", "sub", "cid"])
+           .groupBy("query_id", "vec_id")
+           .agg(F.sum("pd").alias("adc_raw")))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("vec_id"))
+    return (adc.select("query_id", "vec_id",
+                       (F.round("adc_raw", 6) + F.lit(0.0))
+                       .alias("adc_dist"))
+            .withColumn("rnk", F.row_number().over(wq))
+            .filter(F.col("rnk") <= 5))
