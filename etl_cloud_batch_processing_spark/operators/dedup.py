@@ -599,20 +599,32 @@ def build_minhash_band_index(docs: DataFrame, path: str) -> str:
     ingest batch by :func:`append_to_band_index`); each new batch then
     probes it with an equi-join instead of re-hashing the whole corpus
     — the O(batch) form of the O(corpus) ``minhash_lsh_near_dup``.
-    Partitioned by ``band`` so a probe reads only matching band
-    partitions; on a real cluster, additionally bucket by ``band_key``
+    Partitioned by ``ingest`` (batch id, ``base`` for the initial
+    build) then ``band``: a probe reads only matching band partitions,
+    and every batch lands in its own overwritable partition.  On a
+    real cluster, additionally bucket by ``band_key``
     (sources.writers.write_overwrite ``bucket_by=``) to make the probe
     join exchange-free."""
-    band_table(docs).write.mode("overwrite").partitionBy("band") \
-        .parquet(path)
+    (band_table(docs).withColumn("ingest", F.lit("base"))
+     .write.mode("overwrite").partitionBy("ingest", "band")
+     .parquet(path))
     return path
 
 
-def append_to_band_index(new_docs: DataFrame, path: str) -> None:
+def append_to_band_index(new_docs: DataFrame, path: str,
+                         batch_id: str = "batch") -> None:
     """Fold one ingest batch into the persisted index — O(batch) work,
-    the same accumulate-disposition as the pipelines' dt= appends."""
-    band_table(new_docs).write.mode("append").partitionBy("band") \
-        .parquet(path)
+    with the same IDEMPOTENT retry disposition as the pipelines' dt=
+    partition overwrites: the batch writes into its own
+    ``ingest=batch_id`` partition with dynamic partition-overwrite, so
+    a retried or re-run batch REPLACES its prior rows instead of
+    duplicating them (a plain append would double every band row and
+    inflate ``probe_band_index``'s collision counts)."""
+    (band_table(new_docs).withColumn("ingest", F.lit(batch_id))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("ingest", "band")
+     .parquet(path))
 
 
 def probe_band_index(spark: SparkSession, new_docs: DataFrame,

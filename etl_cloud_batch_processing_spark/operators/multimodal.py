@@ -611,6 +611,8 @@ def decode_y4m(content: bytes):
         if content[pos:pos + 5] != b"FRAME":
             raise ValueError(f"expected FRAME marker at offset {pos}")
         fnl = content.find(b"\n", pos)     # frame params up to newline
+        if fnl < 0:
+            raise ValueError("unterminated FRAME header")
         data = fnl + 1
         if data + ybytes + 2 * cbytes > len(content):
             raise ValueError("truncated frame")
@@ -655,6 +657,18 @@ def make_video_decoder():
     return decode_stats
 
 
+def _video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared decoded-frame stage for the video query family: payload
+    bytes → y4m encode→parse round trip → one row per (media_id,
+    frame_no) with luma mean/peak.  Every video query composes on top
+    of this frame so the codec path has exactly one definition."""
+    media = attach_media(table(spark, sf_dir, "documents"))
+    par = spark.sparkContext.defaultParallelism
+    return (media.select("media_id", "content")
+            .repartition(par)
+            .mapInPandas(make_video_decoder(), schema=VIDEO_SCHEMA))
+
+
 @query(
     "video_frame_luma_stats",
     oracle=f"""
@@ -693,11 +707,7 @@ def video_frame_luma_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload size, payload column pruned for metadata-only readers;
     compressed codecs (H.264 etc.) route to an external decoder behind
     the same mapInPandas signature."""
-    media = attach_media(table(spark, sf_dir, "documents"))
-    par = spark.sparkContext.defaultParallelism
-    frames = (media.select("media_id", "content")
-              .repartition(par)
-              .mapInPandas(make_video_decoder(), schema=VIDEO_SCHEMA))
+    frames = _video_frames(spark, sf_dir)
     return frames.select("media_id", "frame_no",
                          F.round("luma_mean", 6).alias("luma_mean"),
                          "luma_peak")
@@ -752,11 +762,7 @@ def video_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     (mapInPandas, Arrow batches), then a media-partitioned lag window
     and one aggregate — no Python beyond the codec, no unpartitioned
     windows, output one fixed-width row per media."""
-    media = attach_media(table(spark, sf_dir, "documents"))
-    par = spark.sparkContext.defaultParallelism
-    frames = (media.select("media_id", "content")
-              .repartition(par)
-              .mapInPandas(make_video_decoder(), schema=VIDEO_SCHEMA))
+    frames = _video_frames(spark, sf_dir)
     w = Window.partitionBy("media_id").orderBy("frame_no")
     delta = F.col("luma_mean") - F.lag("luma_mean").over(w)
     d = frames.select("media_id", "frame_no",
@@ -767,3 +773,77 @@ def video_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("n_boundaries"),
                  (F.round(F.max(F.abs("delta")), 6) + F.lit(0.0))
                  .alias("max_delta")))
+
+
+@query(
+    "video_shot_keyframes",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id AS media_id,
+               list_transform(range(1, length(text) + 1),
+                              i -> ord(text[i])) AS bs,
+               length(text) // {VID_YBYTES} AS nf
+        FROM documents),
+    f AS (
+        SELECT media_id, unnest(range(0, nf)) AS frame_no, bs
+        FROM b WHERE nf > 0),
+    m AS (
+        SELECT media_id, frame_no,
+               list_sum(list_slice(bs, frame_no * {VID_YBYTES} + 1,
+                                   frame_no * {VID_YBYTES}
+                                   + {VID_YBYTES}))
+               / {VID_YBYTES}.0 AS luma
+        FROM f),
+    d AS (
+        SELECT media_id, frame_no, luma,
+               luma - LAG(luma) OVER (PARTITION BY media_id
+                                      ORDER BY frame_no) AS delta
+        FROM m),
+    s AS (
+        SELECT media_id, frame_no, luma,
+               SUM(CASE WHEN ABS(delta) > {SHOT_LUMA_DELTA}
+                        THEN 1 ELSE 0 END)
+               OVER (PARTITION BY media_id ORDER BY frame_no) AS shot_no
+        FROM d)
+    SELECT media_id,
+           CAST(shot_no AS BIGINT) AS shot_no,
+           CAST(MIN(frame_no) AS BIGINT) AS keyframe_no,
+           CAST(COUNT(*) AS BIGINT) AS shot_len,
+           ROUND(arg_min(luma, frame_no), 6) + 0.0 AS keyframe_luma
+    FROM s GROUP BY media_id, shot_no
+    """,
+)
+def video_shot_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-aware keyframe sampling: the query the shot detector
+    exists for.  Frames are segmented into shots (a new shot starts at
+    frame 0 and at every hard cut where the frame-over-frame mean-luma
+    jump exceeds ``SHOT_LUMA_DELTA`` — same detector as
+    ``video_shot_boundaries``), then ONE keyframe per shot is emitted:
+    the shot's first frame, with the shot length and the keyframe's
+    luma.  One-frame-per-shot beats every-Nth-frame sampling for
+    training-data diversity — repeated near-identical frames inside a
+    shot collapse to a single exemplar.
+
+    Plan shape: the shared decoded-frame stage
+    (:func:`_video_frames`), a media-partitioned lag window for the
+    deltas, a running-sum window for the shot id (both windows share
+    the same partitioning, so one shuffle serves both), and a
+    fixed-width groupBy — no Python beyond the codec, output rows
+    bounded by the number of detected shots.  Deltas are exact
+    (integer byte sums / 32 = power-of-two divide), so the boundary
+    predicate cannot flip between engines."""
+    frames = _video_frames(spark, sf_dir)
+    w = Window.partitionBy("media_id").orderBy("frame_no")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    delta = F.col("luma_mean") - F.lag("luma_mean").over(w)
+    d = frames.select("media_id", "frame_no", "luma_mean",
+                      delta.alias("delta"))
+    s = d.select(
+        "media_id", "frame_no", "luma_mean",
+        F.sum(F.when(F.abs("delta") > SHOT_LUMA_DELTA, 1).otherwise(0))
+        .over(run).alias("shot_no"))
+    return (s.groupBy("media_id", "shot_no")
+            .agg(F.min("frame_no").alias("keyframe_no"),
+                 F.count(F.lit(1)).alias("shot_len"),
+                 (F.round(F.min_by("luma_mean", "frame_no"), 6)
+                  + F.lit(0.0)).alias("keyframe_luma")))

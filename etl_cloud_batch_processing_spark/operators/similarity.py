@@ -534,8 +534,46 @@ PQ_SUBS = 8       # subspaces: 64 dims -> 8 blocks of 8
 PQ_SUBDIM = 8
 PQ_K = 16         # codes per subspace -> 8 x 4-bit codes per vector
 
-_PQ_DIST = ("list_sum(list_transform(range(1, 9), "
+# Oracle-side distance expressions derive their loop bounds from the
+# same PQ geometry constants the Spark plans use, so changing
+# PQ_SUBS/PQ_SUBDIM desynchronizes loudly (row mismatches) instead of
+# silently scoring the wrong number of dimensions.
+_PQ_DIST = (f"list_sum(list_transform(range(1, {PQ_SUBDIM + 1}), "
             "d -> (s.sv[d] - c.cv[d]) * (s.sv[d] - c.cv[d])))")
+
+
+def _pq_subs(emb: DataFrame) -> DataFrame:
+    """Explode a (vec_id, emb) frame into (vec_id, sub, sv) subvector
+    rows — PQ_SUBS rows per vector, each PQ_SUBDIM doubles wide, the
+    same TOTAL width as the input."""
+    return (emb.select(
+        "vec_id", "emb",
+        F.explode(F.sequence(F.lit(0), F.lit(PQ_SUBS - 1))).alias("sub"))
+        .select("vec_id", "sub",
+                F.slice("emb", F.col("sub") * PQ_SUBDIM + 1,
+                        PQ_SUBDIM).alias("sv")))
+
+
+def _pq_train(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The ONE deterministic PQ training procedure (seed from the PQ_K
+    lowest vec_ids per subspace, one unrolled Lloyd assign+update with
+    6-decimal codebook rounding).  Returns ``(subs, c1)`` — the
+    exploded subvector frame and the trained (sub, cid, cv) codebook —
+    shared by ``vector_pq_encode``, ``vector_pq_adc_topk``,
+    ``vector_ivf_pq_topk`` and ``train_pq_codebook`` so the training
+    block has exactly one definition (the DuckDB oracles mirror this
+    same procedure)."""
+    subs = _pq_subs(emb)
+    seed_ids = F.broadcast(emb.orderBy("vec_id").limit(PQ_K)
+                           .select("vec_id"))
+    wseed = Window.partitionBy("sub").orderBy("vec_id")
+    c0 = (subs.join(seed_ids, "vec_id")
+          .select("sub",
+                  (F.row_number().over(wseed) - 1).cast("bigint")
+                  .alias("cid"),
+                  F.col("sv").alias("cv")))
+    c1 = _pq_update(_pq_assign(subs, c0))
+    return subs, c1
 
 
 def _pq_assign(subs: DataFrame, cents: DataFrame) -> DataFrame:
@@ -640,22 +678,7 @@ def vector_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select("vec_id",
                    F.transform("embedding",
                                lambda v: v.cast("double")).alias("emb")))
-    subs = (emb.select(
-        "vec_id", "emb",
-        F.explode(F.sequence(F.lit(0), F.lit(PQ_SUBS - 1))).alias("sub"))
-        .select("vec_id", "sub",
-                F.slice("emb", F.col("sub") * PQ_SUBDIM + 1,
-                        PQ_SUBDIM).alias("sv")))
-    seed_ids = F.broadcast(emb.orderBy("vec_id").limit(PQ_K)
-                           .select("vec_id"))
-    wseed = Window.partitionBy("sub").orderBy("vec_id")
-    c0 = (subs.join(seed_ids, "vec_id")
-          .select("sub",
-                  (F.row_number().over(wseed) - 1).cast("bigint")
-                  .alias("cid"),
-                  F.col("sv").alias("cv")))
-    a1 = _pq_assign(subs, c0)
-    c1 = _pq_update(a1)
+    subs, c1 = _pq_train(emb)
     a2 = _pq_assign(subs, c1)
     codes = F.concat_ws(
         ",", F.transform(F.array_sort(F.collect_list(F.struct("sub", "cid"))),
@@ -666,9 +689,9 @@ def vector_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("recon_err")))
 
 
-_PQ_QDIST = ("list_sum(list_transform(range(1, 9), "
+_PQ_QDIST = (f"list_sum(list_transform(range(1, {PQ_SUBDIM + 1}), "
              "d -> (qs.qv[d] - c.cv[d]) * (qs.qv[d] - c.cv[d])))")
-_PQ_EXACT = ("list_sum(list_transform(range(1, 65), "
+_PQ_EXACT = (f"list_sum(list_transform(range(1, {PQ_SUBS * PQ_SUBDIM + 1}), "
              "d -> (q.qe[d] - e.emb[d]) * (q.qe[d] - e.emb[d])))")
 
 
@@ -755,29 +778,15 @@ def vector_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select("vec_id",
                    F.transform("embedding",
                                lambda v: v.cast("double")).alias("emb")))
-    sub_seq = F.explode(F.sequence(F.lit(0), F.lit(PQ_SUBS - 1))).alias("sub")
-    subs = (emb.select("vec_id", "emb", sub_seq)
-            .select("vec_id", "sub",
-                    F.slice("emb", F.col("sub") * PQ_SUBDIM + 1,
-                            PQ_SUBDIM).alias("sv")))
-    seed_ids = F.broadcast(emb.orderBy("vec_id").limit(PQ_K)
-                           .select("vec_id"))
-    wseed = Window.partitionBy("sub").orderBy("vec_id")
-    c0 = (subs.join(seed_ids, "vec_id")
-          .select("sub",
-                  (F.row_number().over(wseed) - 1).cast("bigint")
-                  .alias("cid"),
-                  F.col("sv").alias("cv")))
-    c1 = _pq_update(_pq_assign(subs, c0))
+    subs, c1 = _pq_train(emb)
     codes = _pq_assign(subs, c1).select("vec_id", "sub", "cid")
 
     qe = emb.filter(F.col("vec_id") < 5) \
             .select(F.col("vec_id").alias("query_id"),
                     F.col("emb").alias("qe"))
-    qsubs = (qe.select("query_id", "qe", sub_seq)
-             .select("query_id", "sub",
-                     F.slice("qe", F.col("sub") * PQ_SUBDIM + 1,
-                             PQ_SUBDIM).alias("qv")))
+    qsubs = (_pq_subs(emb.filter(F.col("vec_id") < 5))
+             .select(F.col("vec_id").alias("query_id"), "sub",
+                     F.col("sv").alias("qv")))
     pd = F.aggregate(
         F.zip_with(F.col("qv"), F.col("cv"),
                    lambda a, b: (a - b) * (a - b)),
@@ -940,21 +949,7 @@ def train_pq_codebook(spark: SparkSession, sf_dir: str,
            .select("vec_id",
                    F.transform("embedding",
                                lambda v: v.cast("double")).alias("emb")))
-    subs = (emb.select(
-        "vec_id", "emb",
-        F.explode(F.sequence(F.lit(0), F.lit(PQ_SUBS - 1))).alias("sub"))
-        .select("vec_id", "sub",
-                F.slice("emb", F.col("sub") * PQ_SUBDIM + 1,
-                        PQ_SUBDIM).alias("sv")))
-    seed_ids = F.broadcast(emb.orderBy("vec_id").limit(PQ_K)
-                           .select("vec_id"))
-    wseed = Window.partitionBy("sub").orderBy("vec_id")
-    c0 = (subs.join(seed_ids, "vec_id")
-          .select("sub",
-                  (F.row_number().over(wseed) - 1).cast("bigint")
-                  .alias("cid"),
-                  F.col("sv").alias("cv")))
-    c1 = _pq_update(_pq_assign(subs, c0))
+    _, c1 = _pq_train(emb)
     c1.write.mode("overwrite").parquet(out_path)
     return out_path
 
@@ -970,12 +965,7 @@ def pq_encode_with_codebook(spark: SparkSession, sf_dir: str,
            .select("vec_id",
                    F.transform("embedding",
                                lambda v: v.cast("double")).alias("emb")))
-    subs = (emb.select(
-        "vec_id", "emb",
-        F.explode(F.sequence(F.lit(0), F.lit(PQ_SUBS - 1))).alias("sub"))
-        .select("vec_id", "sub",
-                F.slice("emb", F.col("sub") * PQ_SUBDIM + 1,
-                        PQ_SUBDIM).alias("sv")))
+    subs = _pq_subs(emb)
     c1 = spark.read.parquet(codebook_path)
     a2 = _pq_assign(subs, c1)
     codes = F.concat_ws(
@@ -1104,31 +1094,11 @@ def vector_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("query_id"),
                 F.col("ccid").alias("cell")))
     # --- PQ codes + per-query LUT (shared helpers) --------------------
-    subs = (emb.select(
-        "vec_id", "emb",
-        F.explode(F.sequence(F.lit(0), F.lit(PQ_SUBS - 1))).alias("sub"))
-        .select("vec_id", "sub",
-                F.slice("emb", F.col("sub") * PQ_SUBDIM + 1,
-                        PQ_SUBDIM).alias("sv")))
-    seed_ids = F.broadcast(emb.orderBy("vec_id").limit(PQ_K)
-                           .select("vec_id"))
-    wseed = Window.partitionBy("sub").orderBy("vec_id")
-    c0 = (subs.join(seed_ids, "vec_id")
-          .select("sub",
-                  (F.row_number().over(wseed) - 1).cast("bigint")
-                  .alias("cid"),
-                  F.col("sv").alias("cv")))
-    c1 = _pq_update(_pq_assign(subs, c0))
+    subs, c1 = _pq_train(emb)
     codes = _pq_assign(subs, c1).select("vec_id", "sub", "cid")
-    qsubs = (emb.filter(F.col("vec_id") < 5)
-             .select(F.col("vec_id").alias("query_id"), "emb")
-             .select("query_id",
-                     F.explode(F.sequence(F.lit(0),
-                                          F.lit(PQ_SUBS - 1))).alias("sub"),
-                     "emb")
-             .select("query_id", "sub",
-                     F.slice("emb", F.col("sub") * PQ_SUBDIM + 1,
-                             PQ_SUBDIM).alias("qv")))
+    qsubs = (_pq_subs(emb.filter(F.col("vec_id") < 5))
+             .select(F.col("vec_id").alias("query_id"), "sub",
+                     F.col("sv").alias("qv")))
     pd = F.aggregate(
         F.zip_with(F.col("qv"), F.col("cv"),
                    lambda a, b: (a - b) * (a - b)),

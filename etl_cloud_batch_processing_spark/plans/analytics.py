@@ -2684,7 +2684,8 @@ def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH mm AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events)
     SELECT event_type,
            LEAST(CAST(FLOOR((value - mm.lo)
-                            / ((mm.hi - mm.lo) / 20.0)) AS BIGINT),
+                            / (GREATEST(mm.hi - mm.lo, 1e-12) / 20.0))
+                      AS BIGINT),
                  19) AS bucket,
            COUNT(*) AS n
     FROM events, mm
@@ -2701,11 +2702,15 @@ def value_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic, and the groupBy carries at most types×20 partially
     aggregated rows into the shuffle — at 100 TB the histogram costs
     exactly one scan.  The top edge folds into the last bucket
-    (LEAST(…, 19)) so value = max lands in bucket 19 on both engines."""
+    (LEAST(…, 19)) so value = max lands in bucket 19 on both engines.
+    The width is floored at 1e-12 so a degenerate constant-valued
+    input (hi = lo) maps every row to bucket 0 on both engines instead
+    of diverging (Spark NULL-divide vs IEEE inf)."""
     events = table(spark, sf_dir, "events")
     mm = F.broadcast(events.agg(F.min("value").alias("lo"),
                                 F.max("value").alias("hi")))
-    width = (F.col("hi") - F.col("lo")) / F.lit(20.0)
+    width = F.greatest(F.col("hi") - F.col("lo"),
+                       F.lit(1e-12)) / F.lit(20.0)
     bucket = F.least(F.floor((F.col("value") - F.col("lo")) / width),
                      F.lit(19).cast("bigint"))
     return (events.crossJoin(mm)

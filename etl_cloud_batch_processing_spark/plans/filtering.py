@@ -734,10 +734,11 @@ def vocab_growth_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH w AS (
         SELECT doc_id, lang, n_chars,
-               -ln((CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+               ROUND(-ln((CAST(CAST('0x' || substr(md5(CAST(doc_id
+                                                            AS VARCHAR)),
                                              1, 15) AS BIGINT) AS DOUBLE)
-                    + 1.0) / 1152921504606846977.0)
-               / CAST(n_chars AS DOUBLE) AS race_key
+                          + 1.0) / 1152921504606846977.0)
+                     / CAST(n_chars AS DOUBLE), 12) AS race_key
         FROM documents)
     SELECT doc_id, lang, n_chars, rnk FROM (
         SELECT doc_id, lang, n_chars,
@@ -764,12 +765,16 @@ def weighted_sample_exponential(spark: SparkSession,
     rank filter pushed as a per-group top-k; the race key is pure
     whole-stage-codegen arithmetic on a 60-bit hash — no RNG state, so
     the sample is reproducible under retries, re-partitioning, and
-    speculative execution at any scale."""
+    speculative execution at any scale.  The race key is rounded to 12
+    decimals before ranking (matching the repo's cross-engine ranking
+    discipline): ln() is transcendental and Java's Math.log vs
+    DuckDB's libm may differ in the last ulp, which an unrounded
+    near-tie could turn into a different sample."""
     docs = table(spark, sf_dir, "documents")
     h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
                16, 10).cast("bigint")
     u = (h.cast("double") + F.lit(1.0)) / F.lit(1152921504606846977.0)
-    race = -F.log(u) / F.col("n_chars").cast("double")
+    race = F.round(-F.log(u) / F.col("n_chars").cast("double"), 12)
     w = Window.partitionBy("lang").orderBy(F.asc("race_key"),
                                            F.asc("doc_id"))
     return (docs.select("doc_id", "lang", "n_chars",

@@ -797,6 +797,12 @@ def test_y4m_roundtrip_and_malformed_inputs():
                    + stream[len(stream) - 48:])
     with _pytest.raises(ValueError, match="truncated"):
         decode_y4m(stream[:-5])
+    # unterminated FRAME header: marker present but no trailing newline
+    # ever arrives — must raise, not spin forever re-reading offset 0.
+    with _pytest.raises(ValueError, match="unterminated FRAME"):
+        decode_y4m(b"YUV4MPEG2 W8 H4 C420jpeg\nFRAME")
+    with _pytest.raises(ValueError, match="unterminated FRAME"):
+        decode_y4m(stream + b"FRAME")
 
 
 def test_incremental_band_index_probe_equals_batch(spark, tmp_path):
@@ -829,10 +835,16 @@ def test_incremental_band_index_probe_equals_batch(spark, tmp_path):
                     .distinct().collect())}
     assert probed == batch_pairs and probed  # non-empty on the fixture
 
-    D.append_to_band_index(new, idx)
+    D.append_to_band_index(new, idx, batch_id="b1")
     n_idx = spark.read.parquet(idx).select("doc_id").distinct().count()
     assert n_idx == docs.filter(
         F.size(F.split("text", " ")) >= 3).count()
+
+    # retry safety: re-running the same batch overwrites its own
+    # ingest partition, so row counts (not just distinct ids) hold.
+    n_rows = spark.read.parquet(idx).count()
+    D.append_to_band_index(new, idx, batch_id="b1")
+    assert spark.read.parquet(idx).count() == n_rows
 
 
 def test_budget_allocation_waterfilling_invariants(spark):
