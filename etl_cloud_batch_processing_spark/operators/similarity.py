@@ -977,15 +977,27 @@ def pq_encode_with_codebook(spark: SparkSession, sf_dir: str,
                  .alias("recon_err")))
 
 
-@query(
-    "vector_ivf_pq_topk",
-    oracle=f"""
-    WITH e AS (SELECT vec_id, label, embedding,
-                      list_transform(embedding, v -> CAST(v AS DOUBLE))
-                          AS emb
-               FROM embeddings),
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse quantizer × PQ codes, raw and residual variants.
+# ---------------------------------------------------------------------------
+
+#: 1-past-the-end full dimensionality, for DuckDB range() bounds.
+_DIM1 = PQ_SUBS * PQ_SUBDIM + 1
+
+
+def _ivf_sql_head() -> str:
+    """Shared oracle CTEs for the coarse quantizer: embeddings as
+    doubles, the first-N_CELLS centroids, per-vector cell assignment
+    (cosine), and the 5 queries' N_PROBE probe cells.  Mirrors
+    :func:`_ivf_parts`."""
+    return f"""
+    e AS (SELECT vec_id, label, embedding,
+                 list_transform(embedding, v -> CAST(v AS DOUBLE))
+                     AS emb
+          FROM embeddings),
     cents AS (
-        SELECT vec_id AS ccid, embedding AS cvec
+        SELECT vec_id AS ccid, embedding AS cvec,
+               list_transform(embedding, v -> CAST(v AS DOUBLE)) AS cemb
         FROM embeddings WHERE vec_id < {N_CELLS}),
     assign AS (
         SELECT e.vec_id, c.ccid,
@@ -996,35 +1008,52 @@ def pq_encode_with_codebook(spark: SparkSession, sf_dir: str,
         FROM e CROSS JOIN cents c),
     cells AS (SELECT vec_id, ccid AS cell FROM assign WHERE crnk = 1),
     probes AS (SELECT vec_id AS query_id, ccid AS cell
-               FROM assign WHERE crnk <= {N_PROBE} AND vec_id < 5),
-    s AS (SELECT vec_id, sub,
+               FROM assign WHERE crnk <= {N_PROBE} AND vec_id < 5)"""
+
+
+def _pq_sql_chain(src: str, p: str) -> str:
+    """Oracle CTEs for the ONE deterministic PQ train+encode procedure
+    (mirrors :func:`_pq_train` + :func:`_pq_assign`) over ``src``, a
+    CTE exposing (vec_id, emb).  CTE names are prefixed with ``p`` so
+    the raw and residual chains can coexist in one statement — both
+    engines therefore share a single definition of the training
+    block."""
+    return f"""
+    {p}s AS (SELECT vec_id, sub,
                  list_slice(emb, sub * {PQ_SUBDIM} + 1,
                             sub * {PQ_SUBDIM} + {PQ_SUBDIM}) AS sv
-          FROM e, (SELECT unnest(range(0, {PQ_SUBS})) AS sub) t),
-    c0 AS (SELECT sub,
+          FROM {src}, (SELECT unnest(range(0, {PQ_SUBS})) AS sub) t),
+    {p}c0 AS (SELECT sub,
                   ROW_NUMBER() OVER (PARTITION BY sub
                                      ORDER BY vec_id) - 1 AS cid,
                   sv AS cv
-           FROM s WHERE vec_id IN (SELECT vec_id FROM e
-                                   ORDER BY vec_id LIMIT {PQ_K})),
-    a1 AS (SELECT vec_id, sub, cid FROM (
+           FROM {p}s WHERE vec_id IN (SELECT vec_id FROM {src}
+                                      ORDER BY vec_id LIMIT {PQ_K})),
+    {p}a1 AS (SELECT vec_id, sub, cid FROM (
                SELECT s.vec_id, s.sub, c.cid,
                       ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
                           ORDER BY {_PQ_DIST} ASC, c.cid ASC) AS rn
-               FROM s JOIN c0 c USING (sub)) WHERE rn = 1),
-    c1 AS (SELECT sub, cid, list(m ORDER BY pos) AS cv FROM (
+               FROM {p}s s JOIN {p}c0 c USING (sub)) WHERE rn = 1),
+    {p}c1 AS (SELECT sub, cid, list(m ORDER BY pos) AS cv FROM (
                SELECT a.sub, a.cid, r.d AS pos,
                       ROUND(AVG(s.sv[r.d]), 6) AS m
-               FROM a1 a JOIN s ON a.vec_id = s.vec_id AND a.sub = s.sub
+               FROM {p}a1 a JOIN {p}s s ON a.vec_id = s.vec_id
+                                       AND a.sub = s.sub
                CROSS JOIN (SELECT unnest(range(1, {PQ_SUBDIM + 1}))
                            AS d) r
                GROUP BY a.sub, a.cid, r.d)
            GROUP BY sub, cid),
-    codes AS (SELECT vec_id, sub, cid FROM (
+    {p}codes AS (SELECT vec_id, sub, cid FROM (
                SELECT s.vec_id, s.sub, c.cid,
                       ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
                           ORDER BY {_PQ_DIST} ASC, c.cid ASC) AS rn
-               FROM s JOIN c1 c USING (sub)) WHERE rn = 1),
+               FROM {p}s s JOIN {p}c1 c USING (sub)) WHERE rn = 1)"""
+
+
+def _raw_adc_sql() -> str:
+    """Oracle CTEs scoring probe candidates by ADC against the RAW
+    codebook: cell-independent per-query LUT."""
+    return f"""
     q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 5),
     qs AS (SELECT query_id, sub,
                   list_slice(qe, sub * {PQ_SUBDIM} + 1,
@@ -1042,14 +1071,114 @@ def pq_encode_with_codebook(spark: SparkSession, sf_dir: str,
         JOIN codes ON codes.vec_id = cand.vec_id
         JOIN lut l ON l.query_id = cand.query_id
                   AND l.sub = codes.sub AND l.cid = codes.cid
-        GROUP BY cand.query_id, cand.vec_id)
+        GROUP BY cand.query_id, cand.vec_id)"""
+
+
+def _residual_adc_sql() -> str:
+    """Oracle CTEs for the RESIDUAL variant: vectors are encoded as
+    (vector − cell centroid), so the query-side LUT is per (query,
+    probed cell) and candidates join on their cell."""
+    return f"""
+    zr AS (SELECT e.vec_id,
+                  list_transform(range(1, {_DIM1}),
+                                 d -> e.emb[d] - c.cemb[d]) AS emb
+           FROM e JOIN cells m ON e.vec_id = m.vec_id
+                  JOIN cents c ON m.cell = c.ccid),
+    {_pq_sql_chain('zr', 'z').lstrip()},
+    zq AS (SELECT p.query_id, p.cell,
+                  list_transform(range(1, {_DIM1}),
+                                 d -> e.emb[d] - c.cemb[d]) AS qe
+           FROM probes p JOIN e ON e.vec_id = p.query_id
+                         JOIN cents c ON p.cell = c.ccid),
+    zqs AS (SELECT query_id, cell, sub,
+                   list_slice(qe, sub * {PQ_SUBDIM} + 1,
+                              sub * {PQ_SUBDIM} + {PQ_SUBDIM}) AS qv
+            FROM zq, (SELECT unnest(range(0, {PQ_SUBS})) AS sub) t),
+    zlut AS (SELECT qs.query_id, qs.cell, c.sub, c.cid, {_PQ_QDIST} AS pd
+             FROM zqs qs JOIN zc1 c USING (sub)),
+    zcand AS (
+        SELECT p.query_id, p.cell, m.vec_id
+        FROM probes p JOIN cells m ON p.cell = m.cell
+        WHERE m.vec_id <> p.query_id),
+    zadc AS (
+        SELECT cand.query_id, cand.vec_id, SUM(l.pd) AS adc_raw
+        FROM zcand cand
+        JOIN zcodes codes ON codes.vec_id = cand.vec_id
+        JOIN zlut l ON l.query_id = cand.query_id
+                   AND l.cell = cand.cell
+                   AND l.sub = codes.sub AND l.cid = codes.cid
+        GROUP BY cand.query_id, cand.vec_id)"""
+
+
+def _adc_top5_sql(adc: str) -> str:
+    """Final top-5-per-query select over an ADC score CTE."""
+    return f"""
     SELECT query_id, vec_id,
            ROUND(adc_raw, 6) + 0.0 AS adc_dist, rnk
     FROM (SELECT query_id, vec_id, adc_raw,
                  ROW_NUMBER() OVER (PARTITION BY query_id
                      ORDER BY ROUND(adc_raw, 6) ASC, vec_id ASC) AS rnk
-          FROM adc)
-    WHERE rnk <= 5
+          FROM {adc})
+    WHERE rnk <= 5"""
+
+
+def _ivf_parts(spark: SparkSession, sf_dir: str
+               ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Coarse-quantizer scaffolding shared by the raw and residual
+    IVF-PQ variants: ``(emb, cents, cells, probes)``.  Centroids are
+    the first N_CELLS corpus vectors (deterministic), assignment is
+    cosine argmax via the broadcast-NLJ + per-vector row_number
+    pattern, probes are each query's N_PROBE nearest cells."""
+    emb = (ptable(spark, sf_dir, "embeddings")
+           .withColumn("nrm", F.sqrt(V.dot("embedding", "embedding")))
+           .withColumn("emb", F.transform(
+               "embedding", lambda v: v.cast("double"))))
+    cents = F.broadcast(
+        emb.filter(F.col("vec_id") < N_CELLS)
+        .select(F.col("vec_id").alias("ccid"),
+                F.col("embedding").alias("cvec"),
+                F.col("emb").alias("cemb"),
+                F.col("nrm").alias("cnrm")))
+    ccos = V.dot("embedding", "cvec") / (F.col("nrm") * F.col("cnrm"))
+    cw = Window.partitionBy("vec_id").orderBy(F.desc("ccos"),
+                                              F.asc("ccid"))
+    assign = (emb.join(cents)
+              .select("vec_id", "ccid", ccos.alias("ccos"))
+              .withColumn("crnk", F.row_number().over(cw)))
+    cells = (assign.filter(F.col("crnk") == 1)
+             .select("vec_id", F.col("ccid").alias("cell")))
+    probes = F.broadcast(
+        assign.filter((F.col("crnk") <= N_PROBE) & (F.col("vec_id") < 5))
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("ccid").alias("cell")))
+    return emb, cents, cells, probes
+
+
+def _sq_l2(a: str, b: str):
+    """Σ (a−b)² over two double-array columns (zip_with/aggregate)."""
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _adc_top5(adc: DataFrame) -> DataFrame:
+    """Rank ADC scores (rounded, vec_id tiebreak) and keep top 5."""
+    wq = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("vec_id"))
+    return (adc.select("query_id", "vec_id",
+                       (F.round("adc_raw", 6) + F.lit(0.0))
+                       .alias("adc_dist"))
+            .withColumn("rnk", F.row_number().over(wq))
+            .filter(F.col("rnk") <= 5))
+
+
+@query(
+    "vector_ivf_pq_topk",
+    oracle=f"""
+    WITH {_ivf_sql_head().lstrip()},
+    {_pq_sql_chain('e', '').lstrip()},
+    {_raw_adc_sql().lstrip()}
+    {_adc_top5_sql('adc')}
     """,
 )
 def vector_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1066,45 +1195,23 @@ def vector_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     search: the two reductions (candidate count via IVF, per-candidate
     cost via PQ) multiply, which is why this composition is the
     industry-standard index.  Classic simplification kept here: PQ
-    encodes raw vectors, not cell residuals — the plan shape is
-    identical, only the codebook input changes.  Everything stays
-    deterministic (sampled centroids, seeded codebooks, 6-decimal
-    codebook rounding, rounded-ADC ranking), so the WHOLE index —
-    build + search — is value-checked against the DuckDB twin."""
-    emb = (ptable(spark, sf_dir, "embeddings")
-           .withColumn("nrm", F.sqrt(V.dot("embedding", "embedding")))
-           .withColumn("emb", F.transform(
-               "embedding", lambda v: v.cast("double"))))
-    # --- coarse quantizer (cells + probes), cosine metric -------------
-    cents = F.broadcast(
-        emb.filter(F.col("vec_id") < N_CELLS)
-        .select(F.col("vec_id").alias("ccid"),
-                F.col("embedding").alias("cvec"),
-                F.col("nrm").alias("cnrm")))
-    ccos = V.dot("embedding", "cvec") / (F.col("nrm") * F.col("cnrm"))
-    cw = Window.partitionBy("vec_id").orderBy(F.desc("ccos"),
-                                              F.asc("ccid"))
-    assign = (emb.join(cents)
-              .select("vec_id", "ccid", ccos.alias("ccos"))
-              .withColumn("crnk", F.row_number().over(cw)))
-    cells = (assign.filter(F.col("crnk") == 1)
-             .select("vec_id", F.col("ccid").alias("cell")))
-    probes = F.broadcast(
-        assign.filter((F.col("crnk") <= N_PROBE) & (F.col("vec_id") < 5))
-        .select(F.col("vec_id").alias("query_id"),
-                F.col("ccid").alias("cell")))
+    encodes raw vectors, not cell residuals — see
+    ``vector_ivf_pq_residual_topk`` for the residual twin and
+    ``vector_ivf_pq_recall_compare`` for the recall go/no-go between
+    them.  Everything stays deterministic (sampled centroids, seeded
+    codebooks, 6-decimal codebook rounding, rounded-ADC ranking), so
+    the WHOLE index — build + search — is value-checked against the
+    DuckDB twin."""
+    emb, cents, cells, probes = _ivf_parts(spark, sf_dir)
     # --- PQ codes + per-query LUT (shared helpers) --------------------
     subs, c1 = _pq_train(emb)
     codes = _pq_assign(subs, c1).select("vec_id", "sub", "cid")
     qsubs = (_pq_subs(emb.filter(F.col("vec_id") < 5))
              .select(F.col("vec_id").alias("query_id"), "sub",
                      F.col("sv").alias("qv")))
-    pd = F.aggregate(
-        F.zip_with(F.col("qv"), F.col("cv"),
-                   lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0), lambda acc, x: acc + x)
     lut = (qsubs.join(F.broadcast(c1), "sub")
-           .select("query_id", "sub", "cid", pd.alias("pd")))
+           .select("query_id", "sub", "cid",
+                   _sq_l2("qv", "cv").alias("pd")))
     # --- probe + ADC score --------------------------------------------
     cand = (probes.join(cells, "cell")
             .filter(F.col("vec_id") != F.col("query_id"))
@@ -1113,10 +1220,169 @@ def vector_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            .join(F.broadcast(lut), ["query_id", "sub", "cid"])
            .groupBy("query_id", "vec_id")
            .agg(F.sum("pd").alias("adc_raw")))
+    return _adc_top5(adc)
+
+
+def _ivf_pq_residual_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark plan for the residual variant (shared by the registered
+    query and the recall comparison)."""
+    emb, cents, cells, probes = _ivf_parts(spark, sf_dir)
+    # residual frame: vector − its cell centroid, exact double math
+    res = (emb.join(cells, "vec_id")
+           .join(cents, F.col("cell") == F.col("ccid"))
+           .select("vec_id",
+                   F.zip_with("emb", "cemb",
+                              lambda a, b: a - b).alias("emb")))
+    subs, c1 = _pq_train(res)
+    codes = _pq_assign(subs, c1).select("vec_id", "sub", "cid")
+    # query residual is PER PROBED CELL: the LUT carries the cell key
+    qres = (probes
+            .join(emb.select(F.col("vec_id").alias("query_id"),
+                             F.col("emb").alias("qemb")), "query_id")
+            .join(cents, F.col("cell") == F.col("ccid"))
+            .select("query_id", "cell",
+                    F.zip_with("qemb", "cemb",
+                               lambda a, b: a - b).alias("qe")))
+    qsubs = (qres.select(
+        "query_id", "cell", "qe",
+        F.explode(F.sequence(F.lit(0), F.lit(PQ_SUBS - 1))).alias("sub"))
+        .select("query_id", "cell", "sub",
+                F.slice("qe", F.col("sub") * PQ_SUBDIM + 1,
+                        PQ_SUBDIM).alias("qv")))
+    lut = (qsubs.join(F.broadcast(c1), "sub")
+           .select("query_id", "cell", "sub", "cid",
+                   _sq_l2("qv", "cv").alias("pd")))
+    cand = (probes.join(cells, "cell")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "cell", "vec_id"))
+    adc = (cand.join(codes, "vec_id")
+           .join(F.broadcast(lut), ["query_id", "cell", "sub", "cid"])
+           .groupBy("query_id", "vec_id")
+           .agg(F.sum("pd").alias("adc_raw")))
+    return _adc_top5(adc)
+
+
+@query(
+    "vector_ivf_pq_residual_topk",
+    oracle=f"""
+    WITH {_ivf_sql_head().lstrip()},
+    {_residual_adc_sql().lstrip()}
+    {_adc_top5_sql('zadc')}
+    """,
+)
+def vector_ivf_pq_residual_topk(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """IVF-PQ with RESIDUAL encoding — the production FAISS default
+    that ``vector_ivf_pq_topk`` deliberately simplifies away: each
+    vector is PQ-encoded as (vector − its cell centroid), so the
+    codebook spends its 16 codes per subspace on the WITHIN-cell
+    spread instead of re-describing the coarse structure the cell id
+    already captures.  The cost of the better fit: the query's lookup
+    table is per probed CELL (query residual changes with the cell),
+    multiplying LUT rows by N_PROBE — still a broadcast-trivial
+    (queries × probes × SUBS × K) frame, which is why FAISS made this
+    trade its default.
+
+    Plan shape is the raw variant's with two joins swapped: residuals
+    are one zip_with against the broadcast centroid frame (exact
+    double subtraction — no new nondeterminism), and the ADC join
+    carries the cell key.  Same deterministic seeding, 6-decimal
+    codebook rounding, rounded-ADC ranking — fully value-checked,
+    build + search, against the DuckDB twin."""
+    return _ivf_pq_residual_top5(spark, sf_dir)
+
+
+@query(
+    "vector_ivf_pq_recall_compare",
+    oracle=f"""
+    WITH {_ivf_sql_head().lstrip()},
+    {_pq_sql_chain('e', '').lstrip()},
+    {_raw_adc_sql().lstrip()},
+    {_residual_adc_sql().lstrip()},
+    rtop AS (SELECT query_id, vec_id FROM (
+                 SELECT query_id, vec_id,
+                        ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY ROUND(adc_raw, 6) ASC,
+                                     vec_id ASC) AS rnk
+                 FROM adc) WHERE rnk <= 5),
+    ztop AS (SELECT query_id, vec_id FROM (
+                 SELECT query_id, vec_id,
+                        ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY ROUND(adc_raw, 6) ASC,
+                                     vec_id ASC) AS rnk
+                 FROM zadc) WHERE rnk <= 5),
+    exact AS (SELECT query_id, vec_id FROM (
+                 SELECT q.query_id, e.vec_id,
+                        ROW_NUMBER() OVER (PARTITION BY q.query_id
+                            ORDER BY ROUND({_PQ_EXACT}, 6) ASC,
+                                     e.vec_id ASC) AS rnk
+                 FROM q JOIN e ON e.vec_id <> q.query_id)
+              WHERE rnk <= 5),
+    rh AS (SELECT x.query_id, COUNT(*) AS n
+           FROM exact x JOIN rtop USING (query_id, vec_id)
+           GROUP BY x.query_id),
+    zh AS (SELECT x.query_id, COUNT(*) AS n
+           FROM exact x JOIN ztop USING (query_id, vec_id)
+           GROUP BY x.query_id)
+    SELECT g.query_id,
+           COALESCE(rh.n, 0) AS n_hits_raw,
+           ROUND(COALESCE(rh.n, 0) / 5.0, 6) AS recall_raw,
+           COALESCE(zh.n, 0) AS n_hits_residual,
+           ROUND(COALESCE(zh.n, 0) / 5.0, 6) AS recall_residual
+    FROM (SELECT DISTINCT query_id FROM exact) g
+    LEFT JOIN rh USING (query_id)
+    LEFT JOIN zh USING (query_id)
+    """,
+)
+def vector_ivf_pq_recall_compare(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Raw-PQ vs residual-PQ recall@5 against the exact L2 top-5 — the
+    go/no-go artifact for the residual-encoding trade, in the same
+    calibration family as ``ann_recall_report`` (which plays this role
+    for the LSH index): before residual encoding's per-cell LUT cost
+    is accepted, THIS report shows what it buys per query.
+
+    Both index variants are fully deterministic, so unusually for an
+    ANN comparison every number here is value-checked.  Cost = the two
+    index pipelines plus one exact 5-query × corpus scan (the guarded
+    brute-force baseline) — at 100 TB run it on a query sample, as
+    with every calibration query in this repo.
+
+    Note the fixture-scale result: residual encoding LOSES here (the
+    deterministic single-Lloyd-step codebooks and first-16-vectors
+    centroids underfit the residual distribution).  That is the point
+    of the artifact — the trade is an empirical question, and this
+    report is what answers it before a re-index, rather than assuming
+    the textbook ordering holds for your corpus."""
+    raw = vector_ivf_pq_topk(spark, sf_dir).select("query_id", "vec_id")
+    res = (_ivf_pq_residual_top5(spark, sf_dir)
+           .select("query_id", "vec_id"))
+    emb = (ptable(spark, sf_dir, "embeddings")
+           .select("vec_id", F.transform(
+               "embedding", lambda v: v.cast("double")).alias("emb")))
+    q = F.broadcast(emb.filter(F.col("vec_id") < 5)
+                    .select(F.col("vec_id").alias("query_id"),
+                            F.col("emb").alias("qe")))
     wq = Window.partitionBy("query_id").orderBy(
-        F.asc("adc_dist"), F.asc("vec_id"))
-    return (adc.select("query_id", "vec_id",
-                       (F.round("adc_raw", 6) + F.lit(0.0))
-                       .alias("adc_dist"))
-            .withColumn("rnk", F.row_number().over(wq))
-            .filter(F.col("rnk") <= 5))
+        F.asc("xdist"), F.asc("vec_id"))
+    exact = (emb.crossJoin(q)
+             .filter(F.col("vec_id") != F.col("query_id"))
+             .select("query_id", "vec_id",
+                     F.round(_sq_l2("qe", "emb"), 6).alias("xdist"))
+             .withColumn("rnk", F.row_number().over(wq))
+             .filter(F.col("rnk") <= 5)
+             .select("query_id", "vec_id"))
+    rh = (exact.join(raw, ["query_id", "vec_id"])
+          .groupBy("query_id").agg(F.count(F.lit(1)).alias("nr")))
+    zh = (exact.join(res, ["query_id", "vec_id"])
+          .groupBy("query_id").agg(F.count(F.lit(1)).alias("nz")))
+    base = exact.select("query_id").distinct()
+    return (base.join(rh, "query_id", "left")
+            .join(zh, "query_id", "left")
+            .select("query_id",
+                    F.coalesce("nr", F.lit(0)).alias("n_hits_raw"),
+                    F.round(F.coalesce("nr", F.lit(0)) / F.lit(5.0), 6)
+                    .alias("recall_raw"),
+                    F.coalesce("nz", F.lit(0)).alias("n_hits_residual"),
+                    F.round(F.coalesce("nz", F.lit(0)) / F.lit(5.0), 6)
+                    .alias("recall_residual")))
