@@ -847,3 +847,140 @@ def video_shot_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count(F.lit(1)).alias("shot_len"),
                  (F.round(F.min_by("luma_mean", "frame_no"), 6)
                   + F.lit(0.0)).alias("keyframe_luma")))
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash (dHash) near-duplicate detection over decoded images.
+# ---------------------------------------------------------------------------
+
+DHASH_SIDE = 8            #: 8x8 grayscale thumb -> 8 rows x 7 comparisons
+DHASH_BITS = DHASH_SIDE * (DHASH_SIDE - 1)        # 56-bit hash (< int64)
+DHASH_BANDS = 4           #: LSH bands over the hash for the pair join
+DHASH_BAND_BITS = DHASH_BITS // DHASH_BANDS       # 14 bits per band
+DHASH_MAX_HAMMING = 6     #: near-dup threshold on the 56-bit distance
+
+DHASH_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("dhash", LongType(), False),
+])
+
+
+def make_dhash_decoder():
+    """mapInPandas factory: payload bytes → 8×8 grayscale thumb → PGM
+    encode → REAL netpbm decode (:func:`decode_image`) → difference
+    hash.  Bit (r, c) is set when pixel (r, c) < pixel (r, c+1) — the
+    classic dHash gradient signature, invariant to uniform brightness
+    shifts.  The encode→decode round trip runs per row so the P5
+    header/stride path is exercised under the closed-form oracle."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    side = DHASH_SIDE
+    nbytes = side * side
+    pos = np.arange(DHASH_BITS, dtype=np.int64).reshape(side, side - 1)
+
+    def dhash(batches: "Iterator[pd.DataFrame]",
+              ) -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            out = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                raw = bytes(content)[:nbytes]
+                raw = raw + b" " * (nbytes - len(raw))
+                grid = np.frombuffer(raw, np.uint8).reshape(side, side)
+                img = decode_image(encode_ppm(grid))     # P5 round trip
+                bits = (img[:, :-1] < img[:, 1:]).astype(np.int64)
+                out.append((int(media_id), int((bits << pos).sum())))
+            yield pd.DataFrame(out, columns=["media_id", "dhash"])
+
+    return dhash
+
+
+@query(
+    "visual_dhash_near_dup",
+    oracle=f"""
+    WITH b AS (SELECT doc_id, text, length(text) AS n FROM documents),
+    g AS (SELECT doc_id, r, c,
+                 CASE WHEN (CASE WHEN r*{DHASH_SIDE}+c+1 <= n
+                                 THEN ord(text[r*{DHASH_SIDE}+c+1])
+                                 ELSE 32 END)
+                    < (CASE WHEN r*{DHASH_SIDE}+c+2 <= n
+                            THEN ord(text[r*{DHASH_SIDE}+c+2])
+                            ELSE 32 END)
+                 THEN 1 ELSE 0 END AS bit
+          FROM b,
+               (SELECT unnest(range(0, {DHASH_SIDE})) AS r) rr,
+               (SELECT unnest(range(0, {DHASH_SIDE - 1})) AS c) cc),
+    h AS (SELECT doc_id,
+                 CAST(SUM(bit * (CAST(1 AS BIGINT)
+                                 << (r*{DHASH_SIDE - 1} + c)))
+                      AS BIGINT) AS dhash
+          FROM g GROUP BY doc_id),
+    bands AS (SELECT doc_id, dhash, band,
+                     (dhash >> (band * {DHASH_BAND_BITS}))
+                     & {(1 << DHASH_BAND_BITS) - 1} AS bkey
+              FROM h,
+                   (SELECT unnest(range(0, {DHASH_BANDS})) AS band) bb),
+    pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+                     a.dhash AS ha, b2.dhash AS hb
+              FROM bands a JOIN bands b2
+                ON a.band = b2.band AND a.bkey = b2.bkey
+                   AND a.doc_id < b2.doc_id)
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+    FROM pairs
+    WHERE bit_count(xor(ha, hb)) <= {DHASH_MAX_HAMMING}
+    ORDER BY hamming ASC, doc_a ASC, doc_b ASC
+    LIMIT 20
+    """,
+)
+def visual_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NS5×NS2 crossover: perceptual-hash near-duplicate detection
+    over DECODED images — the image-modality twin of the MinHash text
+    path.  Every payload becomes an 8×8 grayscale thumb through the
+    real netpbm encode→decode round trip, gets a 56-bit dHash
+    (gradient-sign signature, robust to brightness shifts), and pairs
+    are surfaced by an LSH band join on 4×14-bit hash bands followed
+    by an exact Hamming filter (≤ {{thresh}}) — banding guarantees
+    recall for distance ≤ 3 (pigeonhole over 4 bands) and is
+    probabilistic above.  Top-20 closest pairs, fully deterministic.
+
+    The DuckDB oracle recomputes every hash closed-form from the
+    payload bytes (ASCII fixture ⇒ ord(char) ≡ byte), so a header,
+    stride, or bit-packing bug breaks the value hash.  At 100 TB: the
+    decode is embarrassingly parallel Arrow batches; the pair join is
+    banded (never all-pairs) and the band width is a fixture-scale
+    constant — scale band bits with log₂(corpus) exactly as the
+    MinHash band count scales, and run the exact Hamming check only on
+    band collisions.  Real deployments swap the thumb source for a
+    real image resize (:func:`resize_image`) — same signature."""
+    media = attach_media(table(spark, sf_dir, "documents"))
+    par = spark.sparkContext.defaultParallelism
+    hashes = (media.select("media_id", "content")
+              .repartition(par)
+              .mapInPandas(make_dhash_decoder(), schema=DHASH_SCHEMA))
+    mask = (1 << DHASH_BAND_BITS) - 1
+    bands = (hashes.select(
+        "media_id", "dhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright("dhash", b * DHASH_BAND_BITS)
+                 .bitwiseAND(F.lit(mask)).alias("bkey"))
+            for b in range(DHASH_BANDS)])).alias("bk"))
+        .select("media_id", "dhash", "bk.band", "bk.bkey"))
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.bkey") == F.col("b.bkey"))
+                    & (F.col("a.media_id") < F.col("b.media_id")))
+             .select(F.col("a.media_id").alias("doc_a"),
+                     F.col("b.media_id").alias("doc_b"),
+                     F.col("a.dhash").alias("ha"),
+                     F.col("b.dhash").alias("hb"))
+             .distinct())
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("bigint")
+    return (pairs.select("doc_a", "doc_b", ham.alias("hamming"))
+            .filter(F.col("hamming") <= DHASH_MAX_HAMMING)
+            .orderBy(F.asc("hamming"), F.asc("doc_a"), F.asc("doc_b"))
+            .limit(20))

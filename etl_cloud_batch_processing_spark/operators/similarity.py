@@ -1202,7 +1202,15 @@ def vector_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebooks, 6-decimal codebook rounding, rounded-ADC ranking), so
     the WHOLE index — build + search — is value-checked against the
     DuckDB twin."""
-    emb, cents, cells, probes = _ivf_parts(spark, sf_dir)
+    return _ivf_pq_raw_top5(spark, sf_dir)
+
+
+def _ivf_pq_raw_top5(spark: SparkSession, sf_dir: str,
+                     parts: tuple | None = None) -> DataFrame:
+    """Spark plan for the raw variant; ``parts`` lets the recall
+    comparison share one (persisted) coarse-quantizer build across
+    both index variants instead of assigning the corpus twice."""
+    emb, cents, cells, probes = parts or _ivf_parts(spark, sf_dir)
     # --- PQ codes + per-query LUT (shared helpers) --------------------
     subs, c1 = _pq_train(emb)
     codes = _pq_assign(subs, c1).select("vec_id", "sub", "cid")
@@ -1223,10 +1231,11 @@ def vector_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _adc_top5(adc)
 
 
-def _ivf_pq_residual_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ivf_pq_residual_top5(spark: SparkSession, sf_dir: str,
+                          parts: tuple | None = None) -> DataFrame:
     """Spark plan for the residual variant (shared by the registered
     query and the recall comparison)."""
-    emb, cents, cells, probes = _ivf_parts(spark, sf_dir)
+    emb, cents, cells, probes = parts or _ivf_parts(spark, sf_dir)
     # residual frame: vector − its cell centroid, exact double math
     res = (emb.join(cells, "vec_id")
            .join(cents, F.col("cell") == F.col("ccid"))
@@ -1354,8 +1363,14 @@ def vector_ivf_pq_recall_compare(spark: SparkSession,
     of the artifact — the trade is an empirical question, and this
     report is what answers it before a re-index, rather than assuming
     the textbook ordering holds for your corpus."""
-    raw = vector_ivf_pq_topk(spark, sf_dir).select("query_id", "vec_id")
-    res = (_ivf_pq_residual_top5(spark, sf_dir)
+    emb_p, cents, cells, probes = _ivf_parts(spark, sf_dir)
+    # one coarse-quantizer build serves both variants: cell assignment
+    # is the corpus-scale part, so persist it (vec_id, cell — 16 bytes
+    # a row) instead of re-assigning the corpus for each index
+    parts = (emb_p, cents, cells.persist(), probes)
+    raw = (_ivf_pq_raw_top5(spark, sf_dir, parts)
+           .select("query_id", "vec_id"))
+    res = (_ivf_pq_residual_top5(spark, sf_dir, parts)
            .select("query_id", "vec_id"))
     emb = (ptable(spark, sf_dir, "embeddings")
            .select("vec_id", F.transform(

@@ -2756,3 +2756,43 @@ def yearly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.lag("revenue").over(w)
     return y.select("year", "revenue", "n_orders",
                     (F.round(growth, 6) + F.lit(0.0)).alias("yoy_growth"))
+
+
+@query(
+    "user_activity_entropy",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_type, COUNT(*) AS c
+        FROM events GROUP BY user_id, event_type)
+    SELECT user_id,
+           CAST(SUM(c) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           ROUND(ln(SUM(c)) - SUM(c * ln(c)) / SUM(c), 6) + 0.0
+               AS entropy
+    FROM c GROUP BY user_id
+    """,
+)
+def user_activity_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Shannon entropy of the event-type distribution — the
+    behavioral-diversity feature (bot / single-purpose accounts score
+    near 0, organic users near ln(n_types)) that feeds user
+    segmentation next to the RFM scores and the funnel stages.
+
+    Uses the aggregate-only identity H = ln(n) − (Σ c·ln c)/n so the
+    whole query is TWO hash aggregates — (user, type) then user — with
+    map-side partials and no window, no join-back of totals: at 100 TB
+    the shuffle carries at most users × types partially-aggregated
+    rows.  `+ 0.0` because single-type users hit exactly 0 and IEEE
+    −0.0 would break the driver's repr-sorted compare (DRIVER_NOTES
+    #11)."""
+    events = table(spark, sf_dir, "events")
+    c = (events.groupBy("user_id", "event_type")
+         .agg(F.count(F.lit(1)).alias("c")))
+    return (c.groupBy("user_id")
+            .agg(F.sum("c").alias("n_events"),
+                 F.count(F.lit(1)).alias("n_types"),
+                 F.sum(F.col("c") * F.log("c")).alias("sclnc"))
+            .select("user_id", "n_events", "n_types",
+                    (F.round(F.log("n_events")
+                             - F.col("sclnc") / F.col("n_events"), 6)
+                     + F.lit(0.0)).alias("entropy")))

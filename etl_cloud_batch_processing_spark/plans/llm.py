@@ -681,6 +681,66 @@ def ngram_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(20))
 
 
+@query(
+    "unseen_ngram_novelty",
+    oracle="""
+    WITH hs AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h
+        FROM (SELECT doc_id,
+                     unnest(list_distinct(list_transform(
+                         range(1, len(string_split(text, ' ')) - 1),
+                         i -> string_split(text, ' ')[i] || ' ' ||
+                              string_split(text, ' ')[i+1] || ' ' ||
+                              string_split(text, ' ')[i+2]))) AS s
+              FROM documents
+              WHERE len(string_split(text, ' ')) >= 3)),
+    first AS (SELECT h, MIN(doc_id) AS first_doc FROM hs GROUP BY h)
+    SELECT hs.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(COUNT(*) FILTER (WHERE f.first_doc = hs.doc_id)
+                AS BIGINT) AS n_novel,
+           ROUND(COUNT(*) FILTER (WHERE f.first_doc = hs.doc_id)
+                 * 1.0 / COUNT(*), 6) AS novelty
+    FROM hs JOIN first f USING (h)
+    GROUP BY hs.doc_id
+    """,
+)
+def unseen_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental novelty score per document: the fraction of its
+    distinct word-trigram shingles whose FIRST corpus occurrence (min
+    doc_id over the whole corpus) is this document — "how much new
+    content does this doc add", the contribution-ordering metric a
+    curation pipeline uses to rank near-duplicate-heavy sources and to
+    decide what an incremental crawl actually bought.  Complements the
+    pairwise dedup family: `ngram_jaccard_top_pairs` asks *which pairs
+    overlap*, this asks *who was first* — one number per doc, no pair
+    frame at all.
+
+    Plan shape: the shared hashed-shingle scan (same 60-bit md5 keys
+    as the whole MinHash family), one groupBy(h) min-reduce for the
+    first-occurrence owner, one equi-join back, one groupBy(doc)
+    count — all partial-aggregated, no windows, no pair join; both
+    h-shuffles use the same key so AQE reuses the exchange.  At 100 TB
+    this is strictly cheaper than one MinHash pass; for an append-only
+    corpus, persist `first` and fold new batches in with a min-merge
+    (same accumulate-disposition as the band index)."""
+    from etl_cloud_batch_processing_spark.operators.dedup import (
+        hashed_shingles,
+    )
+
+    hs = hashed_shingles(table(spark, sf_dir, "documents"))
+    first = hs.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    return (hs.join(first, "h")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_shingles"),
+                 F.count_if(F.col("first_doc") == F.col("doc_id"))
+                 .alias("n_novel"))
+            .select("doc_id", "n_shingles", "n_novel",
+                    F.round(F.col("n_novel") * 1.0
+                            / F.col("n_shingles"), 6).alias("novelty")))
+
+
 # --------------------------------------------------------------------------
 # NS3 — similarity search over embeddings.
 # --------------------------------------------------------------------------

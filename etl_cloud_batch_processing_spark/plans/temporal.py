@@ -434,3 +434,54 @@ def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("nxt").alias("to_type"), "n",
                     F.round(F.lit(1.0) * F.col("n") / F.col("t"), 6)
                     .alias("p")))
+
+
+@query(
+    "value_ewma_last10",
+    oracle="""
+    WITH d AS (
+        SELECT event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events),
+    l AS (SELECT * FROM d WHERE rn <= 10)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_used,
+           arg_min(value, rn) AS last_value,
+           ROUND(SUM(power(0.5, rn - 1) * value)
+                 / SUM(power(0.5, rn - 1)), 6) + 0.0 AS ewma,
+           ROUND(arg_min(value, rn)
+                 - SUM(power(0.5, rn - 1) * value)
+                   / SUM(power(0.5, rn - 1)), 6) + 0.0 AS deviation
+    FROM l GROUP BY event_type
+    """,
+)
+def value_ewma_last10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of the 10 most recent
+    values per event type (decay ½ per step), plus the latest value's
+    deviation from it — the streaming-dashboard smoothing/anomaly
+    primitive in batch form (its readStream twin is the stateful
+    aggregate family in plans/streams.py).  Decay ½ is deliberate:
+    0.5^k is an exact binary float, so the weights are bit-identical
+    across engines — no transcendental in the ranking path.
+
+    One type-partitioned row_number window with the rn≤10 filter
+    pushed as a per-group top-k (WindowGroupLimit), then a 10-row-per-
+    group aggregate: at 100 TB the window shuffle is the only
+    corpus-scale work and the EWMA math runs on ≤ types×10 rows.
+    `min_by(value, rn)` picks the newest value without a second
+    window."""
+    events = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("ts"),
+                                                 F.desc("event_id"))
+    d = (events.select("event_type", "ts", "event_id", "value")
+         .withColumn("rn", F.row_number().over(w))
+         .filter(F.col("rn") <= 10))
+    wt = F.pow(F.lit(0.5), F.col("rn") - 1)
+    ewma_raw = F.sum(wt * F.col("value")) / F.sum(wt)
+    return (d.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_used"),
+                 F.min_by("value", "rn").alias("last_value"),
+                 (F.round(ewma_raw, 6) + F.lit(0.0)).alias("ewma"),
+                 (F.round(F.min_by("value", "rn") - ewma_raw, 6)
+                  + F.lit(0.0)).alias("deviation")))

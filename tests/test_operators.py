@@ -869,3 +869,52 @@ def test_budget_allocation_waterfilling_invariants(spark):
             lams.append(r["allocated_tokens"] / r["weight"])
     if lams:   # shared water level across all unsaturated sources
         assert max(lams) - min(lams) < 1e-2
+
+
+def test_dhash_decoder_bits_and_dup_invariance(spark):
+    """The dHash must set bit (r,c) exactly when grid[r,c] < grid[r,c+1]
+    after the real PGM round trip, and exact-duplicate payloads must
+    land at Hamming distance 0 (so the band join can never miss them)."""
+    import numpy as np
+    import pandas as pd
+
+    from etl_cloud_batch_processing_spark.operators.multimodal import (
+        DHASH_SIDE,
+        make_dhash_decoder,
+    )
+
+    fn = make_dhash_decoder()
+    # ramp grid: every adjacent comparison is < ⇒ all 56 bits set
+    ramp = bytes(range(DHASH_SIDE * DHASH_SIDE))
+    flat = bytes([7] * (DHASH_SIDE * DHASH_SIDE))
+    pdf = pd.DataFrame({"media_id": [1, 2, 3],
+                        "content": [ramp, flat, ramp]})
+    out = pd.concat(list(fn(iter([pdf]))))
+    h = dict(zip(out["media_id"], out["dhash"]))
+    assert h[1] == (1 << 56) - 1          # strictly increasing rows
+    assert h[2] == 0                      # constant grid: no bit set
+    assert h[1] == h[3]                   # identical payload ⇒ equal hash
+    # short payload pads with spaces deterministically
+    short = pd.DataFrame({"media_id": [9], "content": [b"abc"]})
+    again = pd.concat(list(fn(iter([short, short.copy()]))))
+    assert len(set(again["dhash"])) == 1
+
+
+def test_unseen_ngram_novelty_invariants(spark):
+    """Every shingle's first occurrence is credited exactly once: the
+    sum of n_novel over docs equals the number of distinct shingle
+    hashes in the corpus, and novelty stays in [0, 1]."""
+    from etl_cloud_batch_processing_spark.operators.dedup import (
+        hashed_shingles,
+    )
+    from etl_cloud_batch_processing_spark.plans.llm import (
+        unseen_ngram_novelty,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = unseen_ngram_novelty(spark, sf).collect()
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    n_distinct = hashed_shingles(docs).select("h").distinct().count()
+    assert sum(r["n_novel"] for r in rows) == n_distinct
+    assert all(0.0 <= r["novelty"] <= 1.0 for r in rows)
+    assert all(r["n_novel"] <= r["n_shingles"] for r in rows)

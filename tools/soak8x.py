@@ -63,8 +63,17 @@ def build_8x(spark, out_dir: str) -> None:
                  F.col("user_id") + F.col("rep") * F.lit(n_users))
      .drop("rep")
      .write.mode("overwrite").parquet(f"{out_dir}/events.parquet"))
+    # orders replicate with re-strided order keys (same date span,
+    # FACTORx orders/year — the growth axis for the reporting queries)
+    od = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    n_ord = od.agg(F.max("o_orderkey")).collect()[0][0] + 1
+    (od.crossJoin(reps)
+     .withColumn("o_orderkey",
+                 F.col("o_orderkey") + F.col("rep") * F.lit(n_ord))
+     .drop("rep")
+     .write.mode("overwrite").parquet(f"{out_dir}/orders.parquet"))
     for t in ("region", "nation", "customer", "supplier",
-              "part", "orders", "lineitem"):
+              "part", "lineitem"):
         src = f"{SF_DIR}/{t}.parquet"
         if os.path.exists(src):
             os.symlink(src, f"{out_dir}/{t}.parquet")
