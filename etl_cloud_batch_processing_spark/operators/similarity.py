@@ -935,6 +935,72 @@ def vector_truncation_fidelity(spark: SparkSession,
         .alias("r2"))
 
 
+@query(
+    "vector_sq8_fidelity",
+    oracle=f"""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, v -> CAST(v AS DOUBLE))
+                          AS emb
+               FROM embeddings),
+    d AS (SELECT vec_id, t.d, emb[t.d] AS v
+          FROM e, (SELECT unnest(range(1, {PQ_SUBS * PQ_SUBDIM + 1}))
+                   AS d) t),
+    mm AS (SELECT d, MIN(v) AS lo,
+                  GREATEST(MAX(v) - MIN(v), 1e-12) AS rng
+           FROM d GROUP BY d),
+    q AS (SELECT vec_id, v,
+                 lo + FLOOR((v - lo) / rng * 255 + 0.5)
+                      / 255.0 * rng AS deq
+          FROM d JOIN mm USING (d))
+    SELECT vec_id,
+           ROUND(SUM((v - deq) * (v - deq)), 6) + 0.0 AS recon_err,
+           ROUND(SUM(v * deq)
+                 / sqrt(SUM(v * v) * SUM(deq * deq)), 6) + 0.0
+               AS cos_agreement
+    FROM q GROUP BY vec_id
+    """,
+)
+def vector_sq8_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar (int8) quantization fidelity — the third member of the
+    vector-compression calibration family: PQ answers "64 floats → 8
+    codes" (`vector_pq_encode`), truncation answers "keep a prefix"
+    (`vector_truncation_fidelity`), SQ8 answers the simplest and most
+    widely deployed trade: one byte per DIMENSION on a per-dim
+    [min, max] grid (4× smaller than float32, no codebook at all, the
+    FAISS `SQ8` / pgvector `halfvec`-class option).  Per vector:
+    L2 reconstruction error and cosine agreement between the original
+    and the dequantized form — the per-item go/no-go before an index
+    rebuilds on quantized storage.
+
+    Plan: one posexplode scan → per-dim min/range aggregate (64 rows,
+    broadcast back) → quantize/dequantize in pure codegen arithmetic →
+    one partial-aggregated per-vector reduce.  No windows, no joins
+    beyond the 64-row broadcast, grid degeneracy guarded (range floored
+    at 1e-12, same rule as the histogram width).  `floor(x*255 + 0.5)`
+    rather than round() because Spark and DuckDB disagree on round()
+    tie semantics — floor+½ is identical IEEE arithmetic in both."""
+    emb = (ptable(spark, sf_dir, "embeddings")
+           .select("vec_id",
+                   F.posexplode(F.transform(
+                       "embedding", lambda v: v.cast("double")))
+                   .alias("d", "v")))
+    mm = F.broadcast(emb.groupBy("d").agg(
+        F.min("v").alias("lo"),
+        F.greatest(F.max("v") - F.min("v"), F.lit(1e-12)).alias("rng")))
+    code = F.floor((F.col("v") - F.col("lo")) / F.col("rng") * 255
+                   + F.lit(0.5))
+    deq = F.col("lo") + code / F.lit(255.0) * F.col("rng")
+    q = emb.join(mm, "d").select("vec_id", "v", deq.alias("deq"))
+    return (q.groupBy("vec_id")
+            .agg((F.round(F.sum((F.col("v") - F.col("deq"))
+                                * (F.col("v") - F.col("deq"))), 6)
+                  + F.lit(0.0)).alias("recon_err"),
+                 (F.round(F.sum(F.col("v") * F.col("deq"))
+                          / F.sqrt(F.sum(F.col("v") * F.col("v"))
+                                   * F.sum(F.col("deq") * F.col("deq"))),
+                          6) + F.lit(0.0)).alias("cos_agreement")))
+
+
 def train_pq_codebook(spark: SparkSession, sf_dir: str,
                       out_path: str) -> str:
     """Maintenance half of the PQ pattern: train the per-subspace
