@@ -485,3 +485,109 @@ def value_ewma_last10(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (F.round(ewma_raw, 6) + F.lit(0.0)).alias("ewma"),
                  (F.round(F.min_by("value", "rn") - ewma_raw, 6)
                   + F.lit(0.0)).alias("deviation")))
+
+
+@query(
+    "value_cusum_drift",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               ROUND(AVG(value), 6) AS md
+        FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    mu AS (
+        SELECT event_type, ROUND(AVG(md), 6) AS mu,
+               CAST(COUNT(*) AS BIGINT) AS n_days
+        FROM daily GROUP BY event_type),
+    s AS (
+        SELECT d.event_type, d.day, n_days,
+               ROUND(ABS(SUM(d.md - m.mu) OVER (
+                   PARTITION BY d.event_type ORDER BY d.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW)), 6) AS abs_s
+        FROM daily d JOIN mu m USING (event_type))
+    SELECT event_type, n_days, day AS changepoint_day,
+           abs_s + 0.0 AS max_abs_cusum
+    FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY event_type
+              ORDER BY abs_s DESC, day ASC) AS rn
+          FROM s)
+    WHERE rn = 1
+    """,
+)
+def value_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection on each event type's daily-mean
+    series — the classical drift monitor for a metrics pipeline: the
+    running sum of deviations from the series mean peaks at the most
+    likely level-shift point, and its magnitude is the drift evidence
+    a threshold alarm fires on.  Per type: the estimated changepoint
+    day and the peak |CUSUM|.
+
+    Scale discipline: the corpus-scale work is ONE partial-aggregated
+    groupBy to the (type, day) grain; every window after that runs on
+    the day-grain frame (calendar-bounded, same argument as the YoY
+    plan).  Cross-engine determinism: the daily means and the series
+    mean are rounded to 6 decimals BEFORE the running sum, so both
+    engines accumulate the identical double sequence in the identical
+    day order, and the peak rank uses the rounded |CUSUM| with a day
+    tiebreak — the repo's round-before-rank rule."""
+    events = table(spark, sf_dir, "events")
+    daily = (events.groupBy("event_type",
+                            F.to_date("ts").alias("day"))
+             .agg(F.round(F.avg("value"), 6).alias("md")))
+    mu = F.broadcast(daily.groupBy("event_type").agg(
+        F.round(F.avg("md"), 6).alias("mu"),
+        F.count(F.lit(1)).alias("n_days")))
+    run = (Window.partitionBy("event_type").orderBy("day")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    s = (daily.join(mu, "event_type")
+         .select("event_type", "day", "n_days",
+                 F.round(F.abs(F.sum(F.col("md") - F.col("mu"))
+                               .over(run)), 6).alias("abs_s")))
+    w2 = Window.partitionBy("event_type").orderBy(F.desc("abs_s"),
+                                                  F.asc("day"))
+    return (s.withColumn("rn", F.row_number().over(w2))
+            .filter(F.col("rn") == 1)
+            .select("event_type", "n_days",
+                    F.col("day").alias("changepoint_day"),
+                    (F.col("abs_s") + F.lit(0.0))
+                    .alias("max_abs_cusum")))
+
+
+@query(
+    "weekday_seasonality_profile",
+    oracle="""
+    WITH c AS (
+        SELECT event_type, dayofweek(ts) AS dow,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(AVG(value), 6) + 0.0 AS avg_value
+        FROM events GROUP BY event_type, dayofweek(ts)),
+    t AS (SELECT event_type, SUM(n_events) AS tot FROM c
+          GROUP BY event_type)
+    SELECT c.event_type, c.dow, c.n_events, c.avg_value,
+           ROUND(c.n_events * 1.0 / t.tot, 6) AS volume_share
+    FROM c JOIN t USING (event_type)
+    """,
+)
+def weekday_seasonality_profile(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality factors per event type: event volume,
+    volume share, and mean value by weekday (0 = Sunday, matching
+    DuckDB's dayofweek) — the deseasonalization input for forecasting
+    and for interpreting the CUSUM drift monitor (a level shift on the
+    weekly period is seasonality, not drift).
+
+    Aggregate-only: one partial-aggregated groupBy to types × 7 rows
+    plus a 7-row-per-type broadcast totals join — nothing after the
+    first scan grows with the corpus."""
+    events = table(spark, sf_dir, "events")
+    c = (events.groupBy("event_type",
+                        (F.dayofweek("ts") - 1).alias("dow"))
+         .agg(F.count(F.lit(1)).alias("n_events"),
+              (F.round(F.avg("value"), 6) + F.lit(0.0))
+              .alias("avg_value")))
+    t = F.broadcast(c.groupBy("event_type")
+                    .agg(F.sum("n_events").alias("tot")))
+    return (c.join(t, "event_type")
+            .select("event_type", "dow", "n_events", "avg_value",
+                    F.round(F.col("n_events") * 1.0 / F.col("tot"), 6)
+                    .alias("volume_share")))

@@ -918,3 +918,34 @@ def test_unseen_ngram_novelty_invariants(spark):
     assert sum(r["n_novel"] for r in rows) == n_distinct
     assert all(0.0 <= r["novelty"] <= 1.0 for r in rows)
     assert all(r["n_novel"] <= r["n_shingles"] for r in rows)
+
+
+def test_sq8_fidelity_matches_numpy(spark):
+    """The SQ8 report must equal a direct numpy implementation of the
+    per-dim [min, max] grid quantizer: floor(x*255 + 0.5) codes,
+    dequantize, L2 reconstruction error and cosine agreement."""
+    import numpy as np
+
+    from etl_cloud_batch_processing_spark.operators import similarity as S
+
+    sf = "/root/testdata/sf0.001"
+    emb = np.array(
+        [r.embedding for r in
+         spark.read.parquet(f"{sf}/embeddings.parquet")
+         .orderBy("vec_id").collect()], dtype=np.float64)
+    ids = [r.vec_id for r in
+           spark.read.parquet(f"{sf}/embeddings.parquet")
+           .orderBy("vec_id").select("vec_id").collect()]
+    lo = emb.min(axis=0)
+    rng = np.maximum(emb.max(axis=0) - lo, 1e-12)
+    deq = lo + np.floor((emb - lo) / rng * 255 + 0.5) / 255.0 * rng
+    recon = ((emb - deq) ** 2).sum(axis=1)
+    cos = (emb * deq).sum(axis=1) / np.sqrt(
+        (emb ** 2).sum(axis=1) * (deq ** 2).sum(axis=1))
+    got = {r.vec_id: r for r in
+           S.vector_sq8_fidelity(spark, sf).collect()}
+    for i, vid in enumerate(ids):
+        assert got[vid].recon_err == pytest.approx(recon[i], abs=2e-6)
+        assert got[vid].cos_agreement == pytest.approx(cos[i], abs=2e-6)
+    # quantization is lossy but close: cosine agreement stays near 1
+    assert min(r.cos_agreement for r in got.values()) > 0.999
