@@ -147,3 +147,86 @@ def test_dsir_weights_favor_target_language(spark):
     rest = [w[d] for d in w if langs[d] != filtering.DSIR_TARGET_LANG]
     assert target and rest
     assert (sum(target) / len(target)) > (sum(rest) / len(rest)) + 0.001
+
+
+@given(frames=st.lists(
+    st.lists(st.integers(0, 255), min_size=32, max_size=32),
+    min_size=1, max_size=5))
+@_slow
+def test_y4m_roundtrip_is_identity(frames):
+    """encode_y4m → decode_y4m must be the identity for ANY frame
+    content, not just the fixture's ASCII-derived lumas — the codec
+    pair is a real container implementation, so arbitrary bytes
+    (including values that look like b'FRAME' or b'\\n') must survive
+    the round trip."""
+    import numpy as np
+
+    from etl_cloud_batch_processing_spark.operators.multimodal import (
+        VID_H,
+        VID_W,
+        decode_y4m,
+        encode_y4m,
+    )
+
+    arrs = [np.array(f, dtype=np.uint8).reshape(VID_H, VID_W)
+            for f in frames]
+    w, h, got = decode_y4m(encode_y4m(arrs))
+    assert (w, h, len(got)) == (VID_W, VID_H, len(arrs))
+    for a, b in zip(arrs, got):
+        assert (a == b).all()
+
+
+@given(grid=st.lists(st.integers(0, 205), min_size=64, max_size=64),
+       shift=st.integers(0, 50))
+@_slow
+def test_dhash_is_brightness_invariant(grid, shift):
+    """dHash compares ADJACENT pixels, so adding a constant brightness
+    offset (no clipping) must leave every bit — and therefore the
+    hash — unchanged; that is the property that makes it a perceptual
+    hash rather than a byte hash."""
+    import pandas as pd
+
+    from etl_cloud_batch_processing_spark.operators.multimodal import (
+        make_dhash_decoder,
+    )
+
+    fn = make_dhash_decoder()
+    base = bytes(grid)
+    shifted = bytes(v + shift for v in grid)
+    out = pd.concat(list(fn(iter([pd.DataFrame(
+        {"media_id": [1, 2], "content": [base, shifted]})]))))
+    h = dict(zip(out["media_id"], out["dhash"]))
+    assert h[1] == h[2]
+    assert 0 <= h[1] < (1 << 56)
+
+
+def test_cusum_telescopes_to_zero(spark):
+    """The CUSUM series ends at Σ(mdᵢ − μ) ≈ 0 by construction (μ is
+    the series mean), so the LAST running-sum value per type must be
+    within rounding slack of zero — a telescoping identity any broken
+    window frame or wrong μ join would violate."""
+    from pyspark.sql.window import Window
+
+    from etl_cloud_batch_processing_spark.plans.registry import table
+
+    sf = "/root/testdata/sf0.001"
+    events = table(spark, sf, "events")
+    daily = (events.groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.round(F.avg("value"), 6).alias("md")))
+    mu = F.broadcast(daily.groupBy("event_type").agg(
+        F.round(F.avg("md"), 6).alias("mu"),
+        F.count(F.lit(1)).alias("n_days")))
+    run = (Window.partitionBy("event_type").orderBy("day")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    s = (daily.join(mu, "event_type")
+         .select("event_type", "day", "n_days",
+                 F.sum(F.col("md") - F.col("mu")).over(run)
+                 .alias("cusum")))
+    w = Window.partitionBy("event_type").orderBy(F.desc("day"))
+    last = (s.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1).collect())
+    assert last
+    for r in last:
+        # μ is rounded to 6 decimals, so the telescoped end point can
+        # sit up to n_days · 5e-7 away from exact zero
+        assert abs(r.cusum) <= r.n_days * 5e-7 + 1e-9
