@@ -436,3 +436,59 @@ def test_window_pmi_pair_join_is_equi(spark):
     nodes = re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)
     assert len(nodes) <= 1, plan
     assert "CartesianProduct" not in plan
+
+
+def test_dhash_near_dup_is_banded_equi_join_with_topk(spark):
+    """The perceptual-hash pair join must stay a hash equi-join on the
+    band key (never a sort-merge or nested loop over all pairs) and
+    the final cut must fuse into TakeOrderedAndProject."""
+    plan = plan_of(spark, "visual_dhash_near_dup")
+    assert "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_shot_keyframes_shares_window_partitioning(spark):
+    """Both keyframe windows (lag + running shot id) partition by
+    media_id, so the plan needs no join and no second partitioning
+    scheme — one shuffle serves the whole window stage."""
+    plan = plan_of(spark, "video_shot_keyframes")
+    assert "Join" not in plan
+    keys = set(re.findall(r"hashpartitioning\((\w+)", plan))
+    assert keys <= {"media_id"}, keys
+
+
+def test_activity_entropy_is_aggregate_only(spark):
+    """The entropy identity keeps the plan to two hash aggregates:
+    no window, no join-back of totals, map-side partials present."""
+    plan = plan_of(spark, "user_activity_entropy")
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert "partial_" in plan
+
+
+def test_ewma_pushes_topk_into_window_group_limit(spark):
+    """rn <= 10 must reach the window as a WindowGroupLimit (per-group
+    top-k before the full rank materializes)."""
+    plan = plan_of(spark, "value_ewma_last10")
+    assert "WindowGroupLimit" in plan
+    assert "partial_" in plan
+
+
+def test_novelty_has_no_window_and_no_pair_join(spark):
+    """First-occurrence novelty is min-reduce + equi-join + count — a
+    window or a shingle self-join in this plan would be a regression
+    to the quadratic form."""
+    plan = plan_of(spark, "unseen_ngram_novelty")
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_" in plan
+
+
+def test_sq8_grid_joins_broadcast(spark):
+    """The 64-row per-dim grid must broadcast back onto the flattened
+    scan; a shuffle join on `d` would shuffle the corpus twice."""
+    plan = plan_of(spark, "vector_sq8_fidelity")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
