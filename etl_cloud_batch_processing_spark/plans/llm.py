@@ -729,7 +729,10 @@ def unseen_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         hashed_shingles,
     )
 
-    hs = hashed_shingles(table(spark, sf_dir, "documents"))
+    # the shingle scan feeds two plan branches (min-reduce + probe
+    # side of the join); persist it once — same rationale as the
+    # jaccard baseline's persisted hs
+    hs = hashed_shingles(table(spark, sf_dir, "documents")).persist()
     first = hs.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
     return (hs.join(first, "h")
             .groupBy("doc_id")
