@@ -69,6 +69,22 @@ def read_orc(spark: SparkSession, path: str,
     return reader.orc(path)
 
 
+def read_xml(spark: SparkSession, path: str, row_tag: str,
+             schema: StructType | None = None,
+             **options: str) -> DataFrame:
+    """XML scan (built-in DataSource since Spark 4): one row per
+    ``row_tag`` element.  Schema is optional (inference walks the
+    documents) but SHOULD be passed in production for the same reason
+    as CSV — inference is a full extra pass and can widen types.  The
+    feed-ingest format of record for legacy enterprise sources; lands
+    on the same DataSource-v2 machinery as the other readers, so
+    column pruning still applies downstream."""
+    reader = spark.read.option("rowTag", row_tag).options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.format("xml").load(path)
+
+
 @dataclass
 class Catalog:
     """Name → DataFrame resolution over one or more parquet roots.

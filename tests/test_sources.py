@@ -95,3 +95,18 @@ def test_read_csv_quarantine_splits_malformed(spark, tmp_path):
     assert sorted(r["a"] for r in good.collect()) == ["1", "3"]
     bad_rows = [r["raw_line"] for r in bad.collect()]
     assert bad_rows == ["2,y,EXTRA,FIELDS"]
+
+
+def test_xml_roundtrip_preserves_values(spark, tmp_path):
+    """XML (built-in since Spark 4) roundtrips through write_overwrite
+    and the row-tag reader with explicit schema — value equality, not
+    just row counts (attribute/element type widening is XML's version
+    of CSV's silent stringification)."""
+    src = _nation(spark)
+    path = str(tmp_path / "nation_xml")
+    (src.write.mode("overwrite").format("xml")
+     .option("rootTag", "nations").option("rowTag", "nation")
+     .save(path))
+    back = R.read_xml(spark, path, row_tag="nation", schema=src.schema)
+    assert back.schema == src.schema
+    assert _sorted_rows(back) == _sorted_rows(src)
