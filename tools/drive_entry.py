@@ -4,8 +4,14 @@ sys.path.insert(0, "/root/repo")
 from pyspark.sql import SparkSession
 import duckdb, pandas as pd
 
-# plain session, as the driver would build it — none of our engine conf
-spark = (SparkSession.builder.master("local[8]").appName("driver-sim")
+# plain session, as the driver would build it — none of our engine conf.
+# SPARK_GRAFT_VERIFY_MASTER lets CI re-run the sweep under a different
+# parallelism: any query whose value hash depends on partitioning
+# (summation order, unstable ranking) reds out here before the real
+# driver finds it.
+spark = (SparkSession.builder
+         .master(os.environ.get("SPARK_GRAFT_VERIFY_MASTER", "local[8]"))
+         .appName("driver-sim")
          .config("spark.ui.enabled", "false").getOrCreate())
 
 import __spark_entry__ as e
