@@ -45,6 +45,68 @@ def l2_normalize(a: Column | str) -> Column:
     return F.transform(a, lambda x: x.cast("double") / n)
 
 
+def fwht_df(df, col_in: str, col_out: str, dim: int = 64):
+    """Fast Walsh–Hadamard transform of a dim-length double-array
+    column, normalized by √dim (so the rotation is orthonormal):
+    log2(dim) butterfly stages, each ONE ``transform`` projection over
+    the array — O(d log d) JVM-side codegen arithmetic per row, never a
+    d×d matmul explode.  Each stage is a separate ``withColumn`` so its
+    input is a plain attribute reference; folding all stages into one
+    Column expression would copy the subtree 3× per stage (3^log d
+    blowup).
+
+    The FWHT is the classic cheap structured rotation of OPQ-style
+    vector preprocessing (Ailon–Chazelle fast JL transform; the
+    rotation option of FAISS-style OPQ): it spreads per-dimension
+    variance evenly across dimensions — exactly what per-dimension
+    quantizers (SQ8, PQ) want.  dim must be a power of two; for dim=64
+    the 1/8 scale is binary-exact."""
+    assert dim & (dim - 1) == 0, "FWHT needs a power-of-two dim"
+
+    def make_stage(cur: Column, b: Column):
+        def stage(x: Column, i: Column) -> Column:
+            partner = F.element_at(cur, (i.bitwiseXOR(b) + 1).cast("int"))
+            return (F.when(i.bitwiseAND(b) == F.lit(0), x + partner)
+                    .otherwise(partner - x))
+        return stage
+
+    df = df.withColumn(col_out, F.col(col_in))
+    bit = 1
+    while bit < dim:
+        cur = F.col(col_out)
+        df = df.withColumn(
+            col_out, F.transform(cur, make_stage(cur, F.lit(bit))))
+        bit *= 2
+    scale = F.lit(float(dim) ** 0.5)
+    return df.withColumn(col_out,
+                         F.transform(F.col(col_out), lambda x: x / scale))
+
+
+def duckdb_fwht_ctes(src: str, keys: str, vec: str, out: str,
+                     dim: int = 64) -> str:
+    """DuckDB oracle twin of :func:`fwht_df`: the same butterfly stages
+    as a CHAIN of CTEs (one per stage, each referenced once — the same
+    no-subtree-copying discipline), ending in a CTE named ``out`` with
+    columns ``{keys}, v``.  Term-for-term identical IEEE arithmetic, so
+    the rotated coordinates are bit-identical to Spark's."""
+    ctes = [f"{out}_s0 AS (SELECT {keys}, {vec} AS v FROM {src})"]
+    bit, s = 1, 0
+    while bit < dim:
+        prev, s = s, s + 1
+        ctes.append(
+            f"{out}_s{s} AS (SELECT {keys}, "
+            f"list_transform(range(0, {dim}), i -> "
+            f"CASE WHEN (i & {bit}) = 0 "
+            f"THEN v[i + 1] + v[xor(i, {bit}) + 1] "
+            f"ELSE v[xor(i, {bit}) + 1] - v[i + 1] END) AS v "
+            f"FROM {out}_s{prev})")
+        bit *= 2
+    ctes.append(f"{out} AS (SELECT {keys}, "
+                f"list_transform(v, x -> x / {float(dim) ** 0.5!r}) AS v "
+                f"FROM {out}_s{s})")
+    return ",\n    ".join(ctes)
+
+
 def duckdb_dot_sql(a: str, b: str, dim: int = 64) -> str:
     """DuckDB oracle twin of :func:`dot` — double-precision inner
     product summed in index order (bit-identical to the Spark

@@ -1467,3 +1467,98 @@ def vector_ivf_pq_recall_compare(spark: SparkSession,
                     F.coalesce("nz", F.lit(0)).alias("n_hits_residual"),
                     F.round(F.coalesce("nz", F.lit(0)) / F.lit(5.0), 6)
                     .alias("recall_residual")))
+
+
+# ---------------------------------------------------------------------------
+# NS3 — structured-rotation (FWHT) preprocessing fidelity.
+# ---------------------------------------------------------------------------
+
+@query(
+    "vector_fwht_rotation_fidelity",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label,
+                      list_transform(embedding, v -> CAST(v AS DOUBLE))
+                          AS emb
+               FROM embeddings),
+    {V.duckdb_fwht_ctes('e', 'vec_id, label', 'emb', 'rote', DIM)},
+    long AS (
+        SELECT vec_id, label, 'raw' AS path, t.d, emb[t.d] AS v
+        FROM e, (SELECT unnest(range(1, {DIM + 1})) AS d) t
+        UNION ALL
+        SELECT vec_id, label, 'rot' AS path, t.d, v[t.d] AS v
+        FROM rote, (SELECT unnest(range(1, {DIM + 1})) AS d) t),
+    mm AS (SELECT path, d, MIN(v) AS lo,
+                  GREATEST(MAX(v) - MIN(v), 1e-12) AS rng
+           FROM long GROUP BY path, d),
+    q AS (SELECT vec_id, label, path, v,
+                 lo + FLOOR((v - lo) / rng * 255 + 0.5)
+                      / 255.0 * rng AS deq
+          FROM long JOIN mm USING (path, d)),
+    s AS (SELECT vec_id, label, path,
+                 ROUND(SUM((v - deq) * (v - deq)), 6) + 0.0 AS err
+          FROM q GROUP BY vec_id, label, path)
+    SELECT vec_id, label,
+           MAX(CASE WHEN path = 'raw' THEN err END) AS recon_err_raw,
+           MAX(CASE WHEN path = 'rot' THEN err END) AS recon_err_rot,
+           ROUND(MAX(CASE WHEN path = 'raw' THEN err END)
+                 - MAX(CASE WHEN path = 'rot' THEN err END), 6) + 0.0
+               AS rot_gain
+    FROM s GROUP BY vec_id, label
+    """,
+)
+def vector_fwht_rotation_fidelity(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """OPQ-style structured rotation, calibrated: per vector, the SQ8
+    reconstruction error quantizing the RAW coordinates vs quantizing
+    after a fast Walsh-Hadamard rotation (functions/vectors.py
+    ``fwht_df`` — the Ailon-Chazelle cheap orthonormal transform that
+    spreads variance evenly across dimensions, which per-dimension
+    [min,max] grids reward).  ``rot_gain`` > 0 means the rotation buys
+    fidelity for free at equal bit budget — the go/no-go artifact
+    before enabling rotation in the SQ8/PQ ingest path, completing the
+    compression-calibration family (PQ / truncation / SQ8 / rotation).
+
+    Plan shape: the rotation is log2(d) pure ``transform`` projections
+    (O(d log d) per row, embarrassingly parallel, no shuffle); both
+    paths then share ONE posexplode scan via a 2-element explode tag,
+    one per-(path, dim) min/range aggregate (2·d rows, broadcast
+    back), and one partial-aggregated per-vector reduce — exactly
+    ``vector_sq8_fidelity``'s plan run twice in the same pass.
+    Orthonormality of the rotation means the errors are directly
+    comparable (same L2 geometry both sides)."""
+    e = (ptable(spark, sf_dir, "embeddings")
+         .select("vec_id", "label",
+                 F.transform("embedding",
+                             lambda v: v.cast("double")).alias("emb")))
+    r = V.fwht_df(e, "emb", "rot", DIM)
+    long = (r.select(
+        "vec_id", "label",
+        F.explode(F.array(
+            F.struct(F.lit("raw").alias("path"), F.col("emb").alias("vv")),
+            F.struct(F.lit("rot").alias("path"), F.col("rot").alias("vv"))))
+        .alias("pv"))
+        .select("vec_id", "label", F.col("pv.path").alias("path"),
+                F.posexplode("pv.vv").alias("d0", "v"))
+        .select("vec_id", "label", "path",
+                (F.col("d0") + 1).alias("d"), "v")
+        # both the min/range pass and the quantize pass read this frame:
+        # persist so the rotation + double explode run once, not twice.
+        .persist())
+    mm = F.broadcast(long.groupBy("path", "d").agg(
+        F.min("v").alias("lo"),
+        F.greatest(F.max("v") - F.min("v"), F.lit(1e-12)).alias("rng")))
+    code = F.floor((F.col("v") - F.col("lo")) / F.col("rng") * 255
+                   + F.lit(0.5))
+    deq = F.col("lo") + code / F.lit(255.0) * F.col("rng")
+    q = long.join(mm, ["path", "d"]).select(
+        "vec_id", "label", "path", "v", deq.alias("deq"))
+    s = (q.groupBy("vec_id", "label", "path")
+         .agg((F.round(F.sum((F.col("v") - F.col("deq"))
+                             * (F.col("v") - F.col("deq"))), 6)
+               + F.lit(0.0)).alias("err")))
+    raw = F.max(F.when(F.col("path") == "raw", F.col("err")))
+    rot = F.max(F.when(F.col("path") == "rot", F.col("err")))
+    return (s.groupBy("vec_id", "label")
+            .agg(raw.alias("recon_err_raw"),
+                 rot.alias("recon_err_rot"),
+                 (F.round(raw - rot, 6) + F.lit(0.0)).alias("rot_gain")))

@@ -1037,6 +1037,74 @@ def vector_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("dot_score"), "rnk"))
 
 
+#: Metadata predicate of the filtered-search query: candidate labels
+#: admitted to the scan.  In production this is a tenant / language /
+#: freshness filter pushed into the vector index.
+KNN_FILTER_LABELS = (0, 1, 2)
+
+
+@query(
+    "knn_filtered_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+               FROM embeddings WHERE vec_id < 5),
+    cand AS (SELECT * FROM embeddings
+             WHERE label IN {KNN_FILTER_LABELS}),
+    scored AS (
+        SELECT q.query_id, e.vec_id, e.label,
+               round({V.duckdb_cosine_sql('q.qe', 'e.embedding')}, 6)
+                   AS cos_sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY {V.duckdb_cosine_sql('q.qe', 'e.embedding')}
+                            DESC, e.vec_id ASC) AS rnk
+        FROM q CROSS JOIN cand e
+        WHERE e.vec_id <> q.query_id)
+    SELECT query_id, vec_id, label, cos_sim, rnk
+    FROM scored WHERE rnk <= 5
+    """,
+)
+def knn_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NS3 FILTERED vector search: top-5 cosine neighbours per query
+    among only the candidates passing a metadata predicate (label ∈
+    {KNN_FILTER_LABELS}) — the tenant-/language-/recency-scoped
+    retrieval every production vector store serves, where the filter
+    must apply BEFORE ranking (post-filtering a fixed top-k returns
+    fewer than k — or zero — rows for selective predicates).
+
+    Pre-filtering is the engine-correct strategy here: the predicate
+    lands in the parquet scan (PushedFilters), the candidate set
+    shrinks before any distance math, and recall is exact by
+    construction.  Same broadcast-queries shape and
+    ``MAX_BRUTE_FORCE_ROWS`` guard as ``knn_cosine_topk``; at scale the
+    same filter composes with the IVF cell scan (filter the posting
+    lists, then probe) — this query is the exact reference for that
+    path's recall."""
+    n_candidates = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    if n_candidates > MAX_BRUTE_FORCE_ROWS:
+        raise ValueError(
+            f"knn_filtered_topk is the EXACT filtered baseline; "
+            f"{n_candidates} candidate vectors exceed "
+            f"MAX_BRUTE_FORCE_ROWS={MAX_BRUTE_FORCE_ROWS}. Compose the "
+            f"label filter with ivf_ann_topk's cell scan at this scale.")
+    emb = (ptable(spark, sf_dir, "embeddings")
+           .withColumn("nrm", F.sqrt(V.dot("embedding", "embedding"))))
+    q = F.broadcast(emb.filter(F.col("vec_id") < 5)
+                    .select(F.col("vec_id").alias("query_id"),
+                            F.col("embedding").alias("qe"),
+                            F.col("nrm").alias("qn")))
+    cand = emb.filter(F.col("label").isin(*KNN_FILTER_LABELS))
+    cos = V.dot("qe", "embedding") / (F.col("qn") * F.col("nrm"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("raw_cos"),
+                                               F.asc("vec_id"))
+    return (q.join(cand, F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "vec_id", "label", cos.alias("raw_cos"))
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 5)
+            .select("query_id", "vec_id", "label",
+                    F.round("raw_cos", 6).alias("cos_sim"), "rnk"))
+
+
 @query(
     "embedding_near_dup_blocked",
     oracle=f"""
