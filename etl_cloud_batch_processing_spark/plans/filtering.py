@@ -21,7 +21,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from etl_cloud_batch_processing_spark.plans.registry import query, table
+from etl_cloud_batch_processing_spark.functions import text as T
+from etl_cloud_batch_processing_spark.plans.registry import (
+    ptable,
+    query,
+    table,
+)
 
 #: Tokens per dedup span ("line"): the fixture corpus is single-line
 #: word soup, so spans play the role newline-delimited lines play on
@@ -1013,3 +1018,134 @@ def weighted_token_budget_allocation(spark: SparkSession,
                     .alias("allocated_tokens"),
                     (F.round(alloc / F.col("avail"), 6) + F.lit(0.0))
                     .alias("keep_rate")))
+
+
+# --------------------------------------------------------------------------
+# NS4 — RAKE keyword extraction.
+# --------------------------------------------------------------------------
+
+#: Keyword phrases reported by the RAKE extractor.
+RAKE_TOP_K = 20
+
+
+@query(
+    "keyword_rake_top_phrases",
+    oracle=f"""
+    WITH split AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    raw AS (
+        SELECT doc_id,
+               unnest(range(1, len(toks) + 1)) AS pos,
+               unnest(toks) AS token
+        FROM split),
+    tok AS (
+        SELECT doc_id, pos, token,
+               CASE WHEN token IN ('a', 'the') THEN 1 ELSE 0 END
+                   AS is_stop
+        FROM raw),
+    seg AS (
+        SELECT doc_id, pos, token, is_stop,
+               SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS phrase_id
+        FROM tok),
+    members AS (SELECT doc_id, phrase_id, pos, token
+                FROM seg WHERE is_stop = 0),
+    phrases AS (
+        SELECT doc_id, phrase_id,
+               string_agg(token, ' ' ORDER BY pos) AS phrase,
+               CAST(COUNT(*) AS BIGINT) AS plen
+        FROM members GROUP BY doc_id, phrase_id),
+    wstat AS (
+        SELECT m.token, CAST(COUNT(*) AS BIGINT) AS freq,
+               SUM(p.plen) AS deg
+        FROM members m
+        JOIN phrases p USING (doc_id, phrase_id)
+        GROUP BY m.token),
+    pscore AS (
+        SELECT m.doc_id, m.phrase_id,
+               ROUND(SUM(ROUND(w.deg * 1.0 / w.freq, 6)), 6) AS score
+        FROM members m JOIN wstat w USING (token)
+        GROUP BY m.doc_id, m.phrase_id),
+    agg AS (
+        SELECT p.phrase, MAX(p.plen) AS n_words,
+               CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+               MAX(s.score) AS rake_score
+        FROM phrases p JOIN pscore s USING (doc_id, phrase_id)
+        GROUP BY p.phrase)
+    SELECT phrase, n_words, n_occurrences, rake_score + 0.0 AS rake_score,
+           CAST(ROW_NUMBER() OVER (ORDER BY rake_score DESC, phrase ASC)
+                AS INTEGER) AS rnk
+    FROM agg
+    ORDER BY rake_score DESC, phrase ASC
+    LIMIT {RAKE_TOP_K}
+    """,
+)
+def keyword_rake_top_phrases(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction over the corpus (Rose et al. 2010):
+    candidate phrases are maximal stopword-free token runs; each word
+    scores deg/freq (deg = Σ length of phrases containing it, freq =
+    occurrence count); a phrase scores the sum of its words' scores.
+    Top-{RAKE_TOP_K} phrases corpus-wide with occurrence counts — the
+    unsupervised keyphrase surface for corpus topic audits and search
+    facet seeding, built on the same stopword list as the quality
+    score (functions/text.py STOPWORDS).
+
+    Scale shape: ONE posexplode scan; phrase segmentation is a
+    cumulative-sum window PARTITIONED BY doc (the line_dedup_spans
+    discipline — per-doc sort, never global); word stats and phrase
+    scores are partial-aggregated equi-joins on token / (doc, phrase)
+    keys; the final rank is TopK over the distinct-phrase frame.  deg
+    and freq are exact BIGINTs; word scores round before the phrase
+    sum, the sum rounds before the rank (round-before-rank rule), and
+    identical phrases collapse via MAX of their per-instance rounded
+    scores (equal at the rounding grain)."""
+    docs = ptable(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(T.tokens("text")).alias("pos0", "token"))
+    seg = tok.select(
+        "doc_id", (F.col("pos0") + 1).alias("pos"), "token",
+        F.when(F.col("token").isin(*T.STOPWORDS), 1).otherwise(0)
+        .alias("is_stop"))
+    w = (Window.partitionBy("doc_id").orderBy("pos")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    seg = seg.withColumn("phrase_id", F.sum("is_stop").over(w))
+    members = (seg.filter(F.col("is_stop") == 0)
+               .select("doc_id", "phrase_id", "pos", "token")
+               # three readers (phrase texts, word stats, phrase
+               # scores): run the explode + segmentation window once.
+               .persist())
+    phrases = (members.groupBy("doc_id", "phrase_id")
+               .agg(F.concat_ws(
+                        " ",
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("pos", "token"))),
+                            lambda s: s["token"])).alias("phrase"),
+                    F.count(F.lit(1)).alias("plen")))
+    wstat = (members.join(phrases, ["doc_id", "phrase_id"])
+             .groupBy("token")
+             .agg(F.count(F.lit(1)).alias("freq"),
+                  F.sum("plen").alias("deg")))
+    pscore = (members.join(wstat, "token")
+              .groupBy("doc_id", "phrase_id")
+              .agg(F.round(F.sum(F.round(
+                  F.col("deg") * 1.0 / F.col("freq"), 6)), 6)
+                  .alias("score")))
+    agg = (phrases.join(pscore, ["doc_id", "phrase_id"])
+           .groupBy("phrase")
+           .agg(F.max("plen").alias("n_words"),
+                F.count(F.lit(1)).alias("n_occurrences"),
+                F.max("score").alias("rake_score")))
+    # Top-k FIRST via sort+limit (TakeOrderedAndProject — never a
+    # global window over the full phrase frame), then the rank label
+    # is a window over only the k survivors.
+    top = (agg.select("phrase", "n_words", "n_occurrences",
+                      (F.col("rake_score") + F.lit(0.0))
+                      .alias("rake_score"))
+           .orderBy(F.desc("rake_score"), F.asc("phrase"))
+           .limit(RAKE_TOP_K))
+    rnk = Window.orderBy(F.desc("rake_score"), F.asc("phrase"))
+    return top.withColumn("rnk", F.row_number().over(rnk))

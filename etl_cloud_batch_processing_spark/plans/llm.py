@@ -584,6 +584,77 @@ def pagerank_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("doc_id", F.round("pr", 6).alias("pagerank"))
 
 
+@query(
+    "dup_graph_degree_stats",
+    oracle=_DUCK_SIMHASH + f"""
+    , pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash))
+                  <= {SIMHASH_MAX_HAMMING}),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION ALL
+              SELECT doc_b AS src, doc_a AS dst FROM pairs),
+    deg AS (SELECT src AS doc_id, CAST(COUNT(*) AS BIGINT) AS d
+            FROM edges GROUP BY src),
+    ann AS (
+        SELECT ds.d AS degree, dd.d AS nbr_degree
+        FROM edges e
+        JOIN deg ds ON e.src = ds.doc_id
+        JOIN deg dd ON e.dst = dd.doc_id),
+    hist AS (SELECT d AS degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+             FROM deg GROUP BY d),
+    knn AS (SELECT degree, SUM(nbr_degree) AS s,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM ann GROUP BY degree)
+    SELECT h.degree, h.n_nodes,
+           ROUND(k.s * 1.0 / k.c, 6) + 0.0 AS avg_neighbor_degree
+    FROM hist h JOIN knn k USING (degree)
+    """,
+)
+def dup_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution + assortativity curve of the simhash
+    near-dup graph: per degree, how many documents have it and the
+    average degree of their neighbours (the k_nn(k) curve).  A
+    heavy-tailed histogram with a falling k_nn(k) is the template-
+    boilerplate signature (a few hub documents near-duplicating
+    everything); a flat curve means organic pairwise dups — the triage
+    that decides between cluster-collapse (``near_dup_clusters``) and
+    pairwise drop as the dedup action, and the skew forecast for the
+    PageRank/triangle passes over the same graph.
+
+    Same sub-quadratic banded pair discovery as
+    ``simhash_hamming_pairs``; the degree annotation is two equi-joins
+    of the edge list against the degree frame (vertex-keyed, the
+    edge-iterator discipline of ``near_dup_triangle_stats``), and both
+    output aggregates run at degree-value grain.  All sums are exact
+    BIGINTs; one divide + round at the end."""
+    pairs = (simhash_hamming_pairs(spark, sf_dir)
+             .select("doc_a", "doc_b"))
+    edges = (pairs.select(F.col("doc_a").alias("src"),
+                          F.col("doc_b").alias("dst"))
+             .unionByName(pairs.select(F.col("doc_b").alias("src"),
+                                       F.col("doc_a").alias("dst")))
+             # the degree aggregate AND the annotation joins read this
+             # frame: keep the banded pair pipeline from re-running.
+             .persist())
+    deg = (edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+           .select(F.col("src").alias("doc_id"), "d"))
+    ann = (edges
+           .join(deg.select(F.col("doc_id").alias("src"),
+                            F.col("d").alias("degree")), "src")
+           .join(deg.select(F.col("doc_id").alias("dst"),
+                            F.col("d").alias("nbr_degree")), "dst"))
+    hist = deg.groupBy(F.col("d").alias("degree")).agg(
+        F.count(F.lit(1)).alias("n_nodes"))
+    knn = ann.groupBy("degree").agg(
+        F.sum("nbr_degree").alias("s"), F.count(F.lit(1)).alias("c"))
+    return (hist.join(knn, "degree")
+            .select("degree", "n_nodes",
+                    (F.round(F.col("s") * 1.0 / F.col("c"), 6)
+                     + F.lit(0.0)).alias("avg_neighbor_degree")))
+
+
 # --------------------------------------------------------------------------
 # NS2 — n-gram Jaccard near-dup (relational shingle join).
 # --------------------------------------------------------------------------

@@ -591,3 +591,138 @@ def weekday_seasonality_profile(spark: SparkSession,
             .select("event_type", "dow", "n_events", "avg_value",
                     F.round(F.col("n_events") * 1.0 / F.col("tot"), 6)
                     .alias("volume_share")))
+
+
+# --------------------------------------------------------------------------
+# Interval semantics: variable-length validity windows.
+# --------------------------------------------------------------------------
+# Each order carries a service window [o_orderdate, o_orderdate + dur)
+# whose length varies with priority (urgent orders turn around faster):
+# '1-URGENT' -> 2 days ... '5-LOW' -> 10 days.  Derived, not synthetic
+# input — the fixture has no native interval table, and a priority-
+# scaled duration exercises exactly what fixed-width windows
+# (events_within_day_band's +-1-day band) cannot: variable-length
+# interval algebra.
+_DUR_SQL = "CAST(substring(o_orderpriority, 1, 1) AS INTEGER) * 2"
+
+
+@query(
+    "order_window_daily_load",
+    oracle=f"""
+    WITH win AS (
+        SELECT o_orderkey, CAST(o_orderdate AS DATE) AS s,
+               CAST(o_orderdate AS DATE)
+                   + CAST(({_DUR_SQL}) || ' days' AS INTERVAL) AS e
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-04-01'),
+    days AS (
+        SELECT CAST(unnest(generate_series(s, CAST(e AS DATE)
+                                              - INTERVAL 1 DAY,
+                                           INTERVAL 1 DAY)) AS DATE)
+                   AS day
+        FROM win)
+    SELECT day, CAST(COUNT(*) AS BIGINT) AS n_open_orders
+    FROM days GROUP BY day
+    """,
+)
+def order_window_daily_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval→grain coverage: how many order service windows are OPEN
+    on each calendar day of 1997Q1 — the capacity-planning readout
+    (concurrent open work per day) and the relational form of a
+    timeline "utilization" chart.
+
+    The interval table never self-joins: each window EXPLODES into its
+    covered days via ``sequence()`` (bounded: duration ≤ 10 rows per
+    order), then one partial-aggregated count per day.  Linear in
+    orders × avg-duration, embarrassingly parallel, no window function
+    at all — the scale-safe plan for interval coverage, vs the O(n²)
+    "join intervals to a day spine with BETWEEN" a naive translation
+    would pick.  Date pruning on the orderdate pushes into the scan."""
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1997-04-01"))
+    dur = F.substring("o_orderpriority", 1, 1).cast("int") * 2
+    win = o.select(
+        F.to_date("o_orderdate").alias("s"),
+        F.date_add(F.to_date("o_orderdate"), dur - 1).alias("last_day"))
+    days = win.select(
+        F.explode(F.sequence("s", "last_day")).alias("day"))
+    return days.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_open_orders"))
+
+
+@query(
+    "overlapping_customer_orders",
+    oracle=f"""
+    WITH win AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(o_orderdate AS DATE) AS s,
+               CAST(o_orderdate AS DATE)
+                   + CAST(({_DUR_SQL}) || ' days' AS INTERVAL) AS e
+        FROM orders)
+    SELECT a.o_custkey AS custkey,
+           a.o_orderkey AS order_a, b.o_orderkey AS order_b,
+           CAST(datediff('day', b.s,
+                         LEAST(CAST(a.e AS DATE), CAST(b.e AS DATE)))
+                AS BIGINT) AS overlap_days
+    FROM win a JOIN win b
+      ON a.o_custkey = b.o_custkey
+     AND a.o_orderkey < b.o_orderkey
+     AND a.s <= b.s
+     AND b.s < CAST(a.e AS DATE)
+    UNION ALL
+    SELECT a.o_custkey, a.o_orderkey, b.o_orderkey,
+           CAST(datediff('day', a.s,
+                         LEAST(CAST(a.e AS DATE), CAST(b.e AS DATE)))
+                AS BIGINT) AS overlap_days
+    FROM win a JOIN win b
+      ON a.o_custkey = b.o_custkey
+     AND a.o_orderkey < b.o_orderkey
+     AND b.s < a.s
+     AND a.s < CAST(b.e AS DATE)
+    """,
+)
+def overlapping_customer_orders(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Interval-overlap SELF-join: pairs of orders from the same
+    customer whose service windows overlap in time, with the overlap
+    length in days — the "concurrent open orders" detector behind
+    fulfillment contention analysis and duplicate-submission triage.
+
+    The join key is the natural equi key (custkey) — Spark plans a
+    hash join and the overlap predicate [max(s) < min(e)] evaluates
+    only within a customer's own orders (bounded per-customer
+    cardinality; per-key fan-out is quadratic only in ONE customer's
+    concurrent orders, the same bounded-group argument as
+    asof_latest_order_per_event).  A keyless interval join would
+    instead bucket intervals to coarse time cells and join on the cell
+    (the week-bucket pattern of vector_truncation_fidelity's pair
+    sampler); with a natural key available, the equi join IS the
+    scale-correct plan.  Overlap length = min(end) − max(start), via a
+    symmetric UNION (a.s ≤ b.s | b.s < a.s) so the expression is
+    identical in both engines with no LEAST/GREATEST over dates."""
+    o = table(spark, sf_dir, "orders")
+    dur = F.substring("o_orderpriority", 1, 1).cast("int") * 2
+    win = o.select(
+        "o_orderkey", "o_custkey",
+        F.to_date("o_orderdate").alias("s"),
+        F.date_add(F.to_date("o_orderdate"), dur).alias("e"))
+    a = win.select(F.col("o_custkey").alias("custkey"),
+                   F.col("o_orderkey").alias("order_a"),
+                   F.col("s").alias("sa"), F.col("e").alias("ea"))
+    b = win.select(F.col("o_custkey").alias("custkey"),
+                   F.col("o_orderkey").alias("order_b"),
+                   F.col("s").alias("sb"), F.col("e").alias("eb"))
+    j = a.join(b, ["custkey"]).filter(F.col("order_a") < F.col("order_b"))
+    first = (j.filter((F.col("sa") <= F.col("sb"))
+                      & (F.col("sb") < F.col("ea")))
+             .select("custkey", "order_a", "order_b",
+                     F.datediff(F.least("ea", "eb"), F.col("sb"))
+                     .cast("bigint").alias("overlap_days")))
+    second = (j.filter((F.col("sb") < F.col("sa"))
+                       & (F.col("sa") < F.col("eb")))
+              .select("custkey", "order_a", "order_b",
+                      F.datediff(F.least("ea", "eb"), F.col("sa"))
+                      .cast("bigint").alias("overlap_days")))
+    return first.unionByName(second)
