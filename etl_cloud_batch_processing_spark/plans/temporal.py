@@ -690,39 +690,46 @@ def overlapping_customer_orders(spark: SparkSession,
     length in days — the "concurrent open orders" detector behind
     fulfillment contention analysis and duplicate-submission triage.
 
-    The join key is the natural equi key (custkey) — Spark plans a
-    hash join and the overlap predicate [max(s) < min(e)] evaluates
-    only within a customer's own orders (bounded per-customer
-    cardinality; per-key fan-out is quadratic only in ONE customer's
-    concurrent orders, the same bounded-group argument as
-    asof_latest_order_per_event).  A keyless interval join would
-    instead bucket intervals to coarse time cells and join on the cell
-    (the week-bucket pattern of vector_truncation_fidelity's pair
-    sampler); with a natural key available, the equi join IS the
-    scale-correct plan.  Overlap length = min(end) − max(start), via a
-    symmetric UNION (a.s ≤ b.s | b.s < a.s) so the expression is
-    identical in both engines with no LEAST/GREATEST over dates."""
+    The join key is (custkey, 10-day time bucket): durations are
+    bounded by 10 days, so an overlapping partner's start lies within
+    [s, s+10) and can only fall in the interval's own bucket or the
+    next one — the earlier side registers under BOTH (one 2-element
+    explode), the later side joins on its own bucket.  Per-key fan-out
+    is therefore bounded by a customer's orders per 20-day window —
+    NOT by their lifetime order count, which is what a bare custkey
+    join degrades to as history accumulates (the band-join bucketing
+    of events_within_day_band, composed with the natural key).  Each
+    unordered pair emerges exactly once: the lexicographically earlier
+    (start, orderkey) interval takes the probing role.  Overlap length
+    = min(end) − max(start); max(start) is the later side's start by
+    construction, so no LEAST/GREATEST over dates crosses engines.
+    The oracle cross-checks with the honest quadratic inequality
+    join."""
     o = table(spark, sf_dir, "orders")
     dur = F.substring("o_orderpriority", 1, 1).cast("int") * 2
+    epoch = F.lit("1990-01-01").cast("date")
     win = o.select(
-        "o_orderkey", "o_custkey",
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("okey"),
         F.to_date("o_orderdate").alias("s"),
-        F.date_add(F.to_date("o_orderdate"), dur).alias("e"))
-    a = win.select(F.col("o_custkey").alias("custkey"),
-                   F.col("o_orderkey").alias("order_a"),
-                   F.col("s").alias("sa"), F.col("e").alias("ea"))
-    b = win.select(F.col("o_custkey").alias("custkey"),
-                   F.col("o_orderkey").alias("order_b"),
-                   F.col("s").alias("sb"), F.col("e").alias("eb"))
-    j = a.join(b, ["custkey"]).filter(F.col("order_a") < F.col("order_b"))
-    first = (j.filter((F.col("sa") <= F.col("sb"))
-                      & (F.col("sb") < F.col("ea")))
-             .select("custkey", "order_a", "order_b",
-                     F.datediff(F.least("ea", "eb"), F.col("sb"))
-                     .cast("bigint").alias("overlap_days")))
-    second = (j.filter((F.col("sb") < F.col("sa"))
-                       & (F.col("sa") < F.col("eb")))
-              .select("custkey", "order_a", "order_b",
-                      F.datediff(F.least("ea", "eb"), F.col("sa"))
-                      .cast("bigint").alias("overlap_days")))
-    return first.unionByName(second)
+        F.date_add(F.to_date("o_orderdate"), dur).alias("e"),
+        F.floor(F.datediff(F.to_date("o_orderdate"), epoch) / 10)
+        .alias("bucket"))
+    x = (win.select(
+            F.col("custkey"), F.col("okey").alias("xk"),
+            F.col("s").alias("xs"), F.col("e").alias("xe"),
+            F.explode(F.array(F.col("bucket"), F.col("bucket") + 1))
+            .alias("probe")))
+    y = win.select(F.col("custkey"), F.col("okey").alias("yk"),
+                   F.col("s").alias("ys"), F.col("e").alias("ye"),
+                   F.col("bucket").alias("probe"))
+    earlier = ((F.col("xs") < F.col("ys"))
+               | ((F.col("xs") == F.col("ys"))
+                  & (F.col("xk") < F.col("yk"))))
+    return (x.join(y, ["custkey", "probe"])
+            .filter(earlier & (F.col("ys") < F.col("xe")))
+            .select("custkey",
+                    F.least("xk", "yk").alias("order_a"),
+                    F.greatest("xk", "yk").alias("order_b"),
+                    F.datediff(F.least("xe", "ye"), F.col("ys"))
+                    .cast("bigint").alias("overlap_days")))
