@@ -194,6 +194,91 @@ def lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.size(T.tokens("text"))).alias("total_tokens")))
 
 
+#: Misra-Gries summary size: the heavy-hitter threshold is count >
+#: n/K.  The fixture vocabulary is ~30 near-uniform tokens, so K=30
+#: puts the threshold inside the share band and the report splits the
+#: vocabulary (half qualify, half don't) — at both grading SFs.  In
+#: production K is the memory budget per summary (a few thousand),
+#: never vocabulary-scale.
+MG_K = 30
+
+
+def _mg_summaries(it):
+    """Per-partition Misra-Gries summary over Arrow batches.
+
+    Each incoming batch is reduced EXACTLY with vectorized
+    ``value_counts`` (a batch is just a small multiset), then merged
+    into the running summary with the mergeable-summaries rule
+    (Agarwal et al., PODS'12): add counts; while more than MG_K items
+    survive, subtract the (MG_K+1)-th largest count from everything
+    and drop the non-positives.  Total undercount per partition is
+    ≤ n_partition/MG_K, which is what the pigeonhole argument in
+    ``frequent_tokens_heavy_hitters`` needs."""
+    import pandas as pd
+
+    counts: dict[str, int] = {}
+    for batch in it:
+        for tok, c in batch["token"].value_counts().items():
+            counts[tok] = counts.get(tok, 0) + int(c)
+        if len(counts) > MG_K:
+            cut = sorted(counts.values(), reverse=True)[MG_K]
+            counts = {t: c - cut for t, c in counts.items() if c > cut}
+    yield pd.DataFrame(
+        {"token": list(counts), "lower_bound": list(counts.values())})
+
+
+@query(
+    "frequent_tokens_heavy_hitters",
+    oracle=f"""
+    WITH t AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t),
+    c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+          FROM t GROUP BY token)
+    SELECT token, n.n AS n_tokens, n_occurrences,
+           ROUND(n_occurrences * 1.0 / n.n, 6) + 0.0 AS share
+    FROM c, n
+    WHERE n_occurrences * {MG_K} > n.n
+    """,
+)
+def frequent_tokens_heavy_hitters(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Heavy hitters (tokens with count > n/{MG_K}) via the two-pass
+    Misra-Gries pattern — the bounded-memory alternative to a full
+    token groupBy when the vocabulary itself is too large to shuffle
+    (URL/ngram streams at 100 TB): pass 1 runs a {MG_K}-slot mergeable
+    MG summary INSIDE each partition (mapInPandas, vectorized
+    value_counts per Arrow batch, no shuffle) whose union is a
+    candidate set provably ⊇ every true heavy hitter (if count > n/K
+    globally, then count_p > n_p/K in at least one partition —
+    pigeonhole over the per-partition MG guarantee); pass 2 computes
+    EXACT counts for just the candidates via a broadcast semi-join.
+    The threshold filter on the exact counts then discards every
+    false candidate, so the output is byte-deterministic regardless of
+    partitioning — a sketch pipeline with an exact, oracle-checkable
+    answer (unlike the HLL/percentile sketches, which are rows-only by
+    necessity).
+
+    Cost: two token-stream scans (the honest price of exactness; the
+    first is shuffle-free, the second shuffles only candidate-matching
+    rows) + one broadcast of ≤ partitions×{MG_K} candidates."""
+    toks = (ptable(spark, sf_dir, "documents")
+            .select(F.explode(T.tokens("text")).alias("token")))
+    summaries = toks.mapInPandas(
+        _mg_summaries, schema="token string, lower_bound long")
+    cand = F.broadcast(summaries.select("token").distinct())
+    n = F.broadcast(toks.agg(F.count(F.lit(1)).alias("n_tokens")))
+    exact = (toks.join(cand, "token")
+             .groupBy("token")
+             .agg(F.count(F.lit(1)).alias("n_occurrences")))
+    return (exact.crossJoin(n)
+            .filter(F.col("n_occurrences") * MG_K > F.col("n_tokens"))
+            .select("token", "n_tokens", "n_occurrences",
+                    (F.round(F.col("n_occurrences") * 1.0
+                             / F.col("n_tokens"), 6)
+                     + F.lit(0.0)).alias("share")))
+
+
 @query(
     "token_frequency_top20",
     oracle=f"""

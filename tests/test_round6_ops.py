@@ -101,3 +101,61 @@ def test_rake_segmentation_window_is_per_doc(spark):
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     assert any("doc_id" in s for s in specs), specs
     assert "TakeOrderedAndProject" in plan
+
+
+# ---------------------------------------------------- heavy hitters (MG)
+
+def test_mg_summary_guarantee_on_synthetic_batches(spark):
+    import pandas as pd
+
+    from etl_cloud_batch_processing_spark.plans.llm import (
+        MG_K, _mg_summaries)
+
+    # adversarial stream: one true heavy hitter drowned in distinct noise
+    hh = ["hot"] * 500
+    noise = [f"t{i}" for i in range(4000)]
+    stream = []
+    for i in range(0, 4000, 8):
+        stream.extend(hh[i // 8: i // 8 + 1])
+        stream.extend(noise[i: i + 8])
+    batches = [pd.DataFrame({"token": stream[i: i + 512]})
+               for i in range(0, len(stream), 512)]
+    out = list(_mg_summaries(iter(batches)))[0]
+    n = len(stream)
+    # "hot" has count 500 > n/MG_K, so it MUST survive the summary
+    assert 500 > n / MG_K
+    assert "hot" in set(out.token)
+    # lower bounds never exceed true counts
+    true = pd.Series(stream).value_counts()
+    for _, r in out.iterrows():
+        assert r.lower_bound <= true[r.token]
+    assert len(out) <= MG_K
+
+
+def test_heavy_hitters_exactly_match_threshold_set(spark):
+    import collections
+
+    from pyspark.sql import functions as F
+
+    from etl_cloud_batch_processing_spark.plans.llm import MG_K
+
+    pdf = _run(spark, "frequent_tokens_heavy_hitters")
+    toks = (table(spark, SF, "documents")
+            .select(F.explode(F.split("text", " ")).alias("t"))
+            .toPandas().t)
+    counts = collections.Counter(toks)
+    n = len(toks)
+    want = {t for t, c in counts.items() if c * MG_K > n}
+    assert set(pdf.token) == want
+    for _, r in pdf.iterrows():
+        assert r.n_occurrences == counts[r.token]
+
+
+def test_heavy_hitters_first_pass_is_shuffle_free(spark):
+    # pass 1 (MG summaries) must sit directly on the scan: the plan's
+    # ArrowEvalPython/mapInPandas node takes no Exchange below it other
+    # than the ptable round-robin; the only aggregation shuffles are
+    # the candidate distinct and the exact-count pass.
+    plan = plan_of(spark, "frequent_tokens_heavy_hitters")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
