@@ -74,6 +74,25 @@ def test_correlations_are_bounded(spark):
     assert (pdf.n_events > 0).all()
 
 
+def test_correlation_numpy_crosscheck(spark):
+    import numpy as np
+
+    from etl_cloud_batch_processing_spark.plans.registry import table
+
+    pdf = _run(spark, "value_hour_correlation").set_index("event_type")
+    ev = table(spark, SF, "events").toPandas()
+    ev["x"] = np.floor(ev.value * 100)
+    ev["h"] = ev.ts.dt.hour
+    ev["d"] = ev.ts.dt.day
+    for etype, grp in ev.groupby("event_type"):
+        want_h = np.corrcoef(grp.x, grp.h)[0, 1]
+        want_d = np.corrcoef(grp.x, grp.d)[0, 1]
+        assert math.isclose(pdf.loc[etype].corr_value_hour, want_h,
+                            abs_tol=1e-5)
+        assert math.isclose(pdf.loc[etype].corr_value_dom, want_d,
+                            abs_tol=1e-5)
+
+
 def test_markov_iterates_toward_a_distribution(spark):
     pdf = _run(spark, "markov_stationary_event_mix")
     for col in ("pi_1", "pi_2", "pi_3"):
