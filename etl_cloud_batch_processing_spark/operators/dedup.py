@@ -643,3 +643,72 @@ def probe_band_index(spark: SparkSession, new_docs: DataFrame,
             .filter(F.col("doc_id") != F.col("indexed_doc"))
             .groupBy(F.col("doc_id").alias("new_doc"), "indexed_doc")
             .agg(F.count(F.lit(1)).alias("n_band_collisions")))
+
+
+@query(
+    "near_dup_cluster_sizes",
+    oracle=f"""
+    WITH RECURSIVE
+    scored AS ({_D_SCORED_PAIRS}),
+    verified AS (SELECT doc_a, doc_b FROM scored
+                 WHERE jaccard >= {CLUSTER_JACCARD}),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM verified
+              UNION ALL
+              SELECT doc_b AS src, doc_a AS dst FROM verified),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    walk(node, root) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.dst, w.root FROM walk w JOIN edges e ON e.src = w.node),
+    comp AS (SELECT node, MIN(root) AS cluster_id FROM walk GROUP BY node),
+    labeled AS (
+        SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+    sizes AS (
+        SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+        FROM labeled GROUP BY cluster_id),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM labeled)
+    SELECT s.cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(COUNT(*) * s.cluster_size AS BIGINT) AS n_docs_covered,
+           ROUND(COUNT(*) * s.cluster_size * 1.0 / MAX(t.n_docs), 6)
+               + 0.0 AS corpus_share,
+           ROUND(COUNT(*) * (s.cluster_size - 1) * 1.0 / MAX(t.n_docs),
+                 6) + 0.0 AS removable_share
+    FROM sizes s, tot t
+    GROUP BY s.cluster_size
+    """,
+)
+def near_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram of the verified near-dup components: per
+    size, how many clusters, how much of the corpus they cover, and —
+    the number a dedup run is actually sized by — the REMOVABLE share
+    (all but one canonical doc per cluster).  Σ removable_share is the
+    exact fraction of the corpus transitive-closure dedup would drop:
+    the capacity-planning and before/after-audit companion of
+    ``near_dup_clusters`` (which labels documents; this prices the
+    action).
+
+    Reuses the clustered frame (LSH pairs → Jaccard verify →
+    distributed connected components) and reduces it twice at
+    cluster-id then size grain — both bounded by the component
+    structure, both partial-aggregated.  The one-row corpus total
+    joins back as a broadcast (the chi2 one-row pattern)."""
+    labeled = near_dup_clusters(spark, sf_dir).select(
+        "doc_id", "cluster_id")
+    sizes = labeled.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    tot = F.broadcast(labeled.agg(F.count(F.lit(1)).alias("n_docs")))
+    return (sizes.groupBy("cluster_size")
+            .agg(F.count(F.lit(1)).alias("n_clusters"))
+            .crossJoin(tot)
+            .select("cluster_size", "n_clusters",
+                    (F.col("n_clusters") * F.col("cluster_size"))
+                    .cast("bigint").alias("n_docs_covered"),
+                    (F.round(F.col("n_clusters") * F.col("cluster_size")
+                             * 1.0 / F.col("n_docs"), 6)
+                     + F.lit(0.0)).alias("corpus_share"),
+                    (F.round(F.col("n_clusters")
+                             * (F.col("cluster_size") - 1)
+                             * 1.0 / F.col("n_docs"), 6)
+                     + F.lit(0.0)).alias("removable_share")))

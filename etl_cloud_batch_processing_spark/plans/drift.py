@@ -408,3 +408,79 @@ def daily_count_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_pairs"),
                  (F.round(F.sum(F.col("a.e") * F.col("be"))
                           / F.min("ss"), 6) + F.lit(0.0)).alias("acf")))
+
+
+@query(
+    "null_rate_drift",
+    oracle=f"""
+    WITH b AS (
+        SELECT {_PERIOD_SQL} AS period,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS nu_value,
+               SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS nu_props,
+               SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+                   AS nu_event_type
+        FROM events GROUP BY 1),
+    long AS (
+        SELECT period, n, 'value' AS col_name, nu_value AS nu FROM b
+        UNION ALL
+        SELECT period, n, 'props', nu_props FROM b
+        UNION ALL
+        SELECT period, n, 'event_type', nu_event_type FROM b),
+    p AS (
+        SELECT col_name,
+               SUM(CASE WHEN period = 'a' THEN nu ELSE 0 END) AS nua,
+               SUM(CASE WHEN period = 'a' THEN n ELSE 0 END) AS na,
+               SUM(CASE WHEN period = 'b' THEN nu ELSE 0 END) AS nub,
+               SUM(CASE WHEN period = 'b' THEN n ELSE 0 END) AS nb
+        FROM long GROUP BY col_name)
+    SELECT col_name,
+           CAST(nua AS BIGINT) AS n_nulls_a, CAST(na AS BIGINT) AS n_a,
+           CAST(nub AS BIGINT) AS n_nulls_b, CAST(nb AS BIGINT) AS n_b,
+           ROUND(nua * 1.0 / na, 6) + 0.0 AS null_share_a,
+           ROUND(nub * 1.0 / nb, 6) + 0.0 AS null_share_b,
+           ROUND(nub * 1.0 / nb - nua * 1.0 / na, 6) + 0.0
+               AS drift
+    FROM p
+    """,
+)
+def null_rate_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-rate drift between the two halves of the month for the
+    nullable events columns — the completeness monitor that catches
+    "an upstream deploy silently stopped populating props" before any
+    value-distribution test fires (the profiling companion of
+    ``column_profile_events``, run as a two-period diff).
+
+    ONE aggregation computes every column's null count for both
+    periods (period is just a grouping key); the unpivot and the
+    per-column period diff run on a 6-row frame.  All counts exact
+    BIGINTs, one divide + round at the end."""
+    b = (_period_tagged(spark, sf_dir)
+         .groupBy("period")
+         .agg(F.count(F.lit(1)).alias("n"),
+              *[F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                .alias(f"nu_{c}")
+                for c in ("value", "props", "event_type")]))
+    long = None
+    for c in ("value", "props", "event_type"):
+        part = b.select("period", "n", F.lit(c).alias("col_name"),
+                        F.col(f"nu_{c}").alias("nu"))
+        long = part if long is None else long.unionByName(part)
+    p = (long.groupBy("col_name")
+         .agg(F.sum(F.when(F.col("period") == "a", F.col("nu"))
+                    .otherwise(0)).alias("nua"),
+              F.sum(F.when(F.col("period") == "a", F.col("n"))
+                    .otherwise(0)).alias("na"),
+              F.sum(F.when(F.col("period") == "b", F.col("nu"))
+                    .otherwise(0)).alias("nub"),
+              F.sum(F.when(F.col("period") == "b", F.col("n"))
+                    .otherwise(0)).alias("nb")))
+    ra = F.col("nua") * 1.0 / F.col("na")
+    rb = F.col("nub") * 1.0 / F.col("nb")
+    return p.select(
+        "col_name",
+        F.col("nua").alias("n_nulls_a"), F.col("na").alias("n_a"),
+        F.col("nub").alias("n_nulls_b"), F.col("nb").alias("n_b"),
+        (F.round(ra, 6) + F.lit(0.0)).alias("null_share_a"),
+        (F.round(rb, 6) + F.lit(0.0)).alias("null_share_b"),
+        (F.round(rb - ra, 6) + F.lit(0.0)).alias("drift"))

@@ -733,3 +733,308 @@ def overlapping_customer_orders(spark: SparkSession,
                     F.greatest("xk", "yk").alias("order_b"),
                     F.datediff(F.least("xe", "ye"), F.col("ys"))
                     .cast("bigint").alias("overlap_days")))
+
+
+# --------------------------------------------------------------------------
+# Metric-monitoring window family: bands, drawdown, engagement.
+# --------------------------------------------------------------------------
+
+@query(
+    "value_bollinger_breakouts",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS cents,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+    m AS (
+        SELECT event_type, day,
+               cents * 1.0 / (n * 100) AS dm
+        FROM daily),
+    w AS (
+        SELECT event_type, day, dm,
+               AVG(dm) OVER w7 AS mid,
+               AVG(dm * dm) OVER w7 AS m2,
+               COUNT(*) OVER w7 AS nw
+        FROM m
+        WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+    SELECT event_type, day,
+           ROUND(dm, 6) + 0.0 AS daily_mean,
+           ROUND(mid, 6) + 0.0 AS band_mid,
+           ROUND(sqrt(GREATEST(m2 - mid * mid, 0)), 6) + 0.0
+               AS band_sigma,
+           (nw = 7 AND ABS(dm - mid)
+                > 2 * sqrt(GREATEST(m2 - mid * mid, 0))) AS is_breakout
+    FROM w
+    """,
+)
+def value_bollinger_breakouts(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Bollinger-band monitoring of each type's daily mean value: the
+    trailing-7-day mid band and sigma, and a breakout flag for days
+    whose mean leaves the ±2σ envelope (full windows only) — the
+    rolling-band cousin of the EWMA deviation monitor
+    (``value_ewma_last10``) and the per-day input to an alerting
+    pipeline.
+
+    One corpus-scale partial agg to the (type, day) grain with
+    integer-cents sums (exact BIGINTs — the value_hour_correlation
+    discipline), then every window runs over ≤7 calendar-bounded rows.
+    Variance comes from the E[x²]−E[x]² identity written term-for-term
+    identically in both engines; the breakout comparison evaluates on
+    those identical doubles, so the boolean cannot flip across
+    engines."""
+    ev = table(spark, sf_dir, "events")
+    daily = (ev.groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+                  .alias("cents"),
+                  F.count(F.lit(1)).alias("n")))
+    m = daily.select("event_type", "day",
+                     (F.col("cents") * 1.0 / (F.col("n") * 100))
+                     .alias("dm"))
+    w7 = (Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(-6, Window.currentRow))
+    w = m.select(
+        "event_type", "day", "dm",
+        F.avg("dm").over(w7).alias("mid"),
+        F.avg(F.col("dm") * F.col("dm")).over(w7).alias("m2"),
+        F.count(F.lit(1)).over(w7).alias("nw"))
+    sigma = F.sqrt(F.greatest(F.col("m2") - F.col("mid") * F.col("mid"),
+                              F.lit(0)))
+    return w.select(
+        "event_type", "day",
+        (F.round(F.col("dm"), 6) + F.lit(0.0)).alias("daily_mean"),
+        (F.round(F.col("mid"), 6) + F.lit(0.0)).alias("band_mid"),
+        (F.round(sigma, 6) + F.lit(0.0)).alias("band_sigma"),
+        ((F.col("nw") == 7)
+         & (F.abs(F.col("dm") - F.col("mid")) > 2 * sigma))
+        .alias("is_breakout"))
+
+
+@query(
+    "value_max_drawdown",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS tot
+        FROM events GROUP BY 1, 2),
+    r AS (
+        SELECT event_type, day, tot,
+               MAX(tot) OVER (PARTITION BY event_type ORDER BY day
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS runmax
+        FROM daily),
+    d AS (
+        SELECT event_type, day, tot, runmax, runmax - tot AS dd,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY runmax - tot DESC, day ASC)
+                   AS rn
+        FROM r)
+    SELECT event_type, day AS trough_day,
+           runmax / 100.0 + 0.0 AS peak_total,
+           tot / 100.0 + 0.0 AS trough_total,
+           dd / 100.0 + 0.0 AS max_drawdown
+    FROM d WHERE rn = 1
+    """,
+)
+def value_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of each type's daily value total: the largest
+    peak-to-trough drop of the running series, with the trough day —
+    the canonical "how bad did this metric's collapse get" statistic
+    (finance's risk number, a pipeline's regression-severity number).
+
+    One partial agg to the (type, day) grain with exact integer-cents
+    totals; the running max, the drawdown, and the argmax ALL operate
+    on BIGINTs over calendar-bounded windows — no float enters until
+    the /100 display divide, so the ranked answer is bit-deterministic
+    (round-before-rank taken to its integer limit)."""
+    ev = table(spark, sf_dir, "events")
+    daily = (ev.groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+                  .alias("tot")))
+    run = (Window.partitionBy("event_type").orderBy("day")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    r = daily.withColumn("runmax", F.max("tot").over(run))
+    d = r.withColumn("dd", F.col("runmax") - F.col("tot"))
+    rnk = Window.partitionBy("event_type").orderBy(F.desc("dd"),
+                                                   F.asc("day"))
+    return (d.withColumn("rn", F.row_number().over(rnk))
+            .filter(F.col("rn") == 1)
+            .select("event_type", F.col("day").alias("trough_day"),
+                    (F.col("runmax") / 100.0 + F.lit(0.0))
+                    .alias("peak_total"),
+                    (F.col("tot") / 100.0 + F.lit(0.0))
+                    .alias("trough_total"),
+                    (F.col("dd") / 100.0 + F.lit(0.0))
+                    .alias("max_drawdown")))
+
+
+#: Trailing window (days) of the MAU denominator.
+_MAU_WINDOW = 28
+
+
+@query(
+    "stickiness_dau_mau",
+    oracle=f"""
+    WITH du AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+    dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau
+            FROM du GROUP BY day),
+    contrib AS (
+        SELECT CAST(day + o.off * INTERVAL 1 DAY AS DATE) AS target_day,
+               user_id
+        FROM du, (SELECT unnest(range(0, {_MAU_WINDOW})) AS off) o),
+    mau AS (SELECT target_day, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+                AS mau
+            FROM contrib GROUP BY target_day)
+    SELECT d.day, d.dau, m.mau,
+           ROUND(d.dau * 1.0 / m.mau, 6) + 0.0 AS stickiness
+    FROM dau d JOIN mau m ON m.target_day = d.day
+    """,
+)
+def stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per day: daily actives over trailing-28-day
+    actives — the engagement ratio every consumer product reports,
+    here as a pure-relational rolling COUNT DISTINCT (which windowed
+    aggregation cannot express directly).
+
+    The trailing distinct is computed by CONTRIBUTION EXPLODE: one
+    corpus-scale distinct to the (day, user) grain, then each row
+    votes into the {_MAU_WINDOW} future days it keeps alive (a bounded
+    ×{_MAU_WINDOW} Generate on the day-grain frame, the
+    order_window_daily_load pattern) and one distinct-agg per target
+    day.  Cost is (active-days × window), NEVER events × window, and
+    no per-day re-scan of raw history — the scale-correct rolling-MAU
+    plan."""
+    ev = table(spark, sf_dir, "events")
+    du = (ev.select(F.to_date("ts").alias("day"), "user_id")
+          .distinct()
+          # both the DAU aggregate and the MAU contribution explode
+          # read this frame; compute the corpus-scale distinct once.
+          .persist())
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    contrib = (du.select(
+        F.explode(F.sequence(F.lit(0), F.lit(_MAU_WINDOW - 1)))
+        .alias("off"), "day", "user_id")
+        .select(F.date_add(F.col("day"), F.col("off"))
+                .alias("target_day"), "user_id"))
+    mau = (contrib.groupBy("target_day")
+           .agg(F.count_distinct("user_id").alias("mau")))
+    return (dau.join(mau, dau["day"] == mau["target_day"])
+            .select("day", "dau", "mau",
+                    (F.round(F.col("dau") * 1.0 / F.col("mau"), 6)
+                     + F.lit(0.0)).alias("stickiness")))
+
+
+@query(
+    "funnel_time_to_convert",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, MIN(ts) AS sts FROM events
+        WHERE event_type = 'signup' GROUP BY user_id),
+    conv AS (
+        SELECT s.user_id, s.sts, MIN(e.ts) AS pts
+        FROM s JOIN events e
+          ON e.user_id = s.user_id
+         AND e.event_type = 'purchase' AND e.ts >= s.sts
+        GROUP BY s.user_id, s.sts),
+    d AS (
+        SELECT CAST(date_trunc('week', sts) AS DATE) AS cohort_week,
+               user_id,
+               CAST(datediff('day', CAST(sts AS DATE),
+                             CAST(pts AS DATE)) AS BIGINT) AS delta_days
+        FROM conv),
+    r AS (
+        SELECT cohort_week, delta_days,
+               ROW_NUMBER() OVER (PARTITION BY cohort_week
+                                  ORDER BY delta_days ASC, user_id ASC)
+                   AS rn,
+               COUNT(*) OVER (PARTITION BY cohort_week) AS n
+        FROM d)
+    SELECT cohort_week, CAST(MAX(n) AS BIGINT) AS n_converted,
+           MAX(CASE WHEN rn = (n + 1) // 2 THEN delta_days END)
+               AS median_days,
+           MAX(CASE WHEN rn = ((9 * n - 1) // 10) + 1 THEN delta_days
+               END) AS p90_days
+    FROM r GROUP BY cohort_week
+    """,
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution per signup-week cohort: for each
+    user, days from FIRST signup to FIRST subsequent purchase; per
+    cohort, the converter count with EXACT median and p90 — the
+    funnel-velocity readout behind activation dashboards
+    (``signup_purchase_funnel`` counts who converts; this measures how
+    fast).
+
+    Two per-user aggregations (min signup, min qualifying purchase —
+    the second a semi-join-shaped equi join on user_id filtered
+    map-side to purchases), then exact order statistics at cohort
+    grain via the rank-equation pattern of ``value_percentiles_by_type``:
+    median at rn = (n+1) div 2, p90 at rn = ⌈9n/10⌉ computed in PURE
+    INTEGER arithmetic ((9n−1) div 10 + 1 — never CEIL of a float),
+    deltas in integer days, deterministic user_id tiebreak."""
+    ev = table(spark, sf_dir, "events")
+    s = (ev.filter(F.col("event_type") == "signup")
+         .groupBy("user_id").agg(F.min("ts").alias("sts")))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"))
+    conv = (s.join(p, "user_id")
+            .filter(F.col("pts") >= F.col("sts"))
+            .groupBy("user_id", "sts").agg(F.min("pts").alias("pts")))
+    d = conv.select(
+        F.date_trunc("week", "sts").cast("date").alias("cohort_week"),
+        "user_id",
+        F.datediff(F.to_date("pts"), F.to_date("sts")).cast("bigint")
+        .alias("delta_days"))
+    wr = Window.partitionBy("cohort_week").orderBy(
+        F.asc("delta_days"), F.asc("user_id"))
+    wn = Window.partitionBy("cohort_week")
+    r = d.select("cohort_week", "delta_days",
+                 F.row_number().over(wr).alias("rn"),
+                 F.count(F.lit(1)).over(wn).alias("n"))
+    mid = F.expr("(n + 1) DIV 2")
+    p90 = F.expr("((9 * n - 1) DIV 10) + 1")
+    return (r.groupBy("cohort_week")
+            .agg(F.max("n").alias("n_converted"),
+                 F.max(F.when(F.col("rn") == mid, F.col("delta_days")))
+                 .alias("median_days"),
+                 F.max(F.when(F.col("rn") == p90, F.col("delta_days")))
+                 .alias("p90_days")))
+
+
+#: Systematic sampling stride: keep every k-th event per user.
+_SYSTEMATIC_K = 10
+
+
+@query(
+    "systematic_event_sample",
+    oracle=f"""
+    WITH r AS (
+        SELECT user_id, event_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events)
+    SELECT user_id, event_id, event_type, CAST(rn AS BIGINT) AS rn
+    FROM r WHERE rn % {_SYSTEMATIC_K} = 1
+    """,
+)
+def systematic_event_sample(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Systematic (every {_SYSTEMATIC_K}-th) sample of each user's
+    event stream in time order — the classic equal-interval sampler
+    that preserves per-user temporal coverage where Bernoulli sampling
+    (``mixture_sampling``) and hash sampling (``hash_sample_per_lang``)
+    preserve only rates: downstream sessionization on the sample sees
+    every phase of a user's history.
+
+    One user-partitioned rank window (high-cardinality key, the
+    event_type_transitions shuffle) + a modulus filter; fully
+    deterministic via the (ts, event_id) total tiebreak, no sampling
+    randomness to reconcile across engines."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (ev.select("user_id", "event_id", "event_type",
+                      F.row_number().over(w).cast("bigint").alias("rn"))
+            .filter(F.col("rn") % _SYSTEMATIC_K == 1))

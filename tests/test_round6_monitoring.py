@@ -1,0 +1,122 @@
+"""Semantic + plan checks for the round-6 monitoring/engagement batch:
+Bollinger bands, max drawdown, DAU/MAU stickiness, funnel velocity,
+systematic sampling, null-rate drift, cluster-size histogram."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from etl_cloud_batch_processing_spark.plans.registry import REGISTRY, table
+
+from tests.test_plans import SF, plan_of
+
+
+def _run(spark, name):
+    return REGISTRY[name].builder(spark, SF).toPandas()
+
+
+# ------------------------------------------------------------------ values
+
+def test_bollinger_bands_numpy_crosscheck(spark):
+    pdf = _run(spark, "value_bollinger_breakouts")
+    ev = table(spark, SF, "events").toPandas()
+    ev["day"] = ev.ts.dt.date
+    ev["cents"] = np.floor(ev.value * 100)
+    for (etype, _), _grp in [((e, None), None) for e in pdf.event_type.unique()][:2]:
+        grp = ev[ev.event_type == etype].groupby("day").cents.agg(["sum", "count"])
+        dm = (grp["sum"] / (grp["count"] * 100)).sort_index()
+        got = pdf[pdf.event_type == etype].sort_values("day")
+        # trailing-7 mean matches a pandas rolling mean
+        want_mid = dm.rolling(7, min_periods=1).mean()
+        assert np.allclose(got.band_mid.to_numpy(),
+                           want_mid.round(6).to_numpy(), atol=1e-5)
+    # sigma nonnegative; breakouts only on full windows
+    assert (pdf.band_sigma >= 0).all()
+    first_days = pdf.sort_values("day").groupby("event_type").head(6)
+    assert not first_days.is_breakout.any()
+
+
+def test_max_drawdown_is_peak_minus_trough(spark):
+    pdf = _run(spark, "value_max_drawdown")
+    assert (pdf.max_drawdown >= 0).all()
+    assert np.allclose(pdf.max_drawdown,
+                       (pdf.peak_total - pdf.trough_total).round(6),
+                       atol=1e-6)
+
+
+def test_stickiness_bounds_and_first_day_identity(spark):
+    pdf = _run(spark, "stickiness_dau_mau").sort_values("day")
+    assert ((pdf.stickiness > 0) & (pdf.stickiness <= 1.000001)).all()
+    assert (pdf.mau >= pdf.dau).all()
+    # on the first observed day the trailing window holds only that day
+    first = pdf.iloc[0]
+    assert first.dau == first.mau
+    assert math.isclose(first.stickiness, 1.0, abs_tol=1e-6)
+
+
+def test_funnel_velocity_orders_and_percentiles(spark):
+    pdf = _run(spark, "funnel_time_to_convert")
+    assert (pdf.n_converted > 0).all()
+    assert (pdf.median_days >= 0).all()
+    assert (pdf.p90_days >= pdf.median_days).all()
+
+
+def test_systematic_sample_stride_and_coverage(spark):
+    pdf = _run(spark, "systematic_event_sample")
+    assert ((pdf.rn - 1) % 10 == 0).all()
+    # every user with >=1 event contributes their rank-1 event
+    n_users = (table(spark, SF, "events")
+               .select("user_id").distinct().count())
+    assert (pdf.rn == 1).sum() == n_users
+
+
+def test_null_rate_drift_is_consistent(spark):
+    pdf = _run(spark, "null_rate_drift")
+    assert set(pdf.col_name) == {"value", "props", "event_type"}
+    for _, r in pdf.iterrows():
+        assert math.isclose(
+            r.drift, round(round(r.n_nulls_b / r.n_b, 6)
+                           - round(r.n_nulls_a / r.n_a, 6), 6),
+            abs_tol=1e-6)
+
+
+def test_cluster_sizes_conserve_the_corpus(spark):
+    pdf = _run(spark, "near_dup_cluster_sizes")
+    labeled = _run(spark, "near_dup_clusters")
+    assert (pdf.cluster_size * pdf.n_clusters == pdf.n_docs_covered).all()
+    assert pdf.n_docs_covered.sum() == len(labeled)
+    assert math.isclose(pdf.corpus_share.sum(), 1.0, abs_tol=1e-3)
+    # removable = covered minus one canonical per cluster
+    removable = (pdf.n_docs_covered - pdf.n_clusters).sum()
+    assert removable == (~labeled.is_canonical).sum()
+
+
+# ------------------------------------------------------------------- plans
+
+def test_band_and_drawdown_windows_run_on_day_grain(spark):
+    import re
+
+    for name in ("value_bollinger_breakouts", "value_max_drawdown"):
+        plan = plan_of(spark, name)
+        agg_ids = [int(m) for m in re.findall(r"HashAggregate \((\d+)\)",
+                                              plan)]
+        win_ids = [int(m) for m in re.findall(r"Window \((\d+)\)", plan)]
+        assert agg_ids and win_ids, name
+        assert min(agg_ids) < min(win_ids), \
+            f"{name}: window must consume the day-grain aggregate"
+
+
+def test_stickiness_is_contribution_explode_not_rescan(spark):
+    plan = plan_of(spark, "stickiness_dau_mau")
+    assert "Generate" in plan          # the 28-day contribution explode
+    assert "CartesianProduct" not in plan
+    assert plan.count("InMemoryFileIndex") == 1
+
+
+def test_systematic_sample_single_window_no_join(spark):
+    plan = plan_of(spark, "systematic_event_sample")
+    assert "Join" not in plan
+    assert plan.count("Window") >= 1
