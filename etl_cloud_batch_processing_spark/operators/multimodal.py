@@ -984,3 +984,169 @@ def visual_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("hamming") <= DHASH_MAX_HAMMING)
             .orderBy(F.asc("hamming"), F.asc("doc_a"), F.asc("doc_b"))
             .limit(20))
+
+
+# --------------------------------------------------------------------------
+# Audio modality, part 2: zero-crossing rate + low-energy segmentation.
+# --------------------------------------------------------------------------
+
+AUDIO_ZCR_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("frame_idx", LongType()),
+    StructField("zcr", DoubleType()),
+    StructField("n_samples", LongType()),
+])
+
+
+def make_audio_zcr_framer():
+    """mapInPandas fan-out emitting the per-frame zero-crossing rate:
+    the fraction of adjacent sample pairs whose signs differ (s >= 0 vs
+    s < 0 — an INTEGER byte comparison, so both engines agree exactly).
+    Same framing convention as :func:`make_audio_framer`; frames with a
+    single sample have no pairs and report NULL."""
+    columns = [f.name for f in AUDIO_ZCR_SCHEMA]
+
+    def framer(batches: "Iterator[pd.DataFrame]",
+               ) -> "Iterator[pd.DataFrame]":
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                s = np.frombuffer(bytes(content), np.uint8)
+                n_frames = (s.size + AUDIO_FRAME - 1) // AUDIO_FRAME
+                for i in range(0, n_frames, AUDIO_STRIDE):
+                    fr = s[i * AUDIO_FRAME:(i + 1) * AUDIO_FRAME]
+                    if fr.size <= 1:
+                        out.append((int(media_id), i, None, int(fr.size)))
+                        continue
+                    pos = fr >= 128
+                    zc = int(np.count_nonzero(pos[:-1] != pos[1:]))
+                    out.append((int(media_id), i,
+                                zc / (fr.size - 1), int(fr.size)))
+            yield pd.DataFrame(out, columns=columns)
+
+    return framer
+
+
+@query(
+    "audio_zero_crossing_rate",
+    oracle=f"""
+    WITH frames AS (
+        SELECT doc_id AS media_id, i AS frame_idx,
+               substring(text, i * {AUDIO_FRAME} + 1, {AUDIO_FRAME}) AS seg
+        FROM documents,
+             UNNEST(range(0, CAST(ceil(length(text) / {AUDIO_FRAME}.0)
+                                  AS BIGINT), {AUDIO_STRIDE})) AS t(i)),
+    pairs AS (
+        SELECT media_id, frame_idx, length(seg) AS n_samples,
+               unnest(list_transform(range(1, length(seg)),
+                      j -> CASE WHEN (ord(seg[j]) >= 128)
+                                     <> (ord(seg[j + 1]) >= 128)
+                                THEN 1 ELSE 0 END)) AS flip
+        FROM frames WHERE length(seg) > 1)
+    SELECT media_id, frame_idx,
+           ROUND(SUM(flip) * 1.0 / (n_samples - 1), 6) + 0.0 AS zcr,
+           CAST(n_samples AS BIGINT) AS n_samples
+    FROM pairs GROUP BY media_id, frame_idx, n_samples
+    UNION ALL
+    SELECT doc_id, i, NULL, CAST(length(seg) AS BIGINT)
+    FROM (SELECT doc_id, i,
+                 substring(text, i * {AUDIO_FRAME} + 1, {AUDIO_FRAME})
+                     AS seg
+          FROM documents,
+               UNNEST(range(0, CAST(ceil(length(text)
+                                         / {AUDIO_FRAME}.0) AS BIGINT),
+                            {AUDIO_STRIDE})) AS t(i))
+    WHERE length(seg) <= 1
+    """,
+)
+def audio_zero_crossing_rate(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """NS5 audio: per-frame zero-crossing rate over the PCM-interpreted
+    payload — the classic voiced/unvoiced + noisiness discriminator
+    that pairs with RMS energy (``audio_frame_energy``) to drive
+    speech-segment mining before an expensive ASR pass.  Sign is the
+    integer byte test ``sample >= center``, so the rate is exact in
+    both engines; the per-frame divide rounds once.
+
+    Same mapInPandas fan-out contract and framing as the energy query:
+    embarrassingly parallel, numpy-vectorized pair comparison, output
+    width independent of payload size."""
+    media = attach_media(table(spark, sf_dir, "documents"))
+    par = spark.sparkContext.defaultParallelism
+    return (media.select("media_id", "content")
+            .repartition(par)
+            .mapInPandas(make_audio_zcr_framer(),
+                         schema=AUDIO_ZCR_SCHEMA)
+            .select("media_id", "frame_idx",
+                    (F.round("zcr", 6) + F.lit(0.0)).alias("zcr"),
+                    "n_samples"))
+
+
+#: Low-energy threshold for run segmentation: the fixture corpus'
+#: median frame RMS — half the frames fall below, so every media item
+#: has runs to find.  In production this is the silence floor.
+AUDIO_LOW_RMS = 44.0
+
+
+@query(
+    "audio_low_energy_runs",
+    oracle=f"""
+    WITH frames AS (
+        SELECT doc_id AS media_id, i AS frame_idx,
+               substring(text, i * {AUDIO_FRAME} + 1, {AUDIO_FRAME}) AS seg
+        FROM documents,
+             UNNEST(range(0, CAST(ceil(length(text) / {AUDIO_FRAME}.0)
+                                  AS BIGINT), {AUDIO_STRIDE})) AS t(i)),
+    samples AS (
+        SELECT media_id, frame_idx,
+               unnest(list_transform(range(1, length(seg) + 1),
+                                     j -> ord(seg[j]) - 128.0)) AS s
+        FROM frames),
+    energy AS (
+        SELECT media_id, frame_idx, sqrt(AVG(s * s)) AS rms
+        FROM samples GROUP BY media_id, frame_idx),
+    low AS (
+        SELECT media_id, frame_idx,
+               frame_idx / {AUDIO_STRIDE}
+                   - ROW_NUMBER() OVER (PARTITION BY media_id
+                                        ORDER BY frame_idx) AS grp
+        FROM energy WHERE rms < {AUDIO_LOW_RMS})
+    SELECT media_id,
+           CAST(MIN(frame_idx) AS BIGINT) AS start_frame,
+           CAST(MAX(frame_idx) AS BIGINT) AS end_frame,
+           CAST(COUNT(*) AS BIGINT) AS n_frames
+    FROM low GROUP BY media_id, grp
+    """,
+)
+def audio_low_energy_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NS5 audio: contiguous LOW-ENERGY runs (rms < {AUDIO_LOW_RMS})
+    per media item via gaps-and-islands over the sampled frame grid —
+    the silence-trim segmenter that turns per-frame energy into
+    cut-lists (drop/compress quiet spans before storage or ASR).
+    Composes ``audio_frame_energy``'s decode with the
+    ``scd2_user_type_history`` islands pattern: island key =
+    frame_idx/stride − row_number, one window per media item.
+
+    The threshold compares the UNROUNDED rms — both engines build it
+    from the identical expression tree, so the boolean and hence the
+    runs are deterministic.  One decode fan-out + one bounded
+    per-media window; output rows = number of runs, independent of
+    payload size."""
+    media = attach_media(table(spark, sf_dir, "documents"))
+    par = spark.sparkContext.defaultParallelism
+    frames = (media.select("media_id", "content")
+              .repartition(par)
+              .mapInPandas(make_audio_framer(), schema=AUDIO_SCHEMA))
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    low = (frames.filter(F.col("rms") < AUDIO_LOW_RMS)
+           .withColumn("grp",
+                       (F.col("frame_idx") / AUDIO_STRIDE).cast("bigint")
+                       - F.row_number().over(w)))
+    return (low.groupBy("media_id", "grp")
+            .agg(F.min("frame_idx").alias("start_frame"),
+                 F.max("frame_idx").alias("end_frame"),
+                 F.count(F.lit(1)).alias("n_frames"))
+            .drop("grp"))

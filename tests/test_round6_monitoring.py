@@ -120,3 +120,42 @@ def test_systematic_sample_single_window_no_join(spark):
     plan = plan_of(spark, "systematic_event_sample")
     assert "Join" not in plan
     assert plan.count("Window") >= 1
+
+
+# ----------------------------------------------------------- audio part 2
+
+def test_zcr_bounds_and_manual_crosscheck(spark):
+    import numpy as np
+
+    pdf = _run(spark, "audio_zero_crossing_rate")
+    ok = pdf[pdf.n_samples > 1]
+    assert ((ok.zcr >= 0) & (ok.zcr <= 1)).all()
+    # manual recompute for one media item from the raw text payload
+    doc = (table(spark, SF, "documents")
+           .filter(F.col("doc_id") == int(pdf.media_id.iloc[0]))
+           .toPandas().iloc[0])
+    s = np.frombuffer(doc.text.encode(), np.uint8)
+    fr = s[:64]
+    pos = fr >= 128
+    want = round(int(np.count_nonzero(pos[:-1] != pos[1:]))
+                 / (fr.size - 1), 6)
+    got = pdf[(pdf.media_id == doc.doc_id)
+              & (pdf.frame_idx == 0)].zcr.iloc[0]
+    assert abs(got - want) < 1e-9
+
+
+def test_low_energy_runs_cover_exactly_the_low_frames(spark):
+    from etl_cloud_batch_processing_spark.operators.multimodal import (
+        AUDIO_LOW_RMS, AUDIO_STRIDE)
+
+    runs = _run(spark, "audio_low_energy_runs")
+    energy = _run(spark, "audio_frame_energy")
+    # runs are well-formed and non-overlapping per media item
+    assert (runs.start_frame <= runs.end_frame).all()
+    assert (runs.n_frames ==
+            (runs.end_frame - runs.start_frame) // AUDIO_STRIDE + 1).all()
+    # total frames in runs == total sampled low-energy frames (the
+    # rounded display rms equals the decision rms to well under the
+    # threshold's distance from any observed value)
+    n_low = (energy.rms < AUDIO_LOW_RMS).sum()
+    assert runs.n_frames.sum() == n_low
