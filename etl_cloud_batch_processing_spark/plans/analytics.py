@@ -2796,3 +2796,97 @@ def user_activity_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.round(F.log("n_events")
                              - F.col("sclnc") / F.col("n_events"), 6)
                      + F.lit(0.0)).alias("entropy")))
+
+
+@query(
+    "revenue_concentration_gini",
+    oracle="""
+    WITH rev AS (
+        SELECT o_custkey,
+               SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders GROUP BY o_custkey),
+    ranked AS (
+        SELECT o_custkey, cents,
+               ROW_NUMBER() OVER (ORDER BY cents ASC, o_custkey ASC)
+                   AS i,
+               COUNT(*) OVER () AS n,
+               SUM(cents) OVER () AS sx
+        FROM rev),
+    g AS (
+        SELECT MAX(n) AS n, MAX(sx) AS sx,
+               SUM(i * cents) AS six
+        FROM ranked),
+    dec AS (
+        SELECT ((i - 1) * 10) // n + 1 AS decile,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               SUM(cents) AS dcents
+        FROM ranked GROUP BY 1),
+    shares AS (
+        SELECT d.decile, d.n_customers,
+               ROUND(d.dcents * 1.0 / g.sx, 6) + 0.0 AS revenue_share,
+               ROUND(SUM(d.dcents)
+                         OVER (ORDER BY d.decile
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) * 1.0 / g.sx, 6) + 0.0
+                   AS cum_share,
+               ROUND(2.0 * g.six / (g.n * 1.0 * g.sx)
+                     - (g.n + 1.0) / g.n, 6) + 0.0 AS gini
+        FROM dec d, g)
+    SELECT * FROM shares
+    """,
+)
+def revenue_concentration_gini(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Revenue concentration: the Lorenz decile table of per-customer
+    revenue (share and cumulative share per ascending-revenue decile)
+    plus the exact Gini coefficient G = 2·Σi·xᵢ/(n·Σx) − (n+1)/n —
+    the whale-dependence readout ("the top decile is 40% of revenue")
+    behind pricing and risk reviews.
+
+    Customer revenue sums integer cents (exact BIGINTs); the ONLY
+    corpus-scale work is that one partial agg, after which the global
+    rank runs on the data-reduced customer-grain frame (the
+    aggregate-then-window discipline — the sort is over customers, not
+    orders).  Rank, decile (a pure-integer ((i−1)·10) div n + 1, never
+    ntile-on-floats), and Σi·xᵢ are all integer-exact; at a corpus
+    where n·Σx would overflow BIGINT the Gini combination is already
+    written in DOUBLE with identical trees both engines.  The decile
+    cumsum runs over 10 rows."""
+    orders = table(spark, sf_dir, "orders")
+    rev = (orders.groupBy("o_custkey")
+           .agg(F.sum(F.floor(F.col("o_totalprice") * 100)
+                      .cast("bigint")).alias("cents"))
+           # the rank pass, the totals aggregate, and Σi·x all read
+           # this customer-grain frame
+           .persist())
+    wr = Window.orderBy(F.asc("cents"), F.asc("o_custkey"))
+    # the total-order pass carries ONLY (custkey, cents, i); totals
+    # come from a parallel broadcast aggregate, not running windows.
+    # At a corpus where the customer-grain frame itself is huge, this
+    # becomes a range-partitioned sort + per-partition prefix offsets
+    # (the standard distributed exact-rank construction).
+    ranked = (rev.select(
+        "o_custkey", "cents",
+        F.row_number().over(wr).cast("bigint").alias("i"))
+        .join(F.broadcast(rev.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("sx"))), how="cross"))
+    g = F.broadcast(ranked.agg(
+        F.max("n").alias("n"), F.max("sx").alias("sx"),
+        F.sum(F.col("i") * F.col("cents")).alias("six")))
+    dec = (ranked.groupBy(F.expr("((i - 1) * 10) DIV n + 1")
+                          .alias("decile"))
+           .agg(F.count(F.lit(1)).alias("n_customers"),
+                F.sum("cents").alias("dcents")))
+    cum = (Window.orderBy("decile")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    gini = (F.round(2.0 * F.col("six") / (F.col("n") * 1.0 * F.col("sx"))
+                    - (F.col("n") + 1.0) / F.col("n"), 6) + F.lit(0.0))
+    return (dec.crossJoin(g)
+            .select("decile", "n_customers",
+                    (F.round(F.col("dcents") * 1.0 / F.col("sx"), 6)
+                     + F.lit(0.0)).alias("revenue_share"),
+                    (F.round(F.sum("dcents").over(cum) * 1.0
+                             / F.col("sx"), 6)
+                     + F.lit(0.0)).alias("cum_share"),
+                    gini.alias("gini")))

@@ -739,6 +739,16 @@ def overlapping_customer_orders(spark: SparkSession,
 # Metric-monitoring window family: bands, drawdown, engagement.
 # --------------------------------------------------------------------------
 
+def _daily_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared (type, day) grain with exact integer-cents value totals —
+    the one corpus-scale stage of the band/drawdown monitors."""
+    ev = table(spark, sf_dir, "events")
+    return (ev.groupBy("event_type", F.to_date("ts").alias("day"))
+            .agg(F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+                 .alias("cents"),
+                 F.count(F.lit(1)).alias("n")))
+
+
 @query(
     "value_bollinger_breakouts",
     oracle="""
@@ -785,11 +795,7 @@ def value_bollinger_breakouts(spark: SparkSession,
     identically in both engines; the breakout comparison evaluates on
     those identical doubles, so the boolean cannot flip across
     engines."""
-    ev = table(spark, sf_dir, "events")
-    daily = (ev.groupBy("event_type", F.to_date("ts").alias("day"))
-             .agg(F.sum(F.floor(F.col("value") * 100).cast("bigint"))
-                  .alias("cents"),
-                  F.count(F.lit(1)).alias("n")))
+    daily = _daily_cents(spark, sf_dir)
     m = daily.select("event_type", "day",
                      (F.col("cents") * 1.0 / (F.col("n") * 100))
                      .alias("dm"))
@@ -849,10 +855,8 @@ def value_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     on BIGINTs over calendar-bounded windows — no float enters until
     the /100 display divide, so the ranked answer is bit-deterministic
     (round-before-rank taken to its integer limit)."""
-    ev = table(spark, sf_dir, "events")
-    daily = (ev.groupBy("event_type", F.to_date("ts").alias("day"))
-             .agg(F.sum(F.floor(F.col("value") * 100).cast("bigint"))
-                  .alias("tot")))
+    daily = _daily_cents(spark, sf_dir).select(
+        "event_type", "day", F.col("cents").alias("tot"))
     run = (Window.partitionBy("event_type").orderBy("day")
            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     r = daily.withColumn("runmax", F.max("tot").over(run))

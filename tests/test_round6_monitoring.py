@@ -159,3 +159,26 @@ def test_low_energy_runs_cover_exactly_the_low_frames(spark):
     # threshold's distance from any observed value)
     n_low = (energy.rms < AUDIO_LOW_RMS).sum()
     assert runs.n_frames.sum() == n_low
+
+
+# -------------------------------------------------------- Lorenz / Gini
+
+def test_gini_matches_manual_lorenz(spark):
+    import numpy as np
+
+    pdf = _run(spark, "revenue_concentration_gini").sort_values("decile")
+    o = table(spark, SF, "orders").toPandas()
+    o["cents"] = np.floor(o.o_totalprice * 100)
+    rev = o.groupby("o_custkey").cents.sum().sort_values().to_numpy()
+    n = len(rev)
+    i = np.arange(1, n + 1)
+    want_gini = round(2 * float((i * rev).sum())
+                      / (n * float(rev.sum())) - (n + 1) / n, 6)
+    assert abs(pdf.gini.iloc[0] - want_gini) < 1e-6
+    assert (pdf.gini == pdf.gini.iloc[0]).all()
+    # Lorenz properties: shares sum to 1, cumulative is monotone and
+    # convex (ascending deciles contribute increasing shares)
+    assert math.isclose(pdf.revenue_share.sum(), 1.0, abs_tol=1e-4)
+    assert (pdf.cum_share.diff().dropna() > 0).all()
+    assert (pdf.revenue_share.diff().dropna() >= -1e-9).all()
+    assert math.isclose(pdf.cum_share.iloc[-1], 1.0, abs_tol=1e-4)
