@@ -2890,3 +2890,86 @@ def revenue_concentration_gini(spark: SparkSession,
                              / F.col("sx"), 6)
                      + F.lit(0.0)).alias("cum_share"),
                     gini.alias("gini")))
+
+
+def _join_card_sql(left: str, lkey: str, right: str, rkey: str,
+                   label: str) -> str:
+    """One UNION branch of the cardinality-estimate oracle: side
+    stats, the textbook containment estimate, and the true count."""
+    return f"""
+    SELECT '{label}' AS join_name,
+           l.n AS n_left, r.n AS n_right,
+           l.ndv AS ndv_left, r.ndv AS ndv_right,
+           CAST(l.n * r.n / GREATEST(l.ndv, r.ndv) AS BIGINT)
+               AS est_rows,
+           a.n AS actual_rows,
+           ROUND((l.n * r.n / GREATEST(l.ndv, r.ndv)) * 1.0 / a.n, 6)
+               + 0.0 AS est_over_actual
+    FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(COUNT(DISTINCT {lkey}) AS BIGINT) AS ndv
+          FROM {left}) l,
+         (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(COUNT(DISTINCT {rkey}) AS BIGINT) AS ndv
+          FROM {right}) r,
+         (SELECT CAST(COUNT(*) AS BIGINT) AS n
+          FROM {left} JOIN {right} ON {left}.{lkey} = {right}.{rkey}) a
+    """
+
+
+@query(
+    "join_cardinality_estimates",
+    oracle=" UNION ALL ".join([
+        _join_card_sql("orders", "o_custkey", "customer", "c_custkey",
+                       "orders_customer"),
+        _join_card_sql("lineitem", "l_partkey", "part", "p_partkey",
+                       "lineitem_part"),
+        _join_card_sql("lineitem", "l_orderkey", "orders", "o_orderkey",
+                       "lineitem_orders"),
+    ]),
+)
+def join_cardinality_estimates(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Optimizer-diagnostics: the textbook equi-join cardinality
+    estimate |L|·|R| / max(ndv_L, ndv_R) (the containment assumption
+    every cost-based optimizer starts from, Selinger '79) computed
+    from EXACT side statistics and validated against the TRUE join
+    count, for the schema's three canonical join edges.
+    ``est_over_actual`` ≈ 1 is why Catalyst's broadcast/shuffle
+    decisions can be trusted on this data model; a large deviation
+    flags key skew or FK violations — the engine-health audit behind
+    `join_key_skew_report`'s per-key triage.
+
+    Cost: one count+exact-NDV aggregate per side (shared per table)
+    and the three real joins (which Spark plans as broadcast/shuffle
+    hash per its own estimates — the thing being audited).  All
+    integers until the final ratio; the estimate itself is an exact
+    integer division rendered identically in both engines."""
+    specs = [
+        ("orders_customer", "orders", "o_custkey",
+         "customer", "c_custkey"),
+        ("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem_orders", "lineitem", "l_orderkey",
+         "orders", "o_orderkey"),
+    ]
+    out = None
+    for label, lt, lk, rt, rk in specs:
+        left, right = table(spark, sf_dir, lt), table(spark, sf_dir, rt)
+        l = left.agg(F.count(F.lit(1)).alias("n_left"),
+                     F.count_distinct(F.col(lk)).alias("ndv_left"))
+        r = right.agg(F.count(F.lit(1)).alias("n_right"),
+                      F.count_distinct(F.col(rk)).alias("ndv_right"))
+        a = (left.select(F.col(lk).alias("k"))
+             .join(right.select(F.col(rk).alias("k")), "k")
+             .agg(F.count(F.lit(1)).alias("actual_rows")))
+        est = (F.col("n_left") * F.col("n_right")
+               / F.greatest("ndv_left", "ndv_right")).cast("bigint")
+        row = (l.crossJoin(r).crossJoin(a)
+               .select(F.lit(label).alias("join_name"),
+                       "n_left", "n_right", "ndv_left", "ndv_right",
+                       est.alias("est_rows"), "actual_rows",
+                       (F.round((F.col("n_left") * F.col("n_right")
+                                 / F.greatest("ndv_left", "ndv_right"))
+                                * 1.0 / F.col("actual_rows"), 6)
+                        + F.lit(0.0)).alias("est_over_actual")))
+        out = row if out is None else out.unionByName(row)
+    return out

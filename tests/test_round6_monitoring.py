@@ -182,3 +182,21 @@ def test_gini_matches_manual_lorenz(spark):
     assert (pdf.cum_share.diff().dropna() > 0).all()
     assert (pdf.revenue_share.diff().dropna() >= -1e-9).all()
     assert math.isclose(pdf.cum_share.iloc[-1], 1.0, abs_tol=1e-4)
+
+
+# ------------------------------------------------- optimizer diagnostics
+
+def test_cardinality_estimates_are_exact_for_fk_joins(spark):
+    pdf = _run(spark, "join_cardinality_estimates").set_index("join_name")
+    # FK→PK joins: every fact row matches exactly once, so the actual
+    # equals the fact side and the containment estimate is exact
+    oc = pdf.loc["orders_customer"]
+    assert oc.actual_rows == oc.n_left
+    assert oc.est_rows == oc.actual_rows
+    assert abs(oc.est_over_actual - 1.0) < 1e-6
+    lp = pdf.loc["lineitem_part"]
+    assert lp.actual_rows == lp.n_left
+    assert abs(lp.est_over_actual - 1.0) < 1e-6
+    # side stats are sane
+    assert (pdf.ndv_left <= pdf.n_left).all()
+    assert (pdf.ndv_right <= pdf.n_right).all()
