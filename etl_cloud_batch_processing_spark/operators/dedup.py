@@ -259,10 +259,7 @@ _D_SCORED_PAIRS = f"""
 """
 
 
-@query(
-    "near_dup_clusters",
-    oracle=f"""
-    WITH RECURSIVE
+_D_CLUSTERED = f"""
     scored AS ({_D_SCORED_PAIRS}),
     verified AS (SELECT doc_a, doc_b FROM scored
                  WHERE jaccard >= {CLUSTER_JACCARD}),
@@ -274,11 +271,19 @@ _D_SCORED_PAIRS = f"""
         SELECT node, node FROM nodes
         UNION
         SELECT e.dst, w.root FROM walk w JOIN edges e ON e.src = w.node),
-    comp AS (SELECT node, MIN(root) AS cluster_id FROM walk GROUP BY node)
-    SELECT d.doc_id,
-           COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
-           COALESCE(c.cluster_id, d.doc_id) = d.doc_id AS is_canonical
-    FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    comp AS (SELECT node, MIN(root) AS cluster_id FROM walk GROUP BY node),
+    labeled AS (
+        SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.node)
+"""
+
+
+@query(
+    "near_dup_clusters",
+    oracle="WITH RECURSIVE " + _D_CLUSTERED + """
+    SELECT doc_id, cluster_id,
+           cluster_id = doc_id AS is_canonical
+    FROM labeled
     """,
 )
 def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -647,23 +652,7 @@ def probe_band_index(spark: SparkSession, new_docs: DataFrame,
 
 @query(
     "near_dup_cluster_sizes",
-    oracle=f"""
-    WITH RECURSIVE
-    scored AS ({_D_SCORED_PAIRS}),
-    verified AS (SELECT doc_a, doc_b FROM scored
-                 WHERE jaccard >= {CLUSTER_JACCARD}),
-    edges AS (SELECT doc_a AS src, doc_b AS dst FROM verified
-              UNION ALL
-              SELECT doc_b AS src, doc_a AS dst FROM verified),
-    nodes AS (SELECT DISTINCT src AS node FROM edges),
-    walk(node, root) AS (
-        SELECT node, node FROM nodes
-        UNION
-        SELECT e.dst, w.root FROM walk w JOIN edges e ON e.src = w.node),
-    comp AS (SELECT node, MIN(root) AS cluster_id FROM walk GROUP BY node),
-    labeled AS (
-        SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
-        FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+    oracle="WITH RECURSIVE " + _D_CLUSTERED + """,
     sizes AS (
         SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
         FROM labeled GROUP BY cluster_id),

@@ -1051,15 +1051,8 @@ def make_audio_zcr_framer():
            CAST(n_samples AS BIGINT) AS n_samples
     FROM pairs GROUP BY media_id, frame_idx, n_samples
     UNION ALL
-    SELECT doc_id, i, NULL, CAST(length(seg) AS BIGINT)
-    FROM (SELECT doc_id, i,
-                 substring(text, i * {AUDIO_FRAME} + 1, {AUDIO_FRAME})
-                     AS seg
-          FROM documents,
-               UNNEST(range(0, CAST(ceil(length(text)
-                                         / {AUDIO_FRAME}.0) AS BIGINT),
-                            {AUDIO_STRIDE})) AS t(i))
-    WHERE length(seg) <= 1
+    SELECT media_id, frame_idx, NULL, CAST(length(seg) AS BIGINT)
+    FROM frames WHERE length(seg) <= 1
     """,
 )
 def audio_zero_crossing_rate(spark: SparkSession,

@@ -2900,8 +2900,7 @@ def _join_card_sql(left: str, lkey: str, right: str, rkey: str,
     SELECT '{label}' AS join_name,
            l.n AS n_left, r.n AS n_right,
            l.ndv AS ndv_left, r.ndv AS ndv_right,
-           CAST(l.n * r.n / GREATEST(l.ndv, r.ndv) AS BIGINT)
-               AS est_rows,
+           (l.n * r.n) // GREATEST(l.ndv, r.ndv) AS est_rows,
            a.n AS actual_rows,
            ROUND((l.n * r.n / GREATEST(l.ndv, r.ndv)) * 1.0 / a.n, 6)
                + 0.0 AS est_over_actual
@@ -2942,8 +2941,7 @@ def join_cardinality_estimates(spark: SparkSession,
     Cost: one count+exact-NDV aggregate per side (shared per table)
     and the three real joins (which Spark plans as broadcast/shuffle
     hash per its own estimates — the thing being audited).  All
-    integers until the final ratio; the estimate itself is an exact
-    integer division rendered identically in both engines."""
+    integers until the final ratio."""
     specs = [
         ("orders_customer", "orders", "o_custkey",
          "customer", "c_custkey"),
@@ -2961,8 +2959,10 @@ def join_cardinality_estimates(spark: SparkSession,
         a = (left.select(F.col(lk).alias("k"))
              .join(right.select(F.col(rk).alias("k")), "k")
              .agg(F.count(F.lit(1)).alias("actual_rows")))
-        est = (F.col("n_left") * F.col("n_right")
-               / F.greatest("ndv_left", "ndv_right")).cast("bigint")
+        # integer division in BOTH engines: CAST(double AS BIGINT)
+        # rounds in DuckDB but truncates in Spark, so the double form
+        # only matched while the estimate happened to be integral
+        est = F.expr("(n_left * n_right) DIV greatest(ndv_left, ndv_right)")
         row = (l.crossJoin(r).crossJoin(a)
                .select(F.lit(label).alias("join_name"),
                        "n_left", "n_right", "ndv_left", "ndv_right",

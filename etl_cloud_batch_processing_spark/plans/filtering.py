@@ -1027,6 +1027,11 @@ def weighted_token_budget_allocation(spark: SparkSession,
 #: Keyword phrases reported by the RAKE extractor.
 RAKE_TOP_K = 20
 
+#: Stopword list interpolated into the RAKE oracle — the SAME constant
+#: the Spark side reads (functions/text.py STOPWORDS), so the two
+#: segmentations cannot drift.
+_RAKE_STOPS = ", ".join(repr(w) for w in T.STOPWORDS)
+
 
 @query(
     "keyword_rake_top_phrases",
@@ -1040,7 +1045,7 @@ RAKE_TOP_K = 20
         FROM split),
     tok AS (
         SELECT doc_id, pos, token,
-               CASE WHEN token IN ('a', 'the') THEN 1 ELSE 0 END
+               CASE WHEN token IN ({_RAKE_STOPS}) THEN 1 ELSE 0 END
                    AS is_stop
         FROM raw),
     seg AS (

@@ -247,7 +247,7 @@ def daily_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(FLOOR(value * 100) AS BIGINT) AS x,
                CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h,
                CAST(EXTRACT(day FROM ts) AS BIGINT) AS d
-        FROM events),
+        FROM events WHERE value IS NOT NULL),
     s AS (
         SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
                SUM(x) AS sx, SUM(x * x) AS sxx,
@@ -280,7 +280,10 @@ def value_hour_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed-form combination (whose cross-products n·Σxx exceed BIGINT
     at corpus scale) runs in DOUBLE with the oracle written
     term-for-term identical, and rounds once."""
-    ev = table(spark, sf_dir, "events")
+    # NULL values would otherwise poison the formula asymmetrically
+    # (the x-sums skip them, n and the time-sums would not)
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull())
     q = ev.select(
         "event_type",
         F.floor(F.col("value") * 100).cast("bigint").alias("x"),

@@ -774,8 +774,9 @@ def _daily_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(mid, 6) + 0.0 AS band_mid,
            ROUND(sqrt(GREATEST(m2 - mid * mid, 0)), 6) + 0.0
                AS band_sigma,
-           (nw = 7 AND ABS(dm - mid)
-                > 2 * sqrt(GREATEST(m2 - mid * mid, 0))) AS is_breakout
+           (nw = 7 AND ABS(ROUND(dm, 6) - ROUND(mid, 6))
+                > 2 * ROUND(sqrt(GREATEST(m2 - mid * mid, 0)), 6))
+               AS is_breakout
     FROM w
     """,
 )
@@ -793,8 +794,9 @@ def value_bollinger_breakouts(spark: SparkSession,
     discipline), then every window runs over ≤7 calendar-bounded rows.
     Variance comes from the E[x²]−E[x]² identity written term-for-term
     identically in both engines; the breakout comparison evaluates on
-    those identical doubles, so the boolean cannot flip across
-    engines."""
+    the 6-decimal-ROUNDED band values (sliding-frame AVGs are not
+    bit-guaranteed across engines' summation orders), so the boolean
+    cannot flip at the band edge."""
     daily = _daily_cents(spark, sf_dir)
     m = daily.select("event_type", "day",
                      (F.col("cents") * 1.0 / (F.col("n") * 100))
@@ -808,13 +810,18 @@ def value_bollinger_breakouts(spark: SparkSession,
         F.count(F.lit(1)).over(w7).alias("nw"))
     sigma = F.sqrt(F.greatest(F.col("m2") - F.col("mid") * F.col("mid"),
                               F.lit(0)))
+    # the breakout boolean compares the ROUNDED values: the sliding-
+    # frame AVGs are not guaranteed bit-identical across engines
+    # (segment-tree vs sequential summation), so an unrounded compare
+    # could flip within an ulp of the band edge
     return w.select(
         "event_type", "day",
         (F.round(F.col("dm"), 6) + F.lit(0.0)).alias("daily_mean"),
         (F.round(F.col("mid"), 6) + F.lit(0.0)).alias("band_mid"),
         (F.round(sigma, 6) + F.lit(0.0)).alias("band_sigma"),
         ((F.col("nw") == 7)
-         & (F.abs(F.col("dm") - F.col("mid")) > 2 * sigma))
+         & (F.abs(F.round(F.col("dm"), 6) - F.round(F.col("mid"), 6))
+            > 2 * F.round(sigma, 6)))
         .alias("is_breakout"))
 
 
