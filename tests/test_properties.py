@@ -230,3 +230,85 @@ def test_cusum_telescopes_to_zero(spark):
         # μ is rounded to 6 decimals, so the telescoped end point can
         # sit up to n_days · 5e-7 away from exact zero
         assert abs(r.cusum) <= r.n_days * 5e-7 + 1e-9
+
+
+# ---------------------------------------------------------------- round 6
+
+@given(st.lists(st.integers(0, 200), min_size=1, max_size=80),
+       st.integers(1, 9))
+@_slow
+def test_interval_overlap_bucketing_equals_quadratic_reference(
+        spark, starts, durs_seed):
+    """The (custkey, 10-day cell) bucketed interval-overlap join must
+    find EXACTLY the pairs a brute-force quadratic scan finds, for any
+    interval layout with durations <= the bucket width."""
+    import datetime
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    base = datetime.date(1995, 1, 1)
+    rows = []
+    for idx, s_off in enumerate(starts):
+        dur = (s_off * durs_seed) % 10 + 1  # 1..10 days, <= bucket
+        rows.append((1, idx,
+                     base + datetime.timedelta(days=s_off),
+                     base + datetime.timedelta(days=s_off + dur)))
+    # brute-force reference: overlap iff max(start) < min(end)
+    want = set()
+    for (c1, k1, s1, e1), (c2, k2, s2, e2) in \
+            itertools.combinations(rows, 2):
+        lo, hi = (k1, k2) if k1 < k2 else (k2, k1)
+        if max(s1, s2) < min(e1, e2):
+            want.add((lo, hi))
+    # bucketed plan (same construction as overlapping_customer_orders)
+    df = spark.createDataFrame(
+        rows, "custkey int, okey int, s date, e date")
+    epoch = F.lit("1990-01-01").cast("date")
+    win = df.withColumn(
+        "bucket", F.floor(F.datediff("s", epoch) / 10))
+    x = win.select("custkey", F.col("okey").alias("xk"),
+                   F.col("s").alias("xs"), F.col("e").alias("xe"),
+                   F.explode(F.array(F.col("bucket"),
+                                     F.col("bucket") + 1)).alias("p"))
+    y = win.select("custkey", F.col("okey").alias("yk"),
+                   F.col("s").alias("ys"), F.col("e").alias("ye"),
+                   F.col("bucket").alias("p"))
+    earlier = ((F.col("xs") < F.col("ys"))
+               | ((F.col("xs") == F.col("ys"))
+                  & (F.col("xk") < F.col("yk"))))
+    got = {(min(r.xk, r.yk), max(r.xk, r.yk)) for r in
+           (x.join(y, ["custkey", "p"])
+            .filter(earlier & (F.col("ys") < F.col("xe")))
+            .collect())}
+    assert got == want
+
+
+@given(st.lists(st.sampled_from(
+    ["hot1", "hot2"] + [f"t{i}" for i in range(40)]),
+    min_size=20, max_size=400),
+    st.integers(64, 512))
+@_slow
+def test_misra_gries_candidates_contain_all_heavy_hitters(
+        spark, stream, batch_size):
+    """For ANY stream and batching, the MG summary must retain every
+    token whose count exceeds n/MG_K, and no lower bound may exceed
+    the true count."""
+    import collections
+
+    import pandas as pd
+
+    from etl_cloud_batch_processing_spark.plans.llm import (
+        MG_K, _mg_summaries)
+
+    batches = [pd.DataFrame({"token": stream[i: i + batch_size]})
+               for i in range(0, len(stream), batch_size)]
+    out = list(_mg_summaries(iter(batches)))[0]
+    true = collections.Counter(stream)
+    n = len(stream)
+    survivors = set(out.token)
+    for tok, c in true.items():
+        if c * MG_K > n:
+            assert tok in survivors, (tok, c, n)
+    for _, r in out.iterrows():
+        assert r.lower_bound <= true[r.token]
