@@ -60,7 +60,13 @@ def fwht_df(df, col_in: str, col_out: str, dim: int = 64):
     rotation option of FAISS-style OPQ): it spreads per-dimension
     variance evenly across dimensions — exactly what per-dimension
     quantizers (SQ8, PQ) want.  dim must be a power of two; for dim=64
-    the 1/8 scale is binary-exact."""
+    the 1/8 scale is binary-exact.
+
+    A row whose array is not exactly ``dim`` long fails the job (via
+    ``raise_error``) rather than silently NULL-poisoning the rotation:
+    ``element_at`` past the end returns NULL in non-ANSI mode, so a
+    short array would otherwise produce a corrupt-but-plausible
+    output."""
     assert dim & (dim - 1) == 0, "FWHT needs a power-of-two dim"
 
     def make_stage(cur: Column, b: Column):
@@ -70,7 +76,13 @@ def fwht_df(df, col_in: str, col_out: str, dim: int = 64):
                     .otherwise(partner - x))
         return stage
 
-    df = df.withColumn(col_out, F.col(col_in))
+    df = df.withColumn(
+        col_out,
+        F.when(F.size(F.col(col_in)) == dim, F.col(col_in))
+        .otherwise(F.raise_error(F.concat(
+            F.lit(f"fwht_df: column {col_in!r} must have length {dim}, "
+                  "got length "),
+            F.size(F.col(col_in)).cast("string")))))
     bit = 1
     while bit < dim:
         cur = F.col(col_out)

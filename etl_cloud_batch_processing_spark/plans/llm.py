@@ -209,20 +209,36 @@ def _mg_summaries(it):
     Each incoming batch is reduced EXACTLY with vectorized
     ``value_counts`` (a batch is just a small multiset), then merged
     into the running summary with the mergeable-summaries rule
-    (Agarwal et al., PODS'12): add counts; while more than MG_K items
+    (Agarwal et al., PODS'12): add counts; when more than MG_K items
     survive, subtract the (MG_K+1)-th largest count from everything
-    and drop the non-positives.  Total undercount per partition is
-    ≤ n_partition/MG_K, which is what the pigeonhole argument in
-    ``frequent_tokens_heavy_hitters`` needs."""
+    and drop the non-positives.  Compaction also fires MID-merge
+    whenever the dict exceeds 4·MG_K, so peak memory is O(MG_K +
+    batch-distinct-seen-since-last-compact) — bounded even for
+    wide-vocabulary batches — not O(MG_K + whole-batch vocabulary).
+    The undercount bound is compaction-schedule-independent: every
+    compaction with cut = (K+1)-th largest removes ≥ (K+1)·cut total
+    count while charging any single token ≤ cut, so the summed cuts
+    are ≤ n_partition/(K+1) and total undercount per partition stays
+    ≤ n_partition/MG_K — the pigeonhole premise in
+    ``frequent_tokens_heavy_hitters``."""
     import pandas as pd
 
     counts: dict[str, int] = {}
+
+    def compact() -> None:
+        cut = sorted(counts.values(), reverse=True)[MG_K]
+        for t in [t for t, c in counts.items() if c <= cut]:
+            del counts[t]
+        for t in counts:
+            counts[t] -= cut
+
     for batch in it:
         for tok, c in batch["token"].value_counts().items():
             counts[tok] = counts.get(tok, 0) + int(c)
+            if len(counts) > 4 * MG_K:
+                compact()
         if len(counts) > MG_K:
-            cut = sorted(counts.values(), reverse=True)[MG_K]
-            counts = {t: c - cut for t, c in counts.items() if c > cut}
+            compact()
     yield pd.DataFrame(
         {"token": list(counts), "lower_bound": list(counts.values())})
 
@@ -1198,6 +1214,10 @@ def vector_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: freshness filter pushed into the vector index.
 KNN_FILTER_LABELS = (0, 1, 2)
 
+# Explicit IN-list for the oracle text: a tuple repr would render a
+# single label as the invalid SQL "(0,)" (same pattern as _RAKE_STOPS).
+_KNN_FILTER_IN = "(" + ", ".join(map(str, KNN_FILTER_LABELS)) + ")"
+
 
 @query(
     "knn_filtered_topk",
@@ -1205,7 +1225,7 @@ KNN_FILTER_LABELS = (0, 1, 2)
     WITH q AS (SELECT vec_id AS query_id, embedding AS qe
                FROM embeddings WHERE vec_id < 5),
     cand AS (SELECT * FROM embeddings
-             WHERE label IN {KNN_FILTER_LABELS}),
+             WHERE label IN {_KNN_FILTER_IN}),
     scored AS (
         SELECT q.query_id, e.vec_id, e.label,
                round({V.duckdb_cosine_sql('q.qe', 'e.embedding')}, 6)

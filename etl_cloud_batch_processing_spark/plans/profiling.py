@@ -185,11 +185,16 @@ def top_values_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                SUM(t * t) AS sxx, SUM(y * y) AS syy
         FROM idx GROUP BY 1)
     SELECT event_type, n AS n_days,
-           ROUND((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx), 6)
-               + 0.0 AS slope,
-           ROUND((sy * sxx - sx * sxy) * 1.0 / (n * sxx - sx * sx), 6)
-               + 0.0 AS intercept,
-           CASE WHEN n * syy - sy * sy = 0 THEN NULL
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                ELSE ROUND((n * sxy - sx * sy) * 1.0
+                           / (n * sxx - sx * sx), 6) + 0.0
+           END AS slope,
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                ELSE ROUND((sy * sxx - sx * sxy) * 1.0
+                           / (n * sxx - sx * sx), 6) + 0.0
+           END AS intercept,
+           CASE WHEN n * syy - sy * sy = 0
+                     OR n * sxx - sx * sx = 0 THEN NULL
                 ELSE ROUND((n * sxy - sx * sy) * 1.0 * (n * sxy - sx * sy)
                            / ((n * sxx - sx * sx) * 1.0
                               * (n * syy - sy * sy)), 6) + 0.0
@@ -229,12 +234,18 @@ def daily_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     dn = n * sxx - sx * sx
     num = n * sxy - sx * sy
     deny = n * syy - sy * sy
+    # dn == 0 (a single observed day) must be NULL on BOTH sides:
+    # Spark's integer-typed x/0 is NULL but DuckDB's IEEE double
+    # division yields inf/NaN, a cross-engine parity break.
     return s.select(
         "event_type", n.alias("n_days"),
-        (F.round(num * 1.0 / dn, 6) + F.lit(0.0)).alias("slope"),
-        (F.round((sy * sxx - sx * sxy) * 1.0 / dn, 6)
-         + F.lit(0.0)).alias("intercept"),
-        F.when(deny == 0, F.lit(None).cast("double"))
+        F.when(dn == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(num * 1.0 / dn, 6) + F.lit(0.0))
+        .alias("slope"),
+        F.when(dn == 0, F.lit(None).cast("double"))
+        .otherwise(F.round((sy * sxx - sx * sxy) * 1.0 / dn, 6)
+                   + F.lit(0.0)).alias("intercept"),
+        F.when((deny == 0) | (dn == 0), F.lit(None).cast("double"))
         .otherwise(F.round(num * 1.0 * num / (dn * 1.0 * deny), 6)
                    + F.lit(0.0)).alias("r2"))
 
@@ -255,14 +266,18 @@ def daily_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
                SUM(d) AS sd, SUM(d * d) AS sdd, SUM(x * d) AS sxd
         FROM q GROUP BY 1)
     SELECT event_type, n AS n_events,
-           ROUND((n * 1.0 * sxh - sx * 1.0 * sh)
-                 / (sqrt(n * 1.0 * sxx - sx * 1.0 * sx)
-                    * sqrt(n * 1.0 * shh - sh * 1.0 * sh)), 6) + 0.0
-               AS corr_value_hour,
-           ROUND((n * 1.0 * sxd - sx * 1.0 * sd)
-                 / (sqrt(n * 1.0 * sxx - sx * 1.0 * sx)
-                    * sqrt(n * 1.0 * sdd - sd * 1.0 * sd)), 6) + 0.0
-               AS corr_value_dom
+           CASE WHEN n * sxx - sx * sx = 0 OR n * shh - sh * sh = 0
+                THEN NULL
+                ELSE ROUND((n * 1.0 * sxh - sx * 1.0 * sh)
+                     / (sqrt(n * 1.0 * sxx - sx * 1.0 * sx)
+                        * sqrt(n * 1.0 * shh - sh * 1.0 * sh)), 6) + 0.0
+           END AS corr_value_hour,
+           CASE WHEN n * sxx - sx * sx = 0 OR n * sdd - sd * sd = 0
+                THEN NULL
+                ELSE ROUND((n * 1.0 * sxd - sx * 1.0 * sd)
+                     / (sqrt(n * 1.0 * sxx - sx * 1.0 * sx)
+                        * sqrt(n * 1.0 * sdd - sd * 1.0 * sd)), 6) + 0.0
+           END AS corr_value_dom
     FROM s
     """,
 )
@@ -302,10 +317,17 @@ def value_hour_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
 
     def corr(sa, saa, sxa):
+        # zero variance in either variable (e.g. one event, or every
+        # event of a type in one hour) → NULL on both sides; unguarded,
+        # Spark's double 0/0 is NaN while DuckDB may yield inf/NaN with
+        # a different repr — same parity break as daily_trend_ols.
         num = n * 1.0 * sxa - sx * 1.0 * sa
         den = (F.sqrt(n * 1.0 * sxx - sx * 1.0 * sx)
                * F.sqrt(n * 1.0 * saa - sa * 1.0 * sa))
-        return F.round(num / den, 6) + F.lit(0.0)
+        degenerate = ((n * sxx - sx * sx == 0)
+                      | (n * saa - sa * sa == 0))
+        return (F.when(degenerate, F.lit(None).cast("double"))
+                .otherwise(F.round(num / den, 6) + F.lit(0.0)))
 
     return s.select(
         "event_type", n.alias("n_events"),

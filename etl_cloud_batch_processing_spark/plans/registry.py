@@ -96,7 +96,8 @@ def ptable(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # (alphabetically).  Each round the driver therefore grades the 50
 # longest-unverified queries and the window rotates through the whole
 # registry with zero human choice; the builder's own full DuckDB sweep
-# (tools/drive_entry.py, all 145 queries at sf0.01 and sf0.1) remains
+# (tools/drive_entry.py, every registered query — len(REGISTRY) — at
+# sf0.01 and sf0.1) remains
 # the regression net for whatever is outside the window.  Applied at
 # call time, not import time: Python workers unpickling a UDF import
 # ``operators`` first, which re-enters ``plans/__init__`` while
