@@ -10,6 +10,7 @@ from etl_cloud_batch_processing_spark.plans import (  # noqa: F401
     profiling,
     streams,
     temporal,
+    tokenization,
 )
 from etl_cloud_batch_processing_spark import operators  # noqa: E402,F401
 from etl_cloud_batch_processing_spark.plans.registry import (
