@@ -70,6 +70,74 @@ def write_append_partition(df: DataFrame, path: str, run_date: str,
        .save(path))
 
 
+class AuditError(RuntimeError):
+    """A staged write failed its quality audit; nothing was published."""
+
+    def __init__(self, failures: list) -> None:
+        self.failures = failures
+        super().__init__(
+            "audit failed, publish aborted: "
+            + "; ".join(f"{r.rule} on {r.column} (observed {r.observed})"
+                        for r in failures))
+
+
+def write_audit_publish(df: DataFrame, path: str, run_date: str,
+                        rules: list, fmt: str = "parquet",
+                        partition_col: str = "dt") -> list:
+    """Write-audit-publish: stage one run's partition, audit the STAGED
+    FILES, then atomically publish — the production discipline
+    ``write_append_partition`` skips by publishing directly.
+
+    1. **Stage**: the run's rows land under
+       ``<path>/.staging/<partition_col>=<run_date>`` (dot-prefixed, so
+       Spark/Hive file listing never surfaces in-flight data to
+       readers of ``path``).  ``mode("overwrite")`` clears any stale
+       staging left by a crashed prior attempt.
+    2. **Audit**: the staged directory is READ BACK and
+       ``operators.quality.run_checks`` runs against what was actually
+       written (one aggregation pass) — auditing the input frame
+       instead would miss writer/codec corruption.  Any failed rule
+       deletes the staging directory and raises :class:`AuditError`:
+       no partial partition, nothing published.
+    3. **Publish**: a single filesystem ``rename`` moves the staged
+       directory to ``<path>/<partition_col>=<run_date>`` (replacing a
+       prior publish of the same run_date first, so re-runs publish
+       exactly once — same idempotency bar as
+       ``write_append_partition``).  Rename is atomic on HDFS/local
+       POSIX; on an object store swap this step for a manifest commit
+       (Iceberg/Delta-style), keeping stages 1–2 unchanged.
+
+    Returns the check report (list of CheckResult) on success."""
+    from etl_cloud_batch_processing_spark.operators.quality import (
+        run_checks,
+    )
+
+    spark = df.sparkSession
+    jvm = spark._jvm
+    jsc = spark._jsc
+    hpath = jvm.org.apache.hadoop.fs.Path
+    base = path.rstrip("/")
+    staging_str = f"{base}/.staging/{partition_col}={run_date}"
+    final_str = f"{base}/{partition_col}={run_date}"
+    fs = hpath(base).getFileSystem(jsc.hadoopConfiguration())
+
+    df.write.mode("overwrite").format(fmt).save(staging_str)
+
+    staged = spark.read.format(fmt).load(staging_str)
+    report = run_checks(staged, rules)
+    failures = [r for r in report if not r.passed]
+    if failures:
+        fs.delete(hpath(staging_str), True)
+        raise AuditError(failures)
+
+    final = hpath(final_str)
+    if fs.exists(final):
+        fs.delete(final, True)
+    if not fs.rename(hpath(staging_str), final):
+        raise IOError(f"publish rename {staging_str} -> {final_str} failed")
+    return report
+
+
 def write_clustered(df: DataFrame, path: str, cluster_cols: list[str],
                     num_files: int | None = None) -> None:
     """Write sort-clustered parquet: range-partition on ``cluster_cols``

@@ -110,3 +110,98 @@ def test_xml_roundtrip_preserves_values(spark, tmp_path):
     back = R.read_xml(spark, path, row_tag="nation", schema=src.schema)
     assert back.schema == src.schema
     assert _sorted_rows(back) == _sorted_rows(src)
+
+
+# ---------------------------------------------------------------------------
+# Write-audit-publish (round 7): stage -> audit staged files -> atomic
+# publish; a failed audit publishes NOTHING and a re-run publishes
+# exactly once.
+# ---------------------------------------------------------------------------
+
+def _wap_frame(spark, rows):
+    return spark.createDataFrame(rows, "id bigint, v double")
+
+
+def test_write_audit_publish_happy_path(spark, tmp_path):
+    from etl_cloud_batch_processing_spark.operators import quality as Q
+
+    path = str(tmp_path / "wap")
+    df = _wap_frame(spark, [(1, 0.5), (2, 0.7), (3, 0.9)])
+    report = W.write_audit_publish(
+        df, path, "2021-03-10",
+        [Q.not_null("id"), Q.unique("id"), Q.min_rows(1)])
+    assert all(r.passed for r in report)
+    back = spark.read.parquet(path)
+    assert back.count() == 3
+    # partition value materializes from the directory name
+    assert back.select("dt").distinct().collect()[0]["dt"] is not None
+    assert str(back.select(F.min("dt")).collect()[0][0]) == "2021-03-10"
+
+
+def test_write_audit_publish_failed_audit_publishes_nothing(spark, tmp_path):
+    import pytest
+
+    from etl_cloud_batch_processing_spark.operators import quality as Q
+
+    path = str(tmp_path / "wap_fail")
+    # duplicate ids -> the unique() rule must fail
+    df = _wap_frame(spark, [(1, 0.5), (1, 0.7)])
+    with pytest.raises(W.AuditError) as exc:
+        W.write_audit_publish(df, path, "2021-03-10",
+                              [Q.not_null("id"), Q.unique("id")])
+    assert any("unique" in r.rule for r in exc.value.failures)
+    # no published partition, no staging residue
+    import os
+    assert not os.path.exists(f"{path}/dt=2021-03-10")
+    assert not os.path.exists(f"{path}/.staging/dt=2021-03-10")
+
+
+def test_write_audit_publish_rerun_publishes_exactly_once(spark, tmp_path):
+    from etl_cloud_batch_processing_spark.operators import quality as Q
+
+    path = str(tmp_path / "wap_rerun")
+    rules = [Q.not_null("id"), Q.min_rows(1)]
+    W.write_audit_publish(
+        _wap_frame(spark, [(1, 0.5), (2, 0.7)]), path, "2021-03-10", rules)
+    # retry of the same run (possibly with corrected data) REPLACES
+    W.write_audit_publish(
+        _wap_frame(spark, [(1, 0.6), (2, 0.8), (3, 1.0)]),
+        path, "2021-03-10", rules)
+    back = spark.read.parquet(path)
+    assert back.count() == 3  # not 5: no duplicate accumulation
+    assert back.filter(F.col("dt") == "2021-03-10").count() == 3
+
+
+def test_write_audit_publish_failed_rerun_keeps_prior_publish(spark, tmp_path):
+    """A later failed run must not clobber the previously published
+    good partition (the audit gate fires BEFORE the swap)."""
+    import pytest
+
+    from etl_cloud_batch_processing_spark.operators import quality as Q
+
+    path = str(tmp_path / "wap_keep")
+    rules = [Q.unique("id")]
+    W.write_audit_publish(
+        _wap_frame(spark, [(1, 0.5), (2, 0.7)]), path, "2021-03-10", rules)
+    with pytest.raises(W.AuditError):
+        W.write_audit_publish(
+            _wap_frame(spark, [(9, 0.1), (9, 0.2)]),
+            path, "2021-03-10", rules)
+    back = spark.read.parquet(path)
+    assert sorted(r["id"] for r in back.collect()) == [1, 2]
+
+
+def test_write_audit_publish_staging_invisible_to_readers(spark, tmp_path):
+    """In-flight staged data must never surface in a read of the table
+    root (dot-prefixed dirs are excluded from Spark file listing)."""
+    from etl_cloud_batch_processing_spark.operators import quality as Q
+
+    path = str(tmp_path / "wap_vis")
+    W.write_audit_publish(
+        _wap_frame(spark, [(1, 0.5)]), path, "2021-03-10",
+        [Q.min_rows(1)])
+    # manually plant a staging dir (simulating another in-flight run)
+    _wap_frame(spark, [(99, 9.9)]).write.parquet(
+        f"{path}/.staging/dt=2021-03-11")
+    back = spark.read.parquet(path)
+    assert sorted(r["id"] for r in back.collect()) == [1]
