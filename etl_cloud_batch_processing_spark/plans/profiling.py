@@ -114,6 +114,77 @@ def column_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         " min_num, max_num)")
 
 
+@query("column_profile_events_approx")  # rows-only: HLL sketches differ per engine
+def column_profile_events_approx(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """The 100-TB default profiler: ``column_profile_events`` with the
+    exact multi-distinct swapped for ``approx_count_distinct`` (HLL++,
+    default 5% rsd).  The exact profile's COUNT(DISTINCT) per column
+    plans as an Expand — a ×columns row multiplier inside the shuffle
+    (its 32× soak: 6.8×); HLL sketches instead merge map-side into
+    constant-size state, so this variant is ONE plain aggregation with
+    no row multiplication — the same scan cost as any single groupBy.
+    Use the exact profiler for key decisions, this one for routine
+    landing-zone audits; ``approx_distinct_error_report`` measures the
+    gap column-by-column."""
+    ev = table(spark, sf_dir, "events")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for name, numeric in _PROFILE_COLS:
+        aggs.append(F.sum(F.when(F.col(name).isNull(), 1).otherwise(0))
+                    .cast("bigint").alias(f"nu_{name}"))
+        aggs.append(F.approx_count_distinct(name).alias(f"nd_{name}"))
+        mn = (F.min(name).cast("double") if numeric
+              else F.lit(None).cast("double"))
+        mx = (F.max(name).cast("double") if numeric
+              else F.lit(None).cast("double"))
+        aggs.append(mn.alias(f"mn_{name}"))
+        aggs.append(mx.alias(f"mx_{name}"))
+    wide = ev.agg(*aggs)
+    rows = ", ".join(
+        f"'{name}', CAST(n_rows AS BIGINT), nu_{name}, "
+        f"ROUND(nu_{name} * 1.0D / n_rows, 6) + 0.0D, nd_{name}, "
+        f"mn_{name}, mx_{name}"
+        for name, _ in _PROFILE_COLS)
+    return wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {rows}) AS "
+        "(col_name, n_rows, n_nulls, null_share, n_distinct_approx,"
+        " min_num, max_num)")
+
+
+@query("approx_distinct_error_report")  # rows-only: HLL sketches differ per engine
+def approx_distinct_error_report(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Calibration for ``column_profile_events_approx``: per column,
+    the EXACT distinct count next to the HLL++ estimate with absolute
+    and relative error — the same sketch-vs-truth audit
+    ``approx_percentile_error_report`` runs for percentiles.  Run on a
+    sample (or one partition) at scale to decide whether the default
+    5% rsd is acceptable before switching routine profiling to the
+    approximate twin; the exact Expand is the deliberate, bounded cost
+    of calibration, not of the production path.
+
+    The exact and approximate sides run as SEPARATE one-row
+    aggregations joined at the end: putting HLL aggregates inside the
+    multi-distinct aggregation would drag them through the Expand
+    (sketch state updated once per expanded row per column — measured
+    5.4× slower at 32× data than the split form)."""
+    ev = table(spark, sf_dir, "events")
+    ex = ev.agg(*[F.count_distinct(F.col(name)).alias(f"ex_{name}")
+                  for name, _ in _PROFILE_COLS])
+    ap = ev.agg(*[F.approx_count_distinct(name).alias(f"ap_{name}")
+                  for name, _ in _PROFILE_COLS])
+    wide = ex.crossJoin(F.broadcast(ap))
+    rows = ", ".join(
+        f"'{name}', ex_{name}, ap_{name}, "
+        f"CAST(abs(ap_{name} - ex_{name}) AS BIGINT), "
+        f"ROUND(abs(ap_{name} - ex_{name}) * 1.0D / ex_{name}, 6) + 0.0D"
+        for name, _ in _PROFILE_COLS)
+    return wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {rows}) AS "
+        "(col_name, n_distinct_exact, n_distinct_approx,"
+        " abs_error, rel_error)")
+
+
 _TOP_VALUES_K = 3
 
 
