@@ -9,6 +9,7 @@ from etl_cloud_batch_processing_spark.plans import (  # noqa: F401
     llm,
     profiling,
     streams,
+    survival,
     temporal,
     tokenization,
 )
