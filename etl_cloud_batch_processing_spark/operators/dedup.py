@@ -701,3 +701,88 @@ def near_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
                              * (F.col("cluster_size") - 1)
                              * 1.0 / F.col("n_docs"), 6)
                      + F.lit(0.0)).alias("removable_share")))
+
+
+# Quality expression shared with doc_quality_scores (plans/llm.py) —
+# rendered here in DuckDB form over the tokens-SQL twin so the canonical
+# pick's oracle scores documents identically to functions/text.py
+# quality_score.
+_D_QUALITY = (
+    f"least(CAST(len({T.D_TOKS_SQL}) AS DOUBLE) / 100.0, 1.0) * 0.5"
+    f" + (CAST(len(list_distinct({T.D_TOKS_SQL})) AS DOUBLE)"
+    f"    / CAST(len({T.D_TOKS_SQL}) AS DOUBLE)) * 0.3"
+    f" + (1.0 - CAST(len(list_filter({T.D_TOKS_SQL},"
+    f"              t -> t IN ('a', 'the'))) AS DOUBLE)"
+    f"        / CAST(len({T.D_TOKS_SQL}) AS DOUBLE)) * 0.2"
+)
+
+
+@query(
+    "near_dup_quality_canonical",
+    oracle="WITH RECURSIVE " + _D_CLUSTERED + f""",
+    q AS (SELECT doc_id,
+                 CAST(ROUND({_D_QUALITY}, 6) AS DECIMAL(18, 6)) AS q6
+          FROM documents),
+    m AS (SELECT l.cluster_id, l.doc_id, q.q6
+          FROM labeled l JOIN q USING (doc_id)),
+    r AS (SELECT cluster_id, doc_id, q6,
+                 ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                    ORDER BY q6 DESC, doc_id ASC) AS rn,
+                 CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+                     AS n_members,
+                 CAST(SUM(q6) OVER (PARTITION BY cluster_id)
+                      AS DECIMAL(28, 6)) AS sum_q
+          FROM m)
+    SELECT cluster_id, n_members,
+           doc_id AS kept_doc_id,
+           CAST(q6 AS DOUBLE) AS kept_quality,
+           n_members - 1 AS n_dropped,
+           ROUND(CAST(q6 AS DOUBLE)
+                 - CAST(sum_q AS DOUBLE) / n_members, 6) + 0.0
+               AS quality_gain_vs_mean
+    FROM r WHERE rn = 1 AND n_members >= 2
+    """,
+)
+def near_dup_quality_canonical(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """The dedup ACTION, quality-aware: for every verified near-dup
+    cluster of size ≥ 2, keep the HIGHEST-QUALITY member (Gopher-style
+    composite from ``doc_quality_scores``, doc_id-tiebroken) instead of
+    ``near_dup_clusters``'s arbitrary min-id canonical — the
+    keep-best-variant policy real corpus dedup ships (duplicates often
+    differ by boilerplate or truncation, and min-id keeps a random
+    one).  Per cluster: the survivor, its quality, the drop count, and
+    the quality gained over keeping a random member (survivor − mean).
+
+    Scale shape: the cluster frame is the already-sub-quadratic
+    LSH→verify→CC output; quality is one scan-side expression joined
+    on doc_id, and every window partitions by cluster_id — bounded by
+    component size.  Determinism: quality is rounded to 6 decimals and
+    carried as DECIMAL, so the per-cluster sum is exact and
+    order-independent; the single double division happens once, on
+    identical inputs, in both engines."""
+    from pyspark.sql.window import Window
+
+    labeled = near_dup_clusters(spark, sf_dir).select(
+        "doc_id", "cluster_id")
+    q = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.round(T.quality_score("text"), 6)
+        .cast("decimal(18,6)").alias("q6"))
+    m = labeled.join(q, "doc_id")
+    w = Window.partitionBy("cluster_id")
+    r = m.select(
+        "cluster_id", "doc_id", "q6",
+        F.row_number().over(
+            w.orderBy(F.desc("q6"), F.asc("doc_id"))).alias("rn"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_members"),
+        F.sum("q6").over(w).cast("decimal(28,6)").alias("sum_q"))
+    return (r.filter((F.col("rn") == 1) & (F.col("n_members") >= 2))
+            .select("cluster_id", "n_members",
+                    F.col("doc_id").alias("kept_doc_id"),
+                    F.col("q6").cast("double").alias("kept_quality"),
+                    (F.col("n_members") - 1).alias("n_dropped"),
+                    (F.round(F.col("q6").cast("double")
+                             - F.col("sum_q").cast("double")
+                             / F.col("n_members"), 6)
+                     + F.lit(0.0)).alias("quality_gain_vs_mean")))

@@ -484,3 +484,70 @@ def null_rate_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(ra, 6) + F.lit(0.0)).alias("null_share_a"),
         (F.round(rb, 6) + F.lit(0.0)).alias("null_share_b"),
         (F.round(rb - ra, 6) + F.lit(0.0)).alias("drift"))
+
+
+@query(
+    "weekday_adjusted_anomalies",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2),
+    g AS (
+        SELECT event_type, CAST(EXTRACT(dow FROM day) AS BIGINT) AS dow,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(y) AS sx, SUM(y * y) AS sxx
+        FROM daily GROUP BY 1, 2)
+    SELECT d.event_type, d.day, d.y AS n_events, g.dow,
+           ROUND(g.sx * 1.0 / g.n, 6) + 0.0 AS dow_mean,
+           CASE WHEN g.n * g.sxx - g.sx * g.sx = 0 THEN NULL
+                ELSE ROUND((d.y * g.n - g.sx) * 1.0
+                           / sqrt(g.n * g.sxx - g.sx * g.sx), 6) + 0.0
+           END AS z_within_dow,
+           CASE WHEN g.n * g.sxx - g.sx * g.sx = 0 THEN NULL
+                ELSE abs((d.y * g.n - g.sx) * 1.0
+                         / sqrt(g.n * g.sxx - g.sx * g.sx)) > 2.0
+           END AS is_anomaly
+    FROM daily d
+    JOIN g ON g.event_type = d.event_type
+          AND g.dow = CAST(EXTRACT(dow FROM d.day) AS BIGINT)
+    """,
+)
+def weekday_adjusted_anomalies(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Deseasonalized volume anomalies: each (type, day) count z-scored
+    WITHIN ITS OWN WEEKDAY GROUP — "is this Monday unusual among
+    Mondays?" — the monitor that doesn't page on every weekend dip the
+    way a raw daily z-score does.  The companion action to
+    ``weekday_seasonality_profile`` (which measures the seasonality
+    this query removes) and ``daily_count_acf`` (which detects it).
+
+    Integers-first determinism: counts and both moment sums per
+    (type, weekday) are exact BIGINTs, and the z closed form is
+    rearranged to one integer numerator over one sqrt of an integer —
+    (y·n − Σx)/√(n·Σx² − (Σx)²) — so both engines divide identical
+    numbers once.  Zero within-group variance yields NULL on both
+    sides (the daily_trend_ols guard).  One corpus-scale partial agg
+    to the day grain; the weekday stats join back on a
+    types×7-row broadcast."""
+    ev = table(spark, sf_dir, "events")
+    daily = (ev.groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("y")))
+    dow = (F.dayofweek("day") - 1).cast("bigint")
+    g = (daily.groupBy("event_type", dow.alias("dow"))
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+              F.sum("y").alias("sx"),
+              F.sum(F.col("y") * F.col("y")).alias("sxx")))
+    d = daily.withColumn("dow", dow)
+    j = d.join(F.broadcast(g), ["event_type", "dow"])
+    num = F.col("y") * F.col("n") - F.col("sx")
+    den2 = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    z = num * 1.0 / F.sqrt(den2)
+    return j.select(
+        "event_type", "day", F.col("y").alias("n_events"), "dow",
+        (F.round(F.col("sx") * 1.0 / F.col("n"), 6)
+         + F.lit(0.0)).alias("dow_mean"),
+        F.when(den2 == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(z, 6) + F.lit(0.0)).alias("z_within_dow"),
+        F.when(den2 == 0, F.lit(None).cast("boolean"))
+        .otherwise(F.abs(z) > 2.0).alias("is_anomaly"))

@@ -292,3 +292,107 @@ def conversion_rmst_by_cohort(spark: SparkSession,
                      - F.coalesce(F.col("n_converted"), F.lit(0)))
                     .cast("bigint").alias("n_censored"),
                     "rmst_days"))
+
+
+@query(
+    "survival_logrank_test",
+    oracle=f"""
+    WITH {_surv_base_sql(with_cohort=True)},
+    dp AS (
+        SELECT t_days AS t, CAST(SUM(n_events) AS BIGINT) AS d_t
+        FROM curve GROUP BY t_days),
+    np AS (
+        SELECT t, d_t,
+               CAST((SELECT SUM(n_total) FROM tot)
+                    - COALESCE(SUM(d_t) OVER (ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS BIGINT) AS n_t
+        FROM dp),
+    grid AS (SELECT tot.cohort, tot.n_total, np.t, np.d_t, np.n_t
+             FROM tot, np),
+    gat AS (
+        SELECT g.cohort, g.n_total, g.t, g.d_t, g.n_t,
+               CAST(g.n_total - COALESCE((
+                   SELECT SUM(d2.n_events) FROM d d2
+                   WHERE d2.cohort = g.cohort AND d2.t < g.t), 0)
+                   AS BIGINT) AS n_gt
+        FROM grid g),
+    terms AS (
+        SELECT cohort, n_total,
+               CAST(ROUND(d_t * n_gt * 1.0 / n_t, 6)
+                    AS DECIMAL(18, 6)) AS e6
+        FROM gat),
+    eg AS (SELECT cohort, MAX(n_total) AS n_total,
+                  CAST(SUM(e6) AS DOUBLE) AS expected
+           FROM terms GROUP BY cohort),
+    og AS (SELECT cohort, CAST(SUM(n_events) AS BIGINT) AS observed
+           FROM d GROUP BY cohort)
+    SELECT e.cohort, e.n_total,
+           COALESCE(o.observed, 0) AS observed,
+           ROUND(e.expected, 6) + 0.0 AS expected,
+           ROUND((COALESCE(o.observed, 0) - e.expected)
+                 * (COALESCE(o.observed, 0) - e.expected)
+                 / e.expected, 6) + 0.0 AS chi2_term
+    FROM eg e LEFT JOIN og o USING (cohort)
+    """,
+)
+def survival_logrank_test(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """K-sample log-rank comparison of the cohort survival curves:
+    per cohort, observed conversions O vs the expected count E under
+    the null that all cohorts share one hazard (E = Σ over pooled
+    death days of d_t·n_g,t/n_t), plus the (O−E)²/E term whose sum is
+    the log-rank χ² approximation (k−1 df) — the standard "are these
+    curves actually different?" test behind
+    ``conversion_survival_by_cohort``.
+
+    Every count (pooled deaths d_t, pooled at-risk n_t, per-cohort
+    at-risk n_g,t) is an exact BIGINT derived from the same duration
+    frame by cumulative-deaths arithmetic (censoring at the horizon
+    never leaves the risk set before any death day); the per-day
+    expectation terms are rounded to 1e-6 and summed as exact DECIMAL,
+    so the only double arithmetic both engines perform is one division
+    per term and the final χ² form — order-independent by
+    construction.  Frames after the user-grain aggs are cohorts ×
+    death-days rows."""
+    u = _durations(spark, sf_dir)
+    tot = u.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    d = (u.filter("died").groupBy("cohort", "t")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n_events")))
+    dp = d.groupBy("t").agg(F.sum("n_events").cast("bigint").alias("d_t"))
+    n_all = u.agg(F.count(F.lit(1)).cast("bigint").alias("n_all"))
+    wp = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    np_ = (dp.crossJoin(F.broadcast(n_all))
+           .select("t", "d_t",
+                   (F.col("n_all") - F.coalesce(F.sum("d_t").over(wp),
+                                                F.lit(0)))
+                   .cast("bigint").alias("n_t")))
+    grid = tot.crossJoin(F.broadcast(np_))
+    dg = d.select(F.col("cohort").alias("dcohort"),
+                  F.col("t").alias("s"),
+                  F.col("n_events").alias("dg"))
+    gat = (grid.join(dg, (F.col("cohort") == F.col("dcohort"))
+                     & (F.col("s") < F.col("t")), "left")
+           .drop("dcohort")
+           .groupBy("cohort", "n_total", "t", "d_t", "n_t")
+           .agg((F.max("n_total") - F.coalesce(F.sum("dg"), F.lit(0)))
+                .cast("bigint").alias("n_gt")))
+    terms = gat.select(
+        "cohort", "n_total",
+        F.round(F.col("d_t") * F.col("n_gt") * 1.0 / F.col("n_t"), 6)
+        .cast("decimal(18,6)").alias("e6"))
+    eg = terms.groupBy("cohort").agg(
+        F.max("n_total").alias("n_total"),
+        F.sum("e6").cast("double").alias("expected"))
+    og = d.groupBy("cohort").agg(
+        F.sum("n_events").cast("bigint").alias("observed"))
+    o = F.coalesce(F.col("observed"), F.lit(0).cast("bigint"))
+    return (eg.join(og, "cohort", "left")
+            .select("cohort", "n_total", o.alias("observed"),
+                    (F.round(F.col("expected"), 6)
+                     + F.lit(0.0)).alias("expected"),
+                    (F.round((o - F.col("expected"))
+                             * (o - F.col("expected"))
+                             / F.col("expected"), 6)
+                     + F.lit(0.0)).alias("chi2_term")))

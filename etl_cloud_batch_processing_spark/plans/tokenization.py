@@ -325,3 +325,53 @@ def max_duplicate_span_lengths(spark: SparkSession,
                     .alias("max_dup_span_len"),
                     F.coalesce(F.col("n_dup"), F.lit(0).cast("bigint"))
                     .alias("n_dup_spans_at_max")))
+
+
+@query(
+    "bpe_compression_by_lang",
+    oracle=f"""
+    WITH {_bpe_oracle_ctes()}
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT)
+               AS tokens_before,
+           CAST(SUM(len(string_split(substr(sk.s, 2, length(sk.s) - 2),
+                                     '||'))) AS BIGINT) AS tokens_after,
+           ROUND(SUM(len(string_split(substr(sk.s, 2, length(sk.s) - 2),
+                                      '||'))) * 1.0
+                 / SUM(len(string_split(d.text, ' '))), 6) + 0.0
+               AS compression_ratio
+    FROM documents d JOIN s{BPE_ROUNDS} sk USING (doc_id)
+    GROUP BY d.lang
+    """,
+)
+def bpe_compression_by_lang(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Per-language BPE compression: token totals before/after the
+    trained {BPE_ROUNDS}-merge table and the after/before ratio — the
+    fairness audit every multilingual tokenizer needs (a merge table
+    trained on a mixed corpus compresses dominant languages better,
+    inflating the effective training cost of the rest; this is the
+    per-language evidence).
+
+    Same encode dataflow as ``bpe_encode_token_counts`` (broadcast
+    folds over the persisted round frames), reduced to the lang grain
+    in one partial-aggregated groupBy; the ratio divides two exact
+    BIGINT sums once."""
+    _, toksk, _ = bpe_rounds(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    after = toksk.select(
+        "doc_id", F.size("toks").cast("bigint").alias("na"))
+    before = (ptable(spark, sf_dir, "documents")
+              .select("doc_id",
+                      F.size(T.tokens("text")).cast("bigint")
+                      .alias("nb")))
+    return (docs.join(before, "doc_id").join(after, "doc_id")
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("nb").alias("tokens_before"),
+                 F.sum("na").alias("tokens_after"))
+            .select("lang", "n_docs", "tokens_before", "tokens_after",
+                    (F.round(F.col("tokens_after") * 1.0
+                             / F.col("tokens_before"), 6)
+                     + F.lit(0.0)).alias("compression_ratio")))

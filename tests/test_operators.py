@@ -949,3 +949,30 @@ def test_sq8_fidelity_matches_numpy(spark):
         assert got[vid].cos_agreement == pytest.approx(cos[i], abs=2e-6)
     # quantization is lossy but close: cosine agreement stays near 1
     assert min(r.cos_agreement for r in got.values()) > 0.999
+
+
+def test_quality_canonical_picks_best_member(spark, sf_dir):
+    """The kept doc is the (quality desc, doc_id asc)-argmax of its
+    cluster; gain over the cluster mean is non-negative; every
+    reported cluster really has >= 2 members."""
+    from etl_cloud_batch_processing_spark.operators.dedup import (
+        near_dup_clusters,
+        near_dup_quality_canonical,
+    )
+    from etl_cloud_batch_processing_spark.functions import text as T
+    from pyspark.sql import functions as F
+
+    labeled = {r["doc_id"]: r["cluster_id"]
+               for r in near_dup_clusters(spark, sf_dir).collect()}
+    q = {r["doc_id"]: r["q"]
+         for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+         .select("doc_id", F.round(T.quality_score("text"), 6)
+                 .alias("q")).collect()}
+    picks = near_dup_quality_canonical(spark, sf_dir).collect()
+    for r in picks:
+        members = [d for d, c in labeled.items() if c == r["cluster_id"]]
+        assert len(members) == r["n_members"] >= 2
+        assert r["n_dropped"] == r["n_members"] - 1
+        best = sorted(members, key=lambda d: (-q[d], d))[0]
+        assert r["kept_doc_id"] == best
+        assert r["quality_gain_vs_mean"] >= 0.0

@@ -81,3 +81,21 @@ def test_rmst_bounds_and_accounting(spark, sf_dir):
     for r in rows:
         assert r["n_converted"] + r["n_censored"] == r["n_total"]
         assert 0.0 <= r["rmst_days"] <= SURVIVAL_HORIZON_DAYS
+
+
+def test_logrank_accounting(spark, sf_dir):
+    """Sum of expected conversions equals sum of observed (both equal
+    total pooled deaths — exactly before term rounding, within 1e-4
+    after), and every chi2 term is non-negative."""
+    from etl_cloud_batch_processing_spark.plans.survival import (
+        survival_logrank_test,
+    )
+    rows = survival_logrank_test(spark, sf_dir).collect()
+    total_o = sum(r["observed"] for r in rows)
+    total_e = sum(r["expected"] for r in rows)
+    durs = _durations(spark, sf_dir).collect()
+    assert total_o == sum(1 for r in durs if r["died"])
+    assert abs(total_e - total_o) < 1e-3
+    for r in rows:
+        assert r["chi2_term"] >= 0.0
+        assert 0 <= r["observed"] <= r["n_total"]
