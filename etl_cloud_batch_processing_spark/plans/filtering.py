@@ -1154,3 +1154,61 @@ def keyword_rake_top_phrases(spark: SparkSession,
            .limit(RAKE_TOP_K))
     rnk = Window.orderBy(F.desc("rake_score"), F.asc("phrase"))
     return top.withColumn("rnk", F.row_number().over(rnk))
+
+
+#: Postings report size.
+POSTINGS_TOP_K = 20
+
+
+@query(
+    "postings_index_stats",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents),
+    post AS (
+        SELECT token,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq,
+               CAST(COUNT(*) AS BIGINT) AS coll_freq,
+               CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+               CAST(MAX(doc_id) AS BIGINT) AS max_doc
+        FROM t GROUP BY token)
+    SELECT token, doc_freq, coll_freq, min_doc, max_doc,
+           CASE WHEN doc_freq <= 1 THEN NULL
+                ELSE ROUND((max_doc - min_doc) * 1.0 / (doc_freq - 1),
+                           6) + 0.0 END AS avg_docid_gap
+    FROM post
+    ORDER BY doc_freq DESC, token ASC
+    LIMIT {POSTINGS_TOP_K}
+    """,
+)
+def postings_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build statistics: per token (top-{POSTINGS_TOP_K}
+    by document frequency, token-tiebroken), the posting-list length
+    (doc_freq), total occurrences (coll_freq), the docid span, and the
+    mean docid gap — the numbers that size a postings layout before
+    building it (gap magnitude drives delta-encoding cost; df vs cf
+    separates stopword-like from bursty terms and is the same split
+    BM25's idf/tf terms consume).
+
+    One explode feeds ONE aggregation at token grain — doc_freq is a
+    COUNT(DISTINCT doc_id) inside that group (per-group distinct, not
+    a corpus Expand) — and the report is TakeOrderedAndProject.  At
+    100 TB this is the mandatory dry-run before ``bm25_retrieval_topk``
+    materializes an index; single-posting tokens get a NULL gap on
+    both engines."""
+    t = (ptable(spark, sf_dir, "documents")
+         .select("doc_id", F.explode(T.tokens("text")).alias("token")))
+    post = (t.groupBy("token")
+            .agg(F.count_distinct("doc_id").cast("bigint")
+                 .alias("doc_freq"),
+                 F.count(F.lit(1)).cast("bigint").alias("coll_freq"),
+                 F.min("doc_id").cast("bigint").alias("min_doc"),
+                 F.max("doc_id").cast("bigint").alias("max_doc")))
+    gap = F.when(F.col("doc_freq") <= 1, F.lit(None).cast("double")) \
+           .otherwise(F.round((F.col("max_doc") - F.col("min_doc")) * 1.0
+                              / (F.col("doc_freq") - 1), 6) + F.lit(0.0))
+    return (post.select("token", "doc_freq", "coll_freq", "min_doc",
+                        "max_doc", gap.alias("avg_docid_gap"))
+            .orderBy(F.desc("doc_freq"), F.asc("token"))
+            .limit(POSTINGS_TOP_K))

@@ -1049,3 +1049,104 @@ def systematic_event_sample(spark: SparkSession,
     return (ev.select("user_id", "event_id", "event_type",
                       F.row_number().over(w).cast("bigint").alias("rn"))
             .filter(F.col("rn") % _SYSTEMATIC_K == 1))
+
+
+#: Per-step timeout of the strict funnel (days between consecutive
+#: stages).
+FUNNEL_STEP_DAYS = 3
+
+
+@query(
+    "strict_funnel_with_timeouts",
+    oracle=f"""
+    WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'signup' GROUP BY user_id),
+    s2 AS (
+        SELECT s1.user_id, MIN(e.ts) AS t2
+        FROM s1 JOIN events e
+          ON e.user_id = s1.user_id AND e.event_type = 'click'
+         AND e.ts > s1.t1
+         AND date_diff('day', CAST(s1.t1 AS DATE), CAST(e.ts AS DATE))
+             <= {FUNNEL_STEP_DAYS}
+        GROUP BY s1.user_id),
+    s3 AS (
+        SELECT s2.user_id, MIN(e.ts) AS t3
+        FROM s2 JOIN events e
+          ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+         AND e.ts > s2.t2
+         AND date_diff('day', CAST(s2.t2 AS DATE), CAST(e.ts AS DATE))
+             <= {FUNNEL_STEP_DAYS}
+        GROUP BY s2.user_id),
+    n AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n1,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n2,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM s3) AS n3)
+    SELECT * FROM (
+        SELECT CAST(1 AS BIGINT) AS stage, 'signup' AS stage_name,
+               n1 AS n_users, CAST(NULL AS DOUBLE) AS conversion_from_prev
+        FROM n
+        UNION ALL
+        SELECT 2, 'click_within_{FUNNEL_STEP_DAYS}d', n2,
+               CASE WHEN n1 = 0 THEN NULL
+                    ELSE ROUND(n2 * 1.0 / n1, 6) + 0.0 END
+        FROM n
+        UNION ALL
+        SELECT 3, 'purchase_within_{FUNNEL_STEP_DAYS}d', n3,
+               CASE WHEN n2 = 0 THEN NULL
+                    ELSE ROUND(n3 * 1.0 / n2, 6) + 0.0 END
+        FROM n)
+    """,
+)
+def strict_funnel_with_timeouts(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Strict ORDERED funnel with per-step timeouts: signup → first
+    click AFTER the signup within {FUNNEL_STEP_DAYS} days → first
+    purchase AFTER that click within {FUNNEL_STEP_DAYS} days — the
+    sequence-constrained activation funnel (``signup_purchase_funnel``
+    counts mere co-occurrence; product analytics needs order + recency
+    constraints, else a purchase made before signup or a week-stale
+    click counts as activation).
+
+    Each stage is one map-side-filtered equi join on user_id against
+    the previous stage's (user, ts) frame + a partial-aggregated MIN —
+    the same semi-join shape as ``funnel_time_to_convert``, chained.
+    Stage frames shrink monotonically, so each join's build side is
+    smaller than the last; the final 3-row report crossJoins three
+    one-row counts (the chi2 one-row pattern).  Zero-denominator
+    conversions are NULL on both sides."""
+    ev = table(spark, sf_dir, "events")
+    s1 = (ev.filter(F.col("event_type") == "signup")
+          .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    def _next_stage(prev: DataFrame, tcol: str, etype: str,
+                    out: str) -> DataFrame:
+        # qualified aliases: prev and e share the ev lineage, and a
+        # bare self-join column reference is ambiguous
+        p = (prev.select(F.col("user_id").alias("puser"),
+                         F.col(tcol).alias("pt")).alias("p"))
+        e = (ev.filter(F.col("event_type") == etype)
+             .select("user_id", "ts").alias("e"))
+        cond = ((F.col("e.user_id") == F.col("p.puser"))
+                & (F.col("e.ts") > F.col("p.pt"))
+                & (F.datediff(F.to_date(F.col("e.ts")),
+                              F.to_date(F.col("p.pt")))
+                   <= FUNNEL_STEP_DAYS))
+        return (p.join(e, cond)
+                .groupBy(F.col("p.puser").alias("user_id"))
+                .agg(F.min(F.col("e.ts")).alias(out)))
+    s2 = _next_stage(s1, "t1", "click", "t2")
+    s3 = _next_stage(s2, "t2", "purchase", "t3")
+    n1 = s1.agg(F.count(F.lit(1)).cast("bigint").alias("n1"))
+    n2 = s2.agg(F.count(F.lit(1)).cast("bigint").alias("n2"))
+    n3 = s3.agg(F.count(F.lit(1)).cast("bigint").alias("n3"))
+    n = n1.crossJoin(n2).crossJoin(n3)
+    return n.selectExpr(f"""
+        stack(3,
+              CAST(1 AS BIGINT), 'signup', n1, CAST(NULL AS DOUBLE),
+              CAST(2 AS BIGINT), 'click_within_{FUNNEL_STEP_DAYS}d', n2,
+              CASE WHEN n1 = 0 THEN CAST(NULL AS DOUBLE)
+                   ELSE ROUND(n2 * 1.0D / n1, 6) + 0.0D END,
+              CAST(3 AS BIGINT), 'purchase_within_{FUNNEL_STEP_DAYS}d',
+              n3,
+              CASE WHEN n2 = 0 THEN CAST(NULL AS DOUBLE)
+                   ELSE ROUND(n3 * 1.0D / n2, 6) + 0.0D END)
+        AS (stage, stage_name, n_users, conversion_from_prev)""")
