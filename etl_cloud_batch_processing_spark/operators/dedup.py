@@ -786,3 +786,106 @@ def near_dup_quality_canonical(spark: SparkSession,
                              - F.col("sum_q").cast("double")
                              / F.col("n_members"), 6)
                      + F.lit(0.0)).alias("quality_gain_vs_mean")))
+
+
+_D_LPA = f"""
+    scored AS ({_D_SCORED_PAIRS}),
+    verified AS (SELECT doc_a, doc_b FROM scored
+                 WHERE jaccard >= {CLUSTER_JACCARD}),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM verified
+              UNION ALL
+              SELECT doc_b AS src, doc_a AS dst FROM verified),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+    i1 AS (SELECT e.src AS node, l.label, CAST(COUNT(*) AS BIGINT) AS c
+           FROM edges e JOIN l0 l ON l.node = e.dst GROUP BY 1, 2),
+    l1 AS (SELECT node, label FROM (
+               SELECT node, label,
+                      ROW_NUMBER() OVER (PARTITION BY node
+                                         ORDER BY c DESC, label ASC)
+                          AS rn
+               FROM i1) WHERE rn = 1),
+    i2 AS (SELECT e.src AS node, l.label, CAST(COUNT(*) AS BIGINT) AS c
+           FROM edges e JOIN l1 l ON l.node = e.dst GROUP BY 1, 2),
+    l2 AS (SELECT node, label FROM (
+               SELECT node, label,
+                      ROW_NUMBER() OVER (PARTITION BY node
+                                         ORDER BY c DESC, label ASC)
+                          AS rn
+               FROM i2) WHERE rn = 1)
+"""
+
+
+def _lpa_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """One synchronous label-propagation round: every node adopts the
+    most frequent label among its neighbors (count DESC, label ASC
+    tiebreak — total, so the update is deterministic).  One equi-join
+    + one partial-aggregated groupBy + one per-node top-1."""
+    from pyspark.sql.window import Window
+
+    votes = (edges.join(labels, edges["dst"] == labels["node"])
+             .groupBy(edges["src"].alias("node2"), "label")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    w = Window.partitionBy("node2").orderBy(F.desc("c"), F.asc("label"))
+    return (votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("node2").alias("node"), "label"))
+
+
+@query(
+    "dup_graph_lpa_communities",
+    oracle="WITH " + _D_LPA + """,
+    sizes AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS community_size
+              FROM l2 GROUP BY label)
+    SELECT d.doc_id,
+           COALESCE(l2.label, d.doc_id) AS community_id,
+           COALESCE(s.community_size, 1) AS community_size
+    FROM documents d
+    LEFT JOIN l2 ON l2.node = d.doc_id
+    LEFT JOIN sizes s ON s.label = l2.label
+    """,
+)
+def dup_graph_lpa_communities(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Label-propagation communities of the verified near-dup graph,
+    2 synchronous unrolled rounds (Raghavan et al. 2007, with a total
+    count-then-min tiebreak so both engines converge identically) —
+    the OVER-MERGE mitigation for transitive-closure dedup: connected
+    components chain A~B~C into one cluster even when A and C share
+    nothing, while mode-based propagation keeps densely-linked
+    subgroups apart.  Compare with ``near_dup_clusters`` (min-label
+    closure): where LPA splits a component, the closure was bridging.
+
+    Per round: one vertex-keyed equi-join of the edge list against the
+    label frame, one partial-aggregated (node, label) count, one
+    per-node top-1 window — all bounded by the edge list, the same
+    dataflow (and cost envelope) as one PageRank iteration.  Isolated
+    documents keep themselves as singleton communities."""
+    docs = _par_docs(spark, sf_dir)
+    hs = hashed_shingles(docs).persist()
+    verified = (lsh_scored_pairs(hs)
+                .filter(F.col("jaccard") >= CLUSTER_JACCARD)
+                .select("doc_a", "doc_b"))
+    edges = (verified
+             .select(F.col("doc_a").alias("src"),
+                     F.col("doc_b").alias("dst"))
+             .unionByName(verified.select(
+                 F.col("doc_b").alias("src"),
+                 F.col("doc_a").alias("dst")))
+             .persist())
+    l0 = edges.select(F.col("src").alias("node")).distinct() \
+              .withColumn("label", F.col("node"))
+    l1 = _lpa_round(edges, l0)
+    l2 = _lpa_round(edges, l1).persist()
+    sizes = l2.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("community_size"))
+    lab = l2.join(sizes, "label").select(
+        "node", F.col("label").alias("community_id"), "community_size")
+    return (table(docs.sparkSession, sf_dir, "documents")
+            .select("doc_id")
+            .join(F.broadcast(lab), F.col("doc_id") == F.col("node"),
+                  "left")
+            .select("doc_id",
+                    F.coalesce("community_id", "doc_id")
+                    .alias("community_id"),
+                    F.coalesce("community_size", F.lit(1).cast("bigint"))
+                    .alias("community_size")))

@@ -349,3 +349,73 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", "label",
                     F.round("nrm", 6).alias("l2_norm"),
                     (F.col("nrm") < F.col("p05")).alias("low_outlier")))
+
+
+@query(
+    "source_token_entropy",
+    oracle="""
+    WITH t AS (
+        SELECT source, unnest(string_split(text, ' ')) AS token
+        FROM documents),
+    c AS (
+        SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+        FROM t GROUP BY source, token),
+    n AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n,
+                 CAST(COUNT(*) AS BIGINT) AS n_types
+          FROM c GROUP BY source),
+    terms AS (
+        SELECT c.source,
+               CAST(ROUND((c.c * 1.0 / n.n) * ln(c.c * 1.0 / n.n), 9)
+                    AS DECIMAL(20, 9)) AS t9
+        FROM c JOIN n USING (source)),
+    h AS (SELECT source, -CAST(SUM(t9) AS DOUBLE) AS ent
+          FROM terms GROUP BY source)
+    SELECT n.source, n.n AS n_tokens, n.n_types,
+           ROUND(h.ent, 6) + 0.0 AS entropy_nats,
+           ROUND(exp(h.ent), 6) + 0.0 AS effective_vocab,
+           CASE WHEN n.n_types <= 1 THEN NULL
+                ELSE ROUND(h.ent / ln(n.n_types * 1.0), 6) + 0.0
+           END AS evenness
+    FROM n JOIN h USING (source)
+    """,
+)
+def source_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token diversity: Shannon entropy of each source's
+    unigram distribution, the effective vocabulary exp(H), and Pielou
+    evenness H/ln(types) — the corpus-mixture diversity monitor that
+    catches a source collapsing into boilerplate (entropy drops while
+    doc counts look healthy) before ``mixture_sampling`` re-weights on
+    stale assumptions.
+
+    One token-grain partial-aggregated groupBy is the only
+    corpus-scale work; entropy terms (p·ln p on identical doubles in
+    both engines) are rounded to 1e-9 and summed as exact DECIMAL so
+    the reduction is order-independent (the log-rank discipline) —
+    never a raw float sum across an unbounded vocabulary.  Single-type
+    degenerate sources get NULL evenness on both sides."""
+    t = (ptable(spark, sf_dir, "documents")
+         .select("source", F.explode(T.tokens("text")).alias("token")))
+    c = t.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"))
+    n = c.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"))
+    p = F.col("c") * 1.0 / F.col("n")
+    terms = (c.join(F.broadcast(n), "source")
+             .select("source",
+                     F.round(p * F.log(p), 9)
+                     .cast("decimal(20,9)").alias("t9")))
+    h = terms.groupBy("source").agg(
+        (-F.sum("t9").cast("double")).alias("ent"))
+    return (n.join(h, "source")
+            .select("source", F.col("n").alias("n_tokens"), "n_types",
+                    (F.round(F.col("ent"), 6) + F.lit(0.0))
+                    .alias("entropy_nats"),
+                    (F.round(F.exp(F.col("ent")), 6) + F.lit(0.0))
+                    .alias("effective_vocab"),
+                    F.when(F.col("n_types") <= 1,
+                           F.lit(None).cast("double"))
+                    .otherwise(F.round(F.col("ent")
+                                       / F.log(F.col("n_types") * 1.0),
+                                       6) + F.lit(0.0))
+                    .alias("evenness")))
