@@ -63,12 +63,19 @@ def _durations(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("user_id").agg(F.min("ts").alias("tp")))
     dur = F.datediff(F.to_date("tp"), F.to_date("t0"))
     died = F.col("tp").isNotNull() & (dur <= SURVIVAL_HORIZON_DAYS)
+    # Persisted: every consumer reads this frame 2-4 times (totals,
+    # death counts, pooled counts); without the persist each aggregate
+    # re-runs both corpus-scale user-grain passes (the bpe_rounds
+    # memoization discipline — at 100 TB this frame is users-sized and
+    # the thing you cache, the events scan is the thing you don't
+    # repeat).
     return (first.join(conv, "user_id", "left")
             .select("user_id", "cohort",
                     F.when(died, dur).otherwise(
                         F.lit(SURVIVAL_HORIZON_DAYS))
                     .cast("bigint").alias("t"),
-                    died.alias("died")))
+                    died.alias("died"))
+            .persist())
 
 
 def _km_curve(u: DataFrame, strata: list[str]) -> DataFrame:

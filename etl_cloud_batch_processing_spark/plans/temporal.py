@@ -1115,8 +1115,10 @@ def strict_funnel_with_timeouts(spark: SparkSession,
     one-row counts (the chi2 one-row pattern).  Zero-denominator
     conversions are NULL on both sides."""
     ev = table(spark, sf_dir, "events")
+    # each stage frame is read twice (next stage's join + its count) —
+    # persist so the chained user-grain aggs run once each
     s1 = (ev.filter(F.col("event_type") == "signup")
-          .groupBy("user_id").agg(F.min("ts").alias("t1")))
+          .groupBy("user_id").agg(F.min("ts").alias("t1")).persist())
     def _next_stage(prev: DataFrame, tcol: str, etype: str,
                     out: str) -> DataFrame:
         # qualified aliases: prev and e share the ev lineage, and a
@@ -1133,7 +1135,7 @@ def strict_funnel_with_timeouts(spark: SparkSession,
         return (p.join(e, cond)
                 .groupBy(F.col("p.puser").alias("user_id"))
                 .agg(F.min(F.col("e.ts")).alias(out)))
-    s2 = _next_stage(s1, "t1", "click", "t2")
+    s2 = _next_stage(s1, "t1", "click", "t2").persist()
     s3 = _next_stage(s2, "t2", "purchase", "t3")
     n1 = s1.agg(F.count(F.lit(1)).cast("bigint").alias("n1"))
     n2 = s2.agg(F.count(F.lit(1)).cast("bigint").alias("n2"))
