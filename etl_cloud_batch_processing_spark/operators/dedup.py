@@ -859,7 +859,15 @@ def dup_graph_lpa_communities(spark: SparkSession,
     label frame, one partial-aggregated (node, label) count, one
     per-node top-1 window — all bounded by the edge list, the same
     dataflow (and cost envelope) as one PageRank iteration.  Isolated
-    documents keep themselves as singleton communities."""
+    documents keep themselves as singleton communities.
+
+    The edge list is MATERIALIZED (count) before the rounds run: it is
+    read by three plan branches (seed labels + one join per round),
+    and a lazily-persisted frame whose branches get scheduled
+    concurrently inside one job re-executes the whole LSH→verify
+    pipeline per branch (measured 21.6 s vs ~3 s at sf0.1) — the same
+    materialize-before-iterating rule MLlib applies to its training
+    input."""
     docs = _par_docs(spark, sf_dir)
     hs = hashed_shingles(docs).persist()
     verified = (lsh_scored_pairs(hs)
@@ -872,6 +880,7 @@ def dup_graph_lpa_communities(spark: SparkSession,
                  F.col("doc_b").alias("src"),
                  F.col("doc_a").alias("dst")))
              .persist())
+    edges.count()  # driver fetch: one scalar; pins the edge cache
     l0 = edges.select(F.col("src").alias("node")).distinct() \
               .withColumn("label", F.col("node"))
     l1 = _lpa_round(edges, l0)
