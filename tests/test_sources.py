@@ -205,3 +205,18 @@ def test_write_audit_publish_staging_invisible_to_readers(spark, tmp_path):
         f"{path}/.staging/dt=2021-03-11")
     back = spark.read.parquet(path)
     assert sorted(r["id"] for r in back.collect()) == [1]
+
+
+def test_write_audit_publish_empty_run_blocked_by_min_rows(spark, tmp_path):
+    """An empty extract must not publish an empty partition when the
+    pipeline gates on min_rows (the empty-day guard of Case A)."""
+    import pytest
+
+    from etl_cloud_batch_processing_spark.operators import quality as Q
+
+    path = str(tmp_path / "wap_empty")
+    empty = _wap_frame(spark, []).filter("id IS NOT NULL").limit(0)
+    with pytest.raises(W.AuditError):
+        W.write_audit_publish(empty, path, "2021-03-10", [Q.min_rows(1)])
+    import os
+    assert not os.path.exists(f"{path}/dt=2021-03-10")

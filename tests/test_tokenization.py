@@ -134,3 +134,22 @@ def test_bpe_rounds_returns_persisted_frames(spark, sf_dir):
     toks0, toksk, _ = bpe_rounds(spark, sf_dir)
     assert toks0.storageLevel.useMemory
     assert toksk.storageLevel.useMemory
+
+
+def test_apply_bpe_merge_with_multiword_symbol_sides(spark):
+    """From round 2 on, merge-rule sides are themselves space-joined
+    merged symbols; the fold must treat them as atomic tokens."""
+    cases = [
+        (["a b", "c", "a b", "c"], "a b", "c"),      # merged left side
+        (["x", "a b", "a b"], "a b", "a b"),          # both sides merged
+        (["a", "b c", "a", "b c"], "a", "b c"),       # merged right side
+        (["a b", "a b", "a b"], "a b", "a b"),        # run of merged syms
+    ]
+    df = spark.createDataFrame(
+        [(i, t, a, b) for i, (t, a, b) in enumerate(cases)],
+        "id int, toks array<string>, a string, b string")
+    got = {r["id"]: r["m"] for r in df.select(
+        "id", apply_bpe_merge(F.col("toks"), F.col("a"), F.col("b"))
+        .alias("m")).collect()}
+    for i, (toks, a, b) in enumerate(cases):
+        assert got[i] == greedy_merge_ref(toks, a, b), (toks, a, b)
