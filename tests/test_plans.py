@@ -492,3 +492,50 @@ def test_sq8_grid_joins_broadcast(spark):
     plan = plan_of(spark, "vector_sq8_fidelity")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Round-7 plan regressions.
+# ---------------------------------------------------------------------------
+
+def test_round7_queries_have_no_cartesian_product(spark):
+    """None of the round-7 additions may regress into a cartesian."""
+    for name in ("bpe_train_merges", "bpe_encode_token_counts",
+                 "bpe_compression_by_lang", "max_duplicate_span_lengths",
+                 "conversion_survival_km", "conversion_survival_by_cohort",
+                 "conversion_rmst_by_cohort", "survival_logrank_test",
+                 "near_dup_quality_canonical", "weekday_adjusted_anomalies",
+                 "strict_funnel_with_timeouts", "postings_index_stats",
+                 "source_token_entropy", "dup_graph_lpa_communities"):
+        assert "CartesianProduct" not in plan_of(spark, name), name
+
+
+def test_postings_stats_is_take_ordered(spark):
+    """The top-20 report must fuse sort+limit — never a global sort of
+    the vocabulary."""
+    plan = plan_of(spark, "postings_index_stats")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_survival_stats_join_is_broadcast(spark):
+    """The weekday stats frame (types×7 rows) joins back broadcast —
+    the day grain never shuffles for the z-score join."""
+    plan = plan_of(spark, "weekday_adjusted_anomalies")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bpe_train_pair_count_aggregates_partially(spark):
+    """Each training round's pair count must combine map-side so the
+    shuffle carries distinct pairs, not tokens."""
+    plan = plan_of(spark, "bpe_train_merges")
+    assert "partial_count" in plan or "Partial" in plan
+
+
+def test_span_ladder_hashes_before_shuffle(spark):
+    """The dup-marking exchange must key on md5 output, never raw
+    64-token span strings (the plan projects md5 below the window
+    exchange)."""
+    plan = plan_of(spark, "max_duplicate_span_lengths")
+    assert "md5" in plan
+    assert "Window" in plan
