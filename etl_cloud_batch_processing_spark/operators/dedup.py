@@ -889,10 +889,15 @@ def dup_graph_lpa_communities(spark: SparkSession,
         F.count(F.lit(1)).cast("bigint").alias("community_size"))
     lab = l2.join(sizes, "label").select(
         "node", F.col("label").alias("community_id"), "community_size")
+    # No broadcast hint on `lab`: it is DOC-grain (every document in the
+    # near-dup graph), so in a dedup-heavy corpus it is
+    # corpus-proportional and would OOM a driver at 100 TB — unlike the
+    # one-row / K-row frames this module does hint.  AQE picks the
+    # strategy from the measured size (broadcast on the fixtures, SMJ at
+    # scale), same as sibling near_dup_quality_canonical.
     return (table(docs.sparkSession, sf_dir, "documents")
             .select("doc_id")
-            .join(F.broadcast(lab), F.col("doc_id") == F.col("node"),
-                  "left")
+            .join(lab, F.col("doc_id") == F.col("node"), "left")
             .select("doc_id",
                     F.coalesce("community_id", "doc_id")
                     .alias("community_id"),

@@ -1183,8 +1183,8 @@ POSTINGS_TOP_K = 20
     """,
 )
 def postings_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Inverted-index build statistics: per token (top-{POSTINGS_TOP_K}
-    by document frequency, token-tiebroken), the posting-list length
+    """Inverted-index build statistics: per token (top-20 by document
+    frequency — POSTINGS_TOP_K — token-tiebroken), the posting-list length
     (doc_freq), total occurrences (coll_freq), the docid span, and the
     mean docid gap — the numbers that size a postings layout before
     building it (gap magnitude drives delta-encoding cost; df vs cf

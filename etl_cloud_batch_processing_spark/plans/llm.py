@@ -259,10 +259,10 @@ def _mg_summaries(it):
 )
 def frequent_tokens_heavy_hitters(spark: SparkSession,
                                   sf_dir: str) -> DataFrame:
-    """Heavy hitters (tokens with count > n/{MG_K}) via the two-pass
+    """Heavy hitters (tokens with count > n/30, MG_K) via the two-pass
     Misra-Gries pattern — the bounded-memory alternative to a full
     token groupBy when the vocabulary itself is too large to shuffle
-    (URL/ngram streams at 100 TB): pass 1 runs a {MG_K}-slot mergeable
+    (URL/ngram streams at 100 TB): pass 1 runs a 30-slot mergeable
     MG summary INSIDE each partition (mapInPandas, vectorized
     value_counts per Arrow batch, no shuffle) whose union is a
     candidate set provably ⊇ every true heavy hitter (if count > n/K
@@ -277,7 +277,7 @@ def frequent_tokens_heavy_hitters(spark: SparkSession,
 
     Cost: two token-stream scans (the honest price of exactness; the
     first is shuffle-free, the second shuffles only candidate-matching
-    rows) + one broadcast of ≤ partitions×{MG_K} candidates."""
+    rows) + one broadcast of ≤ partitions×MG_K candidates."""
     toks = (ptable(spark, sf_dir, "documents")
             .select(F.explode(T.tokens("text")).alias("token")))
     summaries = toks.mapInPandas(

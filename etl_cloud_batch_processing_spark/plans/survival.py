@@ -47,6 +47,13 @@ SURVIVAL_HORIZON_DAYS = 5
 _CONVERT_TYPE = "purchase"
 
 
+#: One duration-frame build per (session, fixture dir): four survival
+#: queries consume the same frame, and re-persisting it per query left
+#: four identical cached copies behind for the session's lifetime
+#: (round-7 advice — same discipline as tokenization._BPE_MEMO).
+_DUR_MEMO: dict[str, tuple[SparkSession, DataFrame]] = {}
+
+
 def _durations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user censored duration frame: (user_id, cohort, t, died).
 
@@ -54,6 +61,9 @@ def _durations(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmin — event_id is unique, so the struct-min is total);
     ``t`` is days from first event to first purchase, clamped to the
     horizon; ``died`` marks an observed conversion inside it."""
+    hit = _DUR_MEMO.get(sf_dir)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
     ev = table(spark, sf_dir, "events")
     first = (ev.groupBy("user_id")
              .agg(F.min("ts").alias("t0"),
@@ -69,13 +79,15 @@ def _durations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # memoization discipline — at 100 TB this frame is users-sized and
     # the thing you cache, the events scan is the thing you don't
     # repeat).
-    return (first.join(conv, "user_id", "left")
-            .select("user_id", "cohort",
-                    F.when(died, dur).otherwise(
-                        F.lit(SURVIVAL_HORIZON_DAYS))
-                    .cast("bigint").alias("t"),
-                    died.alias("died"))
-            .persist())
+    out = (first.join(conv, "user_id", "left")
+           .select("user_id", "cohort",
+                   F.when(died, dur).otherwise(
+                       F.lit(SURVIVAL_HORIZON_DAYS))
+                   .cast("bigint").alias("t"),
+                   died.alias("died"))
+           .persist())
+    _DUR_MEMO[sf_dir] = (spark, out)
+    return out
 
 
 def _km_curve(u: DataFrame, strata: list[str]) -> DataFrame:
@@ -196,7 +208,8 @@ def _surv_base_sql(with_cohort: bool) -> str:
 def conversion_survival_km(spark: SparkSession,
                            sf_dir: str) -> DataFrame:
     """Kaplan–Meier curve of days from first event to first purchase,
-    right-censored at {SURVIVAL_HORIZON_DAYS} days: per death day, the
+    right-censored at the 5-day horizon (SURVIVAL_HORIZON_DAYS): per
+    death day, the
     at-risk count, conversions, discrete hazard d/n, and the
     product-limit survival estimate — the censoring-correct answer to
     "how fast do users convert?" (a plain AVG over converters is
@@ -258,7 +271,7 @@ def conversion_survival_by_cohort(spark: SparkSession,
 def conversion_rmst_by_cohort(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
     """Restricted-mean survival time per cohort: the area under each
-    Kaplan–Meier curve over the {SURVIVAL_HORIZON_DAYS}-day horizon —
+    Kaplan–Meier curve over the 5-day horizon (SURVIVAL_HORIZON_DAYS) —
     "expected un-converted days per user within the window", the
     single-number summary regulators of the curve comparison (RMST is
     the recommended effect measure when hazards aren't proportional).
@@ -337,9 +350,11 @@ def conversion_rmst_by_cohort(spark: SparkSession,
     SELECT e.cohort, e.n_total,
            COALESCE(o.observed, 0) AS observed,
            ROUND(e.expected, 6) + 0.0 AS expected,
-           ROUND((COALESCE(o.observed, 0) - e.expected)
-                 * (COALESCE(o.observed, 0) - e.expected)
-                 / e.expected, 6) + 0.0 AS chi2_term
+           CASE WHEN e.expected = 0 THEN NULL
+                ELSE ROUND((COALESCE(o.observed, 0) - e.expected)
+                           * (COALESCE(o.observed, 0) - e.expected)
+                           / e.expected, 6) + 0.0
+           END AS chi2_term
     FROM eg e LEFT JOIN og o USING (cohort)
     """,
 )
@@ -361,7 +376,13 @@ def survival_logrank_test(spark: SparkSession,
     so the only double arithmetic both engines perform is one division
     per term and the final χ² form — order-independent by
     construction.  Frames after the user-grain aggs are cohorts ×
-    death-days rows."""
+    death-days rows.
+
+    ``chi2_term`` is NULL when ``expected`` rounds to exactly 0 (a tiny
+    cohort against a large pooled risk set can round every 1e-6 term to
+    zero): Spark's non-ANSI x/0 yields NULL while DuckDB's double
+    division yields inf, so both engines guard the division — the same
+    degenerate-denominator rule as ``daily_trend_ols``."""
     u = _durations(spark, sf_dir)
     tot = u.groupBy("cohort").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_total"))
@@ -399,7 +420,9 @@ def survival_logrank_test(spark: SparkSession,
             .select("cohort", "n_total", o.alias("observed"),
                     (F.round(F.col("expected"), 6)
                      + F.lit(0.0)).alias("expected"),
-                    (F.round((o - F.col("expected"))
-                             * (o - F.col("expected"))
-                             / F.col("expected"), 6)
-                     + F.lit(0.0)).alias("chi2_term")))
+                    F.when(F.col("expected") == 0,
+                           F.lit(None).cast("double"))
+                    .otherwise(F.round((o - F.col("expected"))
+                                       * (o - F.col("expected"))
+                                       / F.col("expected"), 6)
+                               + F.lit(0.0)).alias("chi2_term")))

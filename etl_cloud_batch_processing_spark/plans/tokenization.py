@@ -94,6 +94,14 @@ def _pair_counts(toks_df: DataFrame) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n")))
 
 
+#: One BPE training per (session, fixture dir, round count): three
+#: registered queries (train / encode-counts / compression) consume the
+#: same rounds, and re-running the full train per query both wasted a
+#: train's wall time twice over and left ~k persisted corpus-sized
+#: frames behind PER QUERY for the session's lifetime (round-7 advice).
+_BPE_MEMO: dict[tuple[str, int], tuple[SparkSession, tuple]] = {}
+
+
 def bpe_rounds(spark: SparkSession, sf_dir: str,
                k: int = BPE_ROUNDS) -> tuple[DataFrame, DataFrame,
                                              DataFrame]:
@@ -107,16 +115,27 @@ def bpe_rounds(spark: SparkSession, sf_dir: str,
     (n DESC, a ASC, b ASC) tiebreak -> broadcast that 1-row merge frame
     onto the corpus and fold it in (:func:`apply_bpe_merge`).  The
     merge flows between rounds as a broadcast frame, never through the
-    driver.  Every round's token frame is persisted: round r+1's pair
-    counting AND its fold both read round r's output, and without the
-    persist the doubly-referenced lineage re-executes all prior folds
-    2^k times (the memoization a production trainer gets from writing
-    each round's corpus to storage)."""
+    driver.  Every round's token frame is persisted while it is still
+    a dependency: round r+1's pair counting AND its fold both read
+    round r's output, and without the persist the doubly-referenced
+    lineage re-executes all prior folds 2^k times.  Once the merge
+    table and the final token frame are MATERIALIZED (two one-scalar
+    count() actions — the edges.count() pinning discipline), the
+    intermediate round frames are unpersisted: only ``toks0`` and
+    ``toks_k`` stay cached, so a full sweep carries 2 cached
+    corpus-sized frames instead of ~k per consuming query.  The whole
+    train is memoized per (session, sf_dir, k) so the three consuming
+    queries share ONE training."""
+    memo_key = (sf_dir, k)
+    hit = _BPE_MEMO.get(memo_key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
     toks0 = (ptable(spark, sf_dir, "documents")
              .select("doc_id", T.tokens("text").alias("toks"))
              .persist())
     cur = toks0
     merge_frames: list[DataFrame] = []
+    round_frames: list[DataFrame] = []
     for r in range(1, k + 1):
         best = (_pair_counts(cur)
                 .orderBy(F.desc("n"), F.asc("a"), F.asc("b")).limit(1)
@@ -132,8 +151,15 @@ def bpe_rounds(spark: SparkSession, sf_dir: str,
                        apply_bpe_merge(F.col("toks"), F.col("m_a"),
                                        F.col("m_b")).alias("toks"))
                .persist())
-    merges = reduce(DataFrame.unionByName, merge_frames)
-    return toks0, cur, merges
+        round_frames.append(cur)
+    merges = reduce(DataFrame.unionByName, merge_frames).persist()
+    merges.count()  # materializes rounds 0..k-1 (pair counts + folds)
+    cur.count()     # materializes round k from cached round k-1
+    for f in round_frames[:-1]:
+        f.unpersist()
+    result = (toks0, cur, merges)
+    _BPE_MEMO[memo_key] = (spark, result)
+    return result
 
 
 def _bpe_oracle_ctes(k: int = BPE_ROUNDS) -> str:
@@ -181,7 +207,7 @@ def _bpe_oracle_ctes(k: int = BPE_ROUNDS) -> str:
     """,
 )
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE tokenizer training, {BPE_ROUNDS} unrolled rounds: the merge
+    """BPE tokenizer training, 4 unrolled rounds (BPE_ROUNDS): the merge
     table (round, left_sym, right_sym, n_occurrences) a greedy
     pair-merge trainer learns from this corpus.  Extends
     ``bpe_merge_candidates`` (which computes ONE round's statistic)
@@ -215,7 +241,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def bpe_encode_token_counts(spark: SparkSession,
                             sf_dir: str) -> DataFrame:
-    """BPE ENCODE: apply the trained {BPE_ROUNDS}-merge table to the
+    """BPE ENCODE: apply the trained 4-merge (BPE_ROUNDS) table to the
     corpus and report per-doc token counts before/after plus the
     number of merges that fired — the compression measurement that
     prices a tokenizer (tokens/doc drives LLM training cost).
@@ -282,7 +308,8 @@ SPAN_LENGTHS = (8, 16, 32, 64)
 def max_duplicate_span_lengths(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
     """Longest duplicated span per document over the
-    {{8,16,32,64}}-token ladder: for each doc, the largest probed L at
+    8/16/32/64-token ladder (SPAN_LENGTHS): for each doc, the largest
+    probed L at
     which some L-token window occurs >= 2 times corpus-wide, plus how
     many of the doc's windows are duplicated at that L (0/0 for docs
     with no duplicated span).  This is the distribution Lee et al.
@@ -348,7 +375,7 @@ def max_duplicate_span_lengths(spark: SparkSession,
 def bpe_compression_by_lang(spark: SparkSession,
                             sf_dir: str) -> DataFrame:
     """Per-language BPE compression: token totals before/after the
-    trained {BPE_ROUNDS}-merge table and the after/before ratio — the
+    trained 4-merge (BPE_ROUNDS) table and the after/before ratio — the
     fairness audit every multilingual tokenizer needs (a merge table
     trained on a mixed corpus compresses dominant languages better,
     inflating the effective training cost of the rest; this is the

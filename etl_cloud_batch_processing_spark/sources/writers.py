@@ -100,12 +100,17 @@ def write_audit_publish(df: DataFrame, path: str, run_date: str,
        deletes the staging directory and raises :class:`AuditError`:
        no partial partition, nothing published.
     3. **Publish**: a single filesystem ``rename`` moves the staged
-       directory to ``<path>/<partition_col>=<run_date>`` (replacing a
-       prior publish of the same run_date first, so re-runs publish
-       exactly once — same idempotency bar as
-       ``write_append_partition``).  Rename is atomic on HDFS/local
-       POSIX; on an object store swap this step for a manifest commit
-       (Iceberg/Delta-style), keeping stages 1–2 unchanged.
+       directory to ``<path>/<partition_col>=<run_date>``.  Re-runs
+       replace the prior publish CRASH-SAFELY: the old partition is
+       first renamed ASIDE (to ``.staging/<...>.prev``), then the new
+       one renamed in, and only then is the old copy deleted — so a
+       failure between any two steps leaves either the old or the new
+       partition published (plus at worst a recoverable ``.prev`` under
+       the hidden staging dir), never a window where the previously
+       published good data is gone with nothing in its place.  Rename
+       is atomic on HDFS/local POSIX; on an object store swap this step
+       for a manifest commit (Iceberg/Delta-style), keeping stages 1–2
+       unchanged.
 
     Returns the check report (list of CheckResult) on success."""
     from etl_cloud_batch_processing_spark.operators.quality import (
@@ -131,10 +136,23 @@ def write_audit_publish(df: DataFrame, path: str, run_date: str,
         raise AuditError(failures)
 
     final = hpath(final_str)
-    if fs.exists(final):
-        fs.delete(final, True)
+    prev_str = f"{staging_str}.prev"
+    prev = hpath(prev_str)
+    had_prior = fs.exists(final)
+    if had_prior:
+        if fs.exists(prev):  # stale .prev from a crashed prior re-run
+            fs.delete(prev, True)
+        if not fs.rename(final, prev):
+            raise IOError(
+                f"publish: set-aside rename {final_str} -> {prev_str} "
+                "failed; prior partition left untouched")
     if not fs.rename(hpath(staging_str), final):
+        # Roll the old partition back into place so readers still see it.
+        if had_prior:
+            fs.rename(prev, final)
         raise IOError(f"publish rename {staging_str} -> {final_str} failed")
+    if had_prior:
+        fs.delete(prev, True)
     return report
 
 

@@ -191,6 +191,47 @@ def test_write_audit_publish_failed_rerun_keeps_prior_publish(spark, tmp_path):
     assert sorted(r["id"] for r in back.collect()) == [1, 2]
 
 
+def test_write_audit_publish_rerun_leaves_no_prev_residue(spark, tmp_path):
+    """The crash-safe replace parks the old partition at
+    ``.staging/<part>.prev`` during the swap; after a successful re-run
+    the set-aside copy must be gone (only the swap WINDOW may hold it)."""
+    import os
+
+    from etl_cloud_batch_processing_spark.operators import quality as Q
+
+    path = str(tmp_path / "wap_prev")
+    rules = [Q.min_rows(1)]
+    W.write_audit_publish(
+        _wap_frame(spark, [(1, 0.5)]), path, "2021-03-10", rules)
+    W.write_audit_publish(
+        _wap_frame(spark, [(2, 0.6)]), path, "2021-03-10", rules)
+    assert not os.path.exists(f"{path}/.staging/dt=2021-03-10.prev")
+    back = spark.read.parquet(path)
+    assert sorted(r["id"] for r in back.collect()) == [2]
+
+
+def test_write_audit_publish_rerun_survives_stale_prev(spark, tmp_path):
+    """A ``.prev`` left by a re-run that crashed mid-swap must not wedge
+    the next attempt: the stale copy is discarded and the new partition
+    publishes normally."""
+    import os
+
+    from etl_cloud_batch_processing_spark.operators import quality as Q
+
+    path = str(tmp_path / "wap_stale_prev")
+    rules = [Q.min_rows(1)]
+    W.write_audit_publish(
+        _wap_frame(spark, [(1, 0.5)]), path, "2021-03-10", rules)
+    # simulate a prior re-run that crashed after the set-aside rename
+    _wap_frame(spark, [(7, 7.0)]).write.parquet(
+        f"{path}/.staging/dt=2021-03-10.prev")
+    W.write_audit_publish(
+        _wap_frame(spark, [(3, 0.9)]), path, "2021-03-10", rules)
+    assert not os.path.exists(f"{path}/.staging/dt=2021-03-10.prev")
+    back = spark.read.parquet(path)
+    assert sorted(r["id"] for r in back.collect()) == [3]
+
+
 def test_write_audit_publish_staging_invisible_to_readers(spark, tmp_path):
     """In-flight staged data must never surface in a read of the table
     root (dot-prefixed dirs are excluded from Spark file listing)."""
