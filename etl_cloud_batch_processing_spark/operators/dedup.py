@@ -321,6 +321,49 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (cluster == F.col("doc_id")).alias("is_canonical")))
 
 
+@query(
+    "near_dup_clusters_converged",
+    oracle="WITH RECURSIVE " + _D_CLUSTERED + """
+    SELECT doc_id, cluster_id,
+           cluster_id = doc_id AS is_canonical
+    FROM labeled
+    """,
+)
+def near_dup_clusters_converged(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """``near_dup_clusters`` computed by a DIFFERENT distributed CC
+    algorithm: large-star/small-star alternation (Kiveris et al.
+    SoCC'14) run to the edge-set fixpoint on the convergence runner
+    (operators/iterative.py) — O(log diameter) rounds instead of
+    min-label propagation's O(diameter), the shape that holds when the
+    dup-graph's diameter is NOT known in advance (at 100 TB it never
+    is; long boilerplate chains make components deep).
+
+    Same LSH → Jaccard-verify pipeline, same output contract, same
+    recursive-CTE oracle — so the two independent CC implementations
+    (this and ``near_dup_clusters``'s min-label fixpoint) are BOTH
+    value-checked against the same external answer, and each is a
+    correctness witness for the other (additionally property-tested
+    equivalent on random graphs in tests/test_iterative.py).  Per
+    round: two groupBy+join passes over the shrinking edge frame, one
+    edge-delta scalar to the driver, ``localCheckpoint`` truncation."""
+    from etl_cloud_batch_processing_spark.operators.graph import (
+        connected_components_star)
+
+    docs = _par_docs(spark, sf_dir)
+    hs = hashed_shingles(docs).persist()
+    verified = (lsh_scored_pairs(hs)
+                .filter(F.col("jaccard") >= CLUSTER_JACCARD)
+                .select("doc_a", "doc_b"))
+    comp = connected_components_star(verified, src="doc_a", dst="doc_b")
+    cluster = F.coalesce("comp", "doc_id")
+    return (table(docs.sparkSession, sf_dir, "documents")
+            .select("doc_id")
+            .join(comp, F.col("doc_id") == F.col("id"), "left")
+            .select("doc_id", cluster.alias("cluster_id"),
+                    (cluster == F.col("doc_id")).alias("is_canonical")))
+
+
 @query("mllib_near_dup_pairs")  # rows-only: MLlib hash family ≠ DuckDB
 def mllib_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stock-MLlib near-dedup: HashingTF over shingles → MinHashLSH

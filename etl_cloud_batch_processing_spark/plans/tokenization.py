@@ -170,8 +170,15 @@ def _bpe_oracle_ctes(k: int = BPE_ROUNDS) -> str:
     ``s0..s{k}`` (doc_id, s) and ``b1..b{k}`` (a, b, n) for the final
     SELECT to consume.  chr(9) keys the pair groupBy (corpus tokens
     are tab-free; merged symbols are space-joined, so ' ' would be
-    ambiguous from round 2 on)."""
-    parts = ["s0 AS (SELECT doc_id, '|' || array_to_string("
+    ambiguous from round 2 on).
+
+    Every ``s{r}`` is ``AS MATERIALIZED``: each is referenced twice
+    (next round's pair count + next round's replace), so an inlining
+    planner would expand the chain 2^k times — at k=16 that is 65k
+    copies of the parquet scan, which exhausts file handles before it
+    exhausts CPU.  Materialization makes the oracle's cost linear in
+    k, mirroring the Spark side's per-round persist/checkpoint."""
+    parts = ["s0 AS MATERIALIZED (SELECT doc_id, '|' || array_to_string("
              "string_split(text, ' '), '||') || '|' AS s FROM documents)"]
     for r in range(1, k + 1):
         p = r - 1
@@ -188,7 +195,7 @@ def _bpe_oracle_ctes(k: int = BPE_ROUNDS) -> str:
             f"string_split(p, chr(9))[2] AS b, n "
             f"FROM c{r} ORDER BY n DESC, a ASC, b ASC LIMIT 1)")
         parts.append(
-            f"s{r} AS (SELECT doc_id, replace(s, "
+            f"s{r} AS MATERIALIZED (SELECT doc_id, replace(s, "
             f"'|' || b.a || '||' || b.b || '|', "
             f"'|' || b.a || ' ' || b.b || '|') AS s FROM s{p}, b{r} b)")
     return ",\n    ".join(parts)
@@ -262,6 +269,120 @@ def bpe_encode_token_counts(spark: SparkSession,
             .select("doc_id", "n_tokens_before", "n_tokens_after",
                     (F.col("n_tokens_before") - F.col("n_tokens_after"))
                     .alias("n_merges_applied")))
+
+
+#: Merge budget for the convergence-runner BPE trainer.  4 unrolled
+#: rounds (BPE_ROUNDS) prove the dataflow; a real tokenizer trains
+#: thousands of merges, which the single-lazy-plan form cannot do: the
+#: fold references each round's frame TWICE (pair counts + fold input),
+#: so the analyzed plan holds 2^k copies of round 0 — at k=16 that is
+#: 65k subtrees and Catalyst analysis, not data, becomes the bottleneck.
+BPE_K16_ROUNDS = 16
+
+#: localCheckpoint cadence for the k16 trainer: lineage depth stays
+#: <= 4 folds regardless of total merge count.
+BPE_CKPT_EVERY = 4
+
+
+def bpe_train_converged(spark: SparkSession, sf_dir: str,
+                        max_merges: int,
+                        checkpoint_every: int = BPE_CKPT_EVERY):
+    """BPE training as a production trainer runs it: a convergence-
+    runner driver loop (operators/iterative.py) instead of one unrolled
+    lazy plan.  Per round: ONE pair-count shuffle over the cached token
+    frame, the argmax rule fetched to the driver (3 scalars — the merge
+    TABLE is driver/broadcast-sized by definition; the corpus never
+    moves), the fold applied with literal rule sides (so each round's
+    plan references its predecessor exactly ONCE — linear, not 2^k),
+    ``localCheckpoint`` truncation every ``checkpoint_every`` rounds,
+    and an early stop when the best pair's count drops below 2 (a rule
+    that fires once compresses nothing — canonical BPE's stopping
+    rule).
+
+    Returns ``(merges, final_toks, fixpoint_result)`` where ``merges``
+    is the (round, left_sym, right_sym, n_occurrences) table.  Compare
+    :func:`bpe_rounds`, the value-checked unrolled twin whose merge
+    rules flow as broadcast frames inside one plan: same statistic,
+    same greedy fold, different execution discipline — the k16 query's
+    oracle (the same CTE chain generator, k=16) proves both land on
+    identical merges."""
+    toks0 = (ptable(spark, sf_dir, "documents")
+             .select("doc_id", T.tokens("text").alias("toks"))
+             .persist())
+    toks0.count()  # read by round 1's pair count AND fold: materialize
+    out = _bpe_converged(spark, toks0, max_merges, checkpoint_every)
+    toks0.unpersist()
+    return out
+
+
+def _bpe_converged(spark: SparkSession, toks0: DataFrame,
+                   max_merges: int, checkpoint_every: int):
+    """Runner core of :func:`bpe_train_converged` over an
+    already-materialized (doc_id, toks) frame — separated so tests can
+    drive it with a toy corpus that dries up mid-budget."""
+    from etl_cloud_batch_processing_spark.operators.iterative import (
+        iterate_to_fixpoint,
+    )
+
+    merge_rows: list[tuple[int, str, str, int]] = []
+    info = {"round": 0, "last_n": 0.0}
+
+    def step(cur: DataFrame) -> DataFrame:
+        info["round"] += 1
+        best = (_pair_counts(cur)
+                .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+                .limit(1).first())
+        if best is None or best["n"] < 2:
+            info["last_n"] = float(best["n"]) if best is not None else 0.0
+            return cur  # no productive merge left; metric stops the loop
+        info["last_n"] = float(best["n"])
+        merge_rows.append((info["round"], best["a"], best["b"],
+                           int(best["n"])))
+        return cur.select(
+            "doc_id",
+            apply_bpe_merge(F.col("toks"), F.lit(best["a"]),
+                            F.lit(best["b"])).alias("toks"))
+
+    res = iterate_to_fixpoint(
+        toks0, step, lambda old, new: info["last_n"],
+        tol=1.0, max_rounds=max_merges,
+        checkpoint_every=checkpoint_every)
+    merges = spark.createDataFrame(
+        merge_rows,
+        "round bigint, left_sym string, right_sym string, "
+        "n_occurrences bigint")
+    return merges, res.state, res
+
+
+@query(
+    "bpe_train_merges_k16",
+    oracle=f"""
+    WITH {_bpe_oracle_ctes(BPE_K16_ROUNDS)}
+    SELECT * FROM (
+        {" UNION ALL ".join(
+            f"SELECT CAST({r} AS BIGINT) AS round, a AS left_sym, "
+            f"b AS right_sym, n AS n_occurrences FROM b{r}"
+            for r in range(1, BPE_K16_ROUNDS + 1))})
+    ORDER BY round
+    """,
+)
+def bpe_train_merges_k16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 16-merge BPE table via the convergence runner
+    (:func:`bpe_train_converged`) — the round-count scale-up the
+    unrolled 4-round ``bpe_train_merges`` cannot reach (its lazy plan
+    doubles per round; this one's is linear with depth <= 4 via
+    checkpointing, so 16 or 16,000 merges run the same way).  The
+    oracle is generated MECHANICALLY by the same CTE-chain generator at
+    k=16, so the driver-loop execution is value-checked merge-by-merge
+    against the engine-independent replay, including rounds where
+    earlier merged symbols win again.
+
+    On the fixtures every round's best pair repeats (count >= 2), so
+    the early-stop never fires and exactly 16 rules come back — the
+    convergence path itself is unit-tested in
+    tests/test_tokenization.py on a corpus that dries up mid-budget."""
+    merges, _, _ = bpe_train_converged(spark, sf_dir, BPE_K16_ROUNDS)
+    return merges.orderBy("round")
 
 
 # ---------------------------------------------------------------------------

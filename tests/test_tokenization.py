@@ -153,3 +153,68 @@ def test_apply_bpe_merge_with_multiword_symbol_sides(spark):
         .alias("m")).collect()}
     for i, (toks, a, b) in enumerate(cases):
         assert got[i] == greedy_merge_ref(toks, a, b), (toks, a, b)
+
+
+def test_bpe_k16_prefix_matches_unrolled_k4(spark, sf_dir):
+    """Greedy BPE is history-deterministic: the first 4 merges of the
+    16-round runner-trained table must equal the unrolled 4-round
+    table exactly (rule sides AND counts)."""
+    from etl_cloud_batch_processing_spark.plans.tokenization import (
+        BPE_ROUNDS,
+        bpe_rounds,
+        bpe_train_converged,
+    )
+
+    _, _, unrolled = bpe_rounds(spark, sf_dir)
+    merges, _, res = bpe_train_converged(spark, sf_dir, 16)
+    k16 = sorted(tuple(r) for r in merges.collect())
+    assert len(k16) == 16
+    assert res.rounds == 16 and not res.converged  # budget cut, no dry-up
+    k4 = sorted(tuple(r) for r in unrolled.collect())
+    assert k16[:BPE_ROUNDS] == k4
+
+
+def test_bpe_converged_stops_when_corpus_dries_up(spark):
+    """A corpus whose only repeated pair fuses in round 1 must stop the
+    trainer early: one rule emitted, runner flagged converged."""
+    from etl_cloud_batch_processing_spark.plans.tokenization import (
+        _bpe_converged,
+    )
+
+    rows = [(1, ["a", "b"]), (2, ["a", "b"]), (3, ["c", "d"])]
+    toks0 = spark.createDataFrame(
+        rows, "doc_id bigint, toks array<string>").persist()
+    toks0.count()
+    merges, final, res = _bpe_converged(spark, toks0, 16, 4)
+    got = [tuple(r) for r in merges.collect()]
+    assert got == [(1, "a", "b", 2)]
+    assert res.converged and res.rounds == 2  # round 2 found only n=1
+    toks = {r["doc_id"]: r["toks"] for r in final.collect()}
+    assert toks[1] == ["a b"] and toks[2] == ["a b"]
+    assert toks[3] == ["c", "d"]
+    toks0.unpersist()
+
+
+def test_bpe_k16_encode_applies_all_rules_in_order(spark, sf_dir):
+    """The runner's final token frame must equal re-applying the 16
+    learned rules in round order to the raw corpus (fold-chain
+    equivalence — the encode contract bpe_encode_token_counts relies
+    on at k=4)."""
+    from etl_cloud_batch_processing_spark.functions import text as T
+    from etl_cloud_batch_processing_spark.plans.registry import ptable
+    from etl_cloud_batch_processing_spark.plans.tokenization import (
+        apply_bpe_merge,
+        bpe_train_converged,
+    )
+
+    merges, final, _ = bpe_train_converged(spark, sf_dir, 16)
+    rules = [(r["left_sym"], r["right_sym"])
+             for r in merges.orderBy("round").collect()]
+    cur = (ptable(spark, sf_dir, "documents")
+           .select("doc_id", T.tokens("text").alias("toks")))
+    for a, b in rules:
+        cur = cur.select("doc_id", apply_bpe_merge(
+            F.col("toks"), F.lit(a), F.lit(b)).alias("toks"))
+    want = {r["doc_id"]: r["toks"] for r in cur.collect()}
+    got = {r["doc_id"]: r["toks"] for r in final.collect()}
+    assert got == want
