@@ -5,6 +5,7 @@ from etl_cloud_batch_processing_spark.plans import (  # noqa: F401
     core,
     corpus,
     drift,
+    evolution,
     filtering,
     llm,
     profiling,

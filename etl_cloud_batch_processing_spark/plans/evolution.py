@@ -1,0 +1,128 @@
+"""Schema evolution on partitioned appends — the add-a-column-
+mid-backfill case every long-lived ``dt=`` table hits.
+
+The reference's append tables (reference dags/daily_search_history.py:66,87;
+dags/transaction_data.py:97) freeze their column list at DAG-authoring
+time; a real warehouse table instead GROWS columns across its life, and
+the read side must surface typed NULLs for partitions written before
+the column existed.  Spark's contract for that is parquet
+``mergeSchema`` (schema union across files); this module exercises it
+end-to-end with a value-checked query:
+
+1. day 1's partition is written with the BASE schema
+   (event_id, user_id, event_type);
+2. day 2's partition adds ``value_cents`` (an exact-integer money
+   column, per the cents discipline);
+3. the table root is read back with ``mergeSchema=true`` and audited
+   per partition: row counts, the new column's non-null count, and its
+   sum — day 1 must report 0 non-nulls and a NULL sum (typed NULLs,
+   not a read error, not zeros).
+
+The evolution is derived DETERMINISTICALLY from the events fixture
+(first two corpus days), so the DuckDB oracle replays it from the
+source table directly and the whole write→evolve→merge-read cycle is
+hash-checked.  Idempotent-backfill-after-evolution and the rollup
+pipeline surviving an evolved partition are covered in
+tests/test_round8_ops.py.
+
+At 100 TB: ``mergeSchema`` lists every file's footer, so production
+tables pin the merged schema in a catalog (or Delta/Iceberg metadata)
+instead of re-deriving it per read; the PARTITION-level property this
+query proves — old files never rewritten, new columns land only in new
+partitions, readers see one union schema — is exactly the one those
+formats implement.
+"""
+
+from __future__ import annotations
+
+import os
+import pathlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_cloud_batch_processing_spark.plans.registry import query, table
+from etl_cloud_batch_processing_spark.sources.writers import (
+    write_append_partition,
+)
+
+
+def _evolved_root(sf_dir: str) -> str:
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    return str(pathlib.Path(__file__).resolve().parents[2]
+               / "spark-warehouse" / "evolved_events" / tag)
+
+
+def first_two_days(spark: SparkSession, sf_dir: str) -> list[str]:
+    """The corpus's first two event days as ISO strings (a 2-row driver
+    fetch — the run_date parameterization every scheduled pipeline
+    already does)."""
+    ev = table(spark, sf_dir, "events")
+    rows = (ev.select(F.to_date("ts").alias("day")).distinct()
+            .orderBy("day").limit(2).collect())
+    return [r["day"].isoformat() for r in rows]
+
+
+def write_evolving_partitions(spark: SparkSession, sf_dir: str,
+                              path: str) -> list[str]:
+    """Write day 1 with the base schema and day 2 with the added
+    ``value_cents`` column — the mid-backfill evolution.  Returns the
+    two run dates.  Both writes go through the standard idempotent
+    ``write_append_partition`` disposition (re-runs replace)."""
+    d0, d1 = first_two_days(spark, sf_dir)
+    ev = table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts"))
+    base = (ev.filter(F.col("day") == F.lit(d0).cast("date"))
+            .select("event_id", "user_id", "event_type"))
+    evolved = (ev.filter(F.col("day") == F.lit(d1).cast("date"))
+               .select("event_id", "user_id", "event_type",
+                       F.floor(F.col("value") * 100).cast("bigint")
+                       .alias("value_cents")))
+    write_append_partition(base, path, d0)
+    write_append_partition(evolved, path, d1)
+    return [d0, d1]
+
+
+@query(
+    "schema_evolution_null_audit",
+    oracle="""
+    WITH ev AS (SELECT *, CAST(ts AS DATE) AS day FROM events),
+    d2 AS (SELECT day, ROW_NUMBER() OVER (ORDER BY day) AS rn
+           FROM (SELECT DISTINCT day FROM ev ORDER BY day LIMIT 2))
+    SELECT CAST(e.day AS VARCHAR) AS dt,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(CASE WHEN r.rn = 2 THEN COUNT(value) ELSE 0 END
+                AS BIGINT) AS n_value_cents,
+           CASE WHEN r.rn = 2
+                THEN CAST(SUM(CAST(floor(value * 100) AS BIGINT))
+                          AS BIGINT)
+                ELSE NULL END AS total_value_cents
+    FROM ev e JOIN d2 r USING (day)
+    GROUP BY e.day, r.rn
+    """,
+)
+def schema_evolution_null_audit(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Evolve-then-merge-read, audited: write the first corpus day with
+    the base schema, the second with an added ``value_cents`` column,
+    read the table root with ``mergeSchema=true``, and report per
+    partition the row count, the evolved column's non-null count, and
+    its exact integer sum.  The pre-evolution partition MUST come back
+    with 0 non-nulls and a NULL total — typed NULLs surfaced by the
+    schema union, the contract a rollup pipeline relies on when a
+    column lands mid-backfill.
+
+    The oracle reconstructs the same numbers straight from the events
+    source (the evolution is deterministic), so a wrong NULL-fill, a
+    dropped column, or a partition mix-up all hash-mismatch.  The only
+    driver fetch is the 2-day date list (run_date parameterization);
+    the writes are one partition each and the audit is one partial
+    aggregation over the merged read."""
+    path = _evolved_root(sf_dir)
+    write_evolving_partitions(spark, sf_dir, path)
+    back = (spark.read.option("mergeSchema", "true").parquet(path))
+    return (back.groupBy(F.col("dt").cast("string").alias("dt"))
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.count("value_cents").alias("n_value_cents"),
+                 F.sum("value_cents").cast("bigint")
+                 .alias("total_value_cents")))
