@@ -69,8 +69,12 @@ def main() -> None:
         runs: list[float] = []
         try:
             for _ in range(N_RUNS):
-                df = spec.builder(spark, SF_DIR)
+                # The clock starts BEFORE the builder call: driver-loop
+                # queries (convergence runner, persisted-index builds)
+                # execute real work inside the builder, and timing only
+                # the final noop write would under-report them.
                 t0 = time.perf_counter()
+                df = spec.builder(spark, SF_DIR)
                 df.write.format("noop").mode("overwrite").save()
                 runs.append(round(time.perf_counter() - t0, 3))
                 # Queries may persist() intermediates used by several

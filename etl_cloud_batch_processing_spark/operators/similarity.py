@@ -442,10 +442,13 @@ def kmeans_converged(emb: DataFrame, k: int, *, tol: float,
     emb = emb.persist()
     emb.count()  # read every round: materialize before iterating
     w0 = W.orderBy("vec_id")
+    # seeds checkpointed: round 1's metric reads the K-row seed frame,
+    # which would otherwise re-run its TakeOrdered corpus scan
     c0 = (emb.orderBy("vec_id").limit(k)
           .select((F.row_number().over(w0) - 1).cast("bigint").alias("cid"),
                   F.lit(0).cast("bigint").alias("n_members"),
-                  F.col("emb").alias("cvec")))
+                  F.col("emb").alias("cvec"))
+          .localCheckpoint(eager=True))
 
     def step(state: DataFrame) -> DataFrame:
         return _update_with_counts(
@@ -1824,6 +1827,9 @@ def probe_ivf_index(spark: SparkSession, queries: DataFrame, path: str,
          .withColumn("nrm", F.sqrt(V.dot("embedding", "embedding"))))
     probes = (_ivf_probe_cells(q, cents)
               .select(F.col("vec_id").alias("query_id"), "cell"))
+    # driver fetch: probe-batch-sized (queries × N_PROBE cell ids) —
+    # the list an index server ships with the query, pushed into the
+    # postings scan as a static partition filter
     probed_cells = sorted({r["cell"] for r in probes.collect()})
     qsubs = (queries
              .select("query_id",

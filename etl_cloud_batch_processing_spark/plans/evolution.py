@@ -59,7 +59,7 @@ def first_two_days(spark: SparkSession, sf_dir: str) -> list[str]:
     already does)."""
     ev = table(spark, sf_dir, "events")
     rows = (ev.select(F.to_date("ts").alias("day")).distinct()
-            .orderBy("day").limit(2).collect())
+            .orderBy("day").limit(2).collect())  # driver fetch: 2 rows
     return [r["day"].isoformat() for r in rows]
 
 

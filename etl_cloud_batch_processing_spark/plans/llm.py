@@ -243,6 +243,56 @@ def _mg_summaries(it):
         {"token": list(counts), "lower_bound": list(counts.values())})
 
 
+def _mg_summaries_arrow(it):
+    """``mapInArrow`` twin of :func:`_mg_summaries`: identical mergeable
+    Misra-Gries reduction, consumed straight from Arrow RecordBatches.
+
+    The pandas form pays an Arrow→pandas materialization per batch —
+    for a string column that means building a Python-object ndarray of
+    every token before counting it.  Here the batch is reduced with
+    Arrow's C++ ``value_counts`` kernel and only the (distinct token,
+    count) pairs ever become Python objects — on the fixtures' dense
+    token streams that drops per-batch Python work by the
+    tokens/distinct ratio.  Measured swap delta is recorded in SCALE.md
+    (mapInArrow-vs-mapInPandas row).
+
+    Summary-content note: when no MID-batch compaction fires, the
+    output summary is equal to the pandas twin's as a {token: bound}
+    mapping (per-batch totals are order-independent; end-of-batch
+    compaction is a deterministic function of the dict).  When the
+    4·MG_K guard does fire mid-batch, the two may retain different
+    (equally valid) summaries — the MG guarantees are
+    compaction-schedule-independent (see :func:`_mg_summaries`), and
+    the QUERY output is unaffected either way because pass 2
+    recomputes exact counts for the candidate union (property-tested
+    in tests/test_round8_ops.py)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    counts: dict[str, int] = {}
+
+    def compact() -> None:
+        cut = sorted(counts.values(), reverse=True)[MG_K]
+        for t in [t for t, c in counts.items() if c <= cut]:
+            del counts[t]
+        for t in counts:
+            counts[t] -= cut
+
+    for batch in it:
+        vc = pc.value_counts(batch.column(0))
+        for tok, c in zip(vc.field("values").to_pylist(),
+                          vc.field("counts").to_pylist()):
+            counts[tok] = counts.get(tok, 0) + int(c)
+            if len(counts) > 4 * MG_K:
+                compact()
+        if len(counts) > MG_K:
+            compact()
+    yield pa.RecordBatch.from_arrays(
+        [pa.array(list(counts), type=pa.string()),
+         pa.array(list(counts.values()), type=pa.int64())],
+        names=["token", "lower_bound"])
+
+
 @query(
     "frequent_tokens_heavy_hitters",
     oracle=f"""
@@ -263,8 +313,9 @@ def frequent_tokens_heavy_hitters(spark: SparkSession,
     Misra-Gries pattern — the bounded-memory alternative to a full
     token groupBy when the vocabulary itself is too large to shuffle
     (URL/ngram streams at 100 TB): pass 1 runs a 30-slot mergeable
-    MG summary INSIDE each partition (mapInPandas, vectorized
-    value_counts per Arrow batch, no shuffle) whose union is a
+    MG summary INSIDE each partition (mapInArrow — Arrow's C++
+    value_counts per RecordBatch with no per-batch pandas
+    materialization; see _mg_summaries_arrow — no shuffle) whose union is a
     candidate set provably ⊇ every true heavy hitter (if count > n/K
     globally, then count_p > n_p/K in at least one partition —
     pigeonhole over the per-partition MG guarantee); pass 2 computes
@@ -280,8 +331,8 @@ def frequent_tokens_heavy_hitters(spark: SparkSession,
     rows) + one broadcast of ≤ partitions×MG_K candidates."""
     toks = (ptable(spark, sf_dir, "documents")
             .select(F.explode(T.tokens("text")).alias("token")))
-    summaries = toks.mapInPandas(
-        _mg_summaries, schema="token string, lower_bound long")
+    summaries = toks.mapInArrow(
+        _mg_summaries_arrow, schema="token string, lower_bound long")
     cand = F.broadcast(summaries.select("token").distinct())
     n = F.broadcast(toks.agg(F.count(F.lit(1)).alias("n_tokens")))
     exact = (toks.join(cand, "token")

@@ -62,7 +62,10 @@ def _durations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``t`` is days from first event to first purchase, clamped to the
     horizon; ``died`` marks an observed conversion inside it."""
     hit = _DUR_MEMO.get(sf_dir)
-    if hit is not None and hit[0] is spark:
+    if (hit is not None and hit[0] is spark
+            and (hit[1].storageLevel.useMemory
+                 or hit[1].storageLevel.useDisk)):
+        # valid only while still cached (bench clears caches per run)
         return hit[1]
     ev = table(spark, sf_dir, "events")
     first = (ev.groupBy("user_id")

@@ -128,7 +128,13 @@ def bpe_rounds(spark: SparkSession, sf_dir: str,
     queries share ONE training."""
     memo_key = (sf_dir, k)
     hit = _BPE_MEMO.get(memo_key)
-    if hit is not None and hit[0] is spark:
+    if (hit is not None and hit[0] is spark
+            and all(f.storageLevel.useMemory or f.storageLevel.useDisk
+                    for f in (hit[1][0], hit[1][1]))):
+        # memo valid only while the frames are still cached: an external
+        # clearCache() (bench.py does one per run) would otherwise hand
+        # back unpersisted lineage whose doubly-referenced folds
+        # re-execute 2^k times
         return hit[1]
     toks0 = (ptable(spark, sf_dir, "documents")
              .select("doc_id", T.tokens("text").alias("toks"))

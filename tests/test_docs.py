@@ -29,18 +29,23 @@ def test_no_driver_materialization_in_engine_paths():
     """SURVEY.md §4.3: no collect()/toPandas() in any engine path.
     Allowed exceptions, each corpus-size-INDEPENDENT: quality.run_checks
     collects its ONE-ROW aggregated report (the check verdicts, never
-    data), and linalg's Gram path collects O(dims)/O(dims²) frames (the
-    MLlib computePrincipalComponents architecture, MAX_GRAM_DIM-guarded)
-    — those lines must carry an explicit 'driver fetch' marker."""
+    data); linalg's Gram path collects O(dims)/O(dims²) frames (the
+    MLlib computePrincipalComponents architecture, MAX_GRAM_DIM-guarded);
+    evolution's run-date list is 2 rows; probe_ivf_index fetches the
+    probe-batch-sized cell list it pushes into the partition filter —
+    those lines must carry an explicit 'driver fetch' marker."""
     pkg = ROOT / "etl_cloud_batch_processing_spark"
+    bounded_ok = {"linalg.py", "evolution.py", "similarity.py"}
     offenders = []
     for f in pkg.rglob("*.py"):
-        for i, line in enumerate(f.read_text().splitlines(), 1):
+        lines = f.read_text().splitlines()
+        for i, line in enumerate(lines, 1):
             if ".collect()" in line or ".toPandas()" in line:
                 if f.name == "quality.py" and ".agg(" in line:
                     continue  # the one-row report collect
-                if f.name == "linalg.py" and "driver fetch" in line:
-                    continue  # dims-bounded Gram/means fetch
+                ctx = " ".join(lines[max(0, i - 4):i])
+                if f.name in bounded_ok and "driver fetch" in ctx + line:
+                    continue  # explicitly-marked bounded fetch
                 offenders.append(f"{f.relative_to(ROOT)}:{i}")
     assert not offenders, offenders
 

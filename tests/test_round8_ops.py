@@ -190,3 +190,96 @@ def test_rollup_pipeline_survives_evolved_partition(spark, sf_dir,
     assert len(per_dt) == 3
     assert (back.filter(F.col("dt").cast("string") == "2024-01-01")
             .filter(F.col("source").isNotNull()).count()) == 0
+
+
+# ---------------------------------------------------------------------------
+# mapInArrow Misra-Gries fast path (plans/llm.py _mg_summaries_arrow)
+# ---------------------------------------------------------------------------
+
+def _mg_batches_pandas(token_batches):
+    import pandas as pd
+    return [pd.DataFrame({"token": b}) for b in token_batches]
+
+
+def _mg_batches_arrow(token_batches):
+    import pyarrow as pa
+    return [pa.RecordBatch.from_arrays(
+        [pa.array(b, type=pa.string())], names=["token"])
+        for b in token_batches]
+
+
+def _run_mg(fn, batches):
+    out = list(fn(iter(batches)))
+    assert len(out) == 1
+    frame = out[0]
+    if hasattr(frame, "to_pydict"):  # RecordBatch
+        d = frame.to_pydict()
+        return dict(zip(d["token"], d["lower_bound"]))
+    return dict(zip(frame["token"], frame["lower_bound"]))
+
+
+def test_mg_arrow_summary_equals_pandas_without_midbatch_compaction():
+    """With every batch's distinct count under the 4*MG_K mid-merge
+    guard, the two implementations must produce the SAME summary
+    mapping (per-batch totals are order-independent and end-of-batch
+    compaction is a deterministic function of the dict)."""
+    import random
+
+    from etl_cloud_batch_processing_spark.plans.llm import (
+        MG_K,
+        _mg_summaries,
+        _mg_summaries_arrow,
+    )
+
+    rng = random.Random(8)
+    vocab = [f"t{i:03d}" for i in range(3 * MG_K)]
+    batches = [[rng.choice(vocab) for _ in range(500)] for _ in range(4)]
+    a = _run_mg(_mg_summaries, _mg_batches_pandas(batches))
+    b = _run_mg(_mg_summaries_arrow, _mg_batches_arrow(batches))
+    assert a == b
+    assert 0 < len(b) <= MG_K
+
+
+def test_mg_arrow_summary_keeps_mg_guarantees_under_midbatch_compaction():
+    """A wide-vocabulary batch forces the 4*MG_K mid-merge compaction;
+    whatever summary survives must keep the MG contract: <= MG_K items,
+    every true heavy hitter present, and every lower_bound an
+    undercount by at most n/MG_K."""
+    import collections
+    import random
+
+    from etl_cloud_batch_processing_spark.plans.llm import (
+        MG_K,
+        _mg_summaries_arrow,
+    )
+
+    rng = random.Random(9)
+    heavy = ["HH1", "HH2"]
+    tokens = heavy * 800 + [f"u{i:05d}" for i in range(6 * MG_K)]
+    rng.shuffle(tokens)
+    batches = [tokens[:2000], tokens[2000:]]
+    got = _run_mg(_mg_summaries_arrow, _mg_batches_arrow(batches))
+    true = collections.Counter(tokens)
+    n = len(tokens)
+    assert len(got) <= MG_K
+    for t in heavy:  # count > n/MG_K by construction
+        assert true[t] * MG_K > n
+        assert t in got
+    for t, lb in got.items():
+        assert lb <= true[t]
+        assert true[t] - lb <= n / MG_K + 1e-9
+
+
+def test_heavy_hitters_query_unchanged_by_arrow_port(spark, sf_dir, duck):
+    """The driver-green contract: the mapInArrow-backed query still
+    matches its DuckDB oracle row set."""
+    from etl_cloud_batch_processing_spark.plans.llm import (
+        frequent_tokens_heavy_hitters,
+    )
+    from etl_cloud_batch_processing_spark.plans.registry import REGISTRY
+
+    got = {(r["token"], r["n_tokens"], r["n_occurrences"], r["share"])
+           for r in frequent_tokens_heavy_hitters(spark, sf_dir).collect()}
+    want = {tuple(r) for r in duck.execute(
+        REGISTRY["frequent_tokens_heavy_hitters"].oracle).fetchall()}
+    assert got == want

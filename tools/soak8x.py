@@ -82,8 +82,10 @@ def build_8x(spark, out_dir: str) -> None:
 def time_query(spark, name: str, sf_dir: str) -> float:
     best = float("inf")
     for _ in range(2):
-        df = plans.REGISTRY[name].builder(spark, sf_dir)
+        # clock starts before the builder: driver-loop queries run real
+        # work inside it (same rule as bench.py)
         t0 = time.perf_counter()
+        df = plans.REGISTRY[name].builder(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         best = min(best, time.perf_counter() - t0)
         spark.catalog.clearCache()
