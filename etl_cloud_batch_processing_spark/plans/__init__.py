@@ -9,6 +9,7 @@ from etl_cloud_batch_processing_spark.plans import (  # noqa: F401
     filtering,
     llm,
     profiling,
+    sketches,
     streams,
     survival,
     temporal,

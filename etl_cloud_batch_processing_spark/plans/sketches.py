@@ -1,0 +1,372 @@
+"""Probabilistic-sketch operators: count-min sketch and Bloom filter.
+
+Both are the mergeable-summary siblings of the Misra-Gries pass in
+plans/llm.py, and — unlike MG, whose per-partition summaries depend on
+arrival order — both are DETERMINISTIC functions of the input multiset:
+every cell is a sum (CMS) or an OR (Bloom) over hash-selected rows, so
+the whole sketch, its estimates, and its false positives are exactly
+reproducible in DuckDB and the queries here are value-hash-checked, not
+rows-only.  That makes this module the oracle-strong member of the
+sketch family (SURVEY.md §5.2 sanctions rows-only for HLL/quantile
+sketches whose merge internals are engine-specific; CMS/Bloom need no
+such sanction).
+
+Hash family: the same md5-derived universal hashes as the MinHash path
+(operators/dedup.py) — h32 = (60-bit md5 prefix) mod 2³², then
+``((aᵢ·h32 + bᵢ) mod P) mod width`` with P prime > 2³² and aᵢ < 2³⁰ so
+the product never overflows int64.  All constants are inlined literals
+in both engines.
+
+Reference parity: the reference repo (pkl-playing-fields) has no
+sketching at all — its closest analog is exact COUNT(*) GROUP BY in
+BigQuery (dags/daily_search_history.py:74-86); these operators are the
+100-TB capability layer per SURVEY.md §2.12/NS4.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_cloud_batch_processing_spark.plans.registry import query, table
+
+# Universal-hash modulus shared with the MinHash family.
+P = 4294967311
+H32 = 4294967296
+
+
+def _const(tag: str, lo: int, hi: int) -> int:
+    h = int(hashlib.md5(tag.encode()).hexdigest()[:15], 16)
+    return lo + h % (hi - lo)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005): CMS_D rows of CMS_W
+# buckets.  CMS_W=16 is deliberately SMALLER than the fixture vocabulary
+# (~31 tokens) so collisions — and therefore visible positive
+# overestimates — occur at every SF and the report actually exercises
+# the estimate-vs-truth comparison.  Production sizing is w = ceil(e/ε),
+# d = ceil(ln 1/δ); the dataflow is identical.
+# ---------------------------------------------------------------------------
+CMS_D = 4
+CMS_W = 16
+CMS_A = [_const(f"cms_a{i}", 1, 1 << 30) for i in range(CMS_D)]
+CMS_B = [_const(f"cms_b{i}", 0, 1 << 30) for i in range(CMS_D)]
+
+_CMS_BUCKET_SQL = [
+    f"(({CMS_A[i]} * h32 + {CMS_B[i]}) % {P}) % {CMS_W}"
+    for i in range(CMS_D)]
+
+
+def _cms_bucket_cols(h32):
+    return F.array(*[((F.lit(CMS_A[i]) * h32 + F.lit(CMS_B[i])) % F.lit(P))
+                     % F.lit(CMS_W) for i in range(CMS_D)])
+
+
+@query(
+    "cms_token_frequency_report",
+    oracle=f"""
+    WITH occ AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+    tc AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_count
+        FROM occ GROUP BY token),
+    hb AS (
+        SELECT token, exact_count,
+               CAST('0x' || substr(md5(token), 1, 15) AS BIGINT)
+                   % {H32} AS h32
+        FROM tc),
+    bk AS (
+        SELECT token, exact_count, r.row_id,
+               ([{", ".join(_CMS_BUCKET_SQL)}])[r.row_id + 1] AS bucket
+        FROM hb CROSS JOIN (SELECT unnest(range(0, {CMS_D})) AS row_id) r),
+    cells AS (
+        SELECT row_id, bucket, CAST(SUM(exact_count) AS BIGINT) AS cell
+        FROM bk GROUP BY 1, 2),
+    est AS (
+        SELECT b.token, b.exact_count, MIN(c.cell) AS cms_estimate
+        FROM bk b JOIN cells c USING (row_id, bucket)
+        GROUP BY 1, 2)
+    SELECT token, exact_count, cms_estimate,
+           cms_estimate - exact_count AS overestimate
+    FROM est
+    ORDER BY exact_count DESC, token ASC
+    LIMIT 20
+    """,
+)
+def cms_token_frequency_report(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Count-min sketch over the corpus token stream, audited against
+    exact counts: top-20 tokens with their exact frequency, the CMS
+    point estimate (min over 4 rows x 16 buckets), and the
+    overestimate — never negative, because every cell only ever ADDS
+    colliding counts (the one-sided-error guarantee the pytest suite
+    asserts for the full vocabulary).
+
+    Dataflow is the streaming-sketch shape written as DataFrame ops:
+    each token occurrence increments one bucket per row, and summing
+    increments is associative, so the per-token partial aggregation
+    (the first ``groupBy`` — Spark's map-side combine) followed by the
+    (row, bucket)-grain cell sum is bit-identical to per-occurrence
+    streaming updates.  At 100 TB the ONLY corpus-scale stage is that
+    first partial-aggregated token count; the sketch itself is 64
+    cells, broadcast back onto the vocabulary for the estimate join.
+    Cells merge across partitions, days, or corpora by plain addition —
+    the same mergeable-summaries contract as the Misra-Gries pass
+    (plans/llm.py), but with a deterministic, oracle-checkable
+    estimate."""
+    occ = (table(spark, sf_dir, "documents")
+           .select(F.explode(F.split("text", " ")).alias("token")))
+    tc = occ.groupBy("token").agg(
+        F.count(F.lit(1)).alias("exact_count"))
+    h32 = (F.conv(F.substring(F.md5(F.col("token").cast("binary")), 1, 15),
+                  16, 10).cast("bigint") % F.lit(H32))
+    bk = (tc.select("token", "exact_count",
+                    F.posexplode(_cms_bucket_cols(h32))
+                    .alias("row_id", "bucket")))
+    cells = (bk.groupBy("row_id", "bucket")
+             .agg(F.sum("exact_count").alias("cell")))
+    est = (bk.join(F.broadcast(cells), ["row_id", "bucket"])
+           .groupBy("token", "exact_count")
+           .agg(F.min("cell").alias("cms_estimate")))
+    return (est.orderBy(F.desc("exact_count"), F.asc("token")).limit(20)
+            .select("token", "exact_count", "cms_estimate",
+                    (F.col("cms_estimate") - F.col("exact_count"))
+                    .alias("overestimate")))
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: BLOOM_M bits, BLOOM_K hashes.  Build side = customers
+# who placed a 1995 order (the `customers_with_1995_orders` semi-join's
+# build set — ~78% of customers at every SF, leaving a real non-member
+# population to measure false positives on).  M=8192 gives ~7 bits per
+# member at sf0.01 (the driver's value-check SF): a measurable but
+# small FPR.  Production sizing is m = -n·ln(p)/ln(2)²; the dataflow
+# is identical.
+# ---------------------------------------------------------------------------
+BLOOM_M = 8192
+BLOOM_K = 4
+BLOOM_A = [_const(f"bloom_a{k}", 1, 1 << 30) for k in range(BLOOM_K)]
+BLOOM_B = [_const(f"bloom_b{k}", 0, 1 << 30) for k in range(BLOOM_K)]
+
+_BLOOM_POS_SQL = [
+    f"(({BLOOM_A[k]} * h32 + {BLOOM_B[k]}) % {P}) % {BLOOM_M}"
+    for k in range(BLOOM_K)]
+
+_D_KEY_H32 = ("CAST('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 15) "
+              f"AS BIGINT) % {H32}")
+
+
+def _bloom_pos_cols(h32):
+    return F.array(*[((F.lit(BLOOM_A[k]) * h32 + F.lit(BLOOM_B[k]))
+                      % F.lit(P)) % F.lit(BLOOM_M)
+                     for k in range(BLOOM_K)])
+
+
+def _key_h32(key):
+    return (F.conv(F.substring(F.md5(key.cast("string").cast("binary")),
+                               1, 15), 16, 10).cast("bigint")
+            % F.lit(H32))
+
+
+def _bloom_bits(build_keys: DataFrame, key: str) -> DataFrame:
+    """The filter itself: the DISTINCT set of set bit positions, as a
+    frame.  Building it is one explode + one distinct — O(n·K) rows in,
+    ≤ M rows out; merging two filters is a plain union-distinct (bitwise
+    OR), the mergeable-summaries contract."""
+    return (build_keys
+            .select(F.explode(_bloom_pos_cols(_key_h32(F.col(key))))
+                    .alias("pos"))
+            .distinct())
+
+
+def _bloom_probe(probe_keys: DataFrame, key: str,
+                 bits: DataFrame) -> DataFrame:
+    """(key, bloom_positive): a key passes iff ALL K of its bit
+    positions are set.  The K exploded positions left-join the bit set
+    (broadcast — the filter is ≤ M rows by construction, the whole
+    point of a Bloom filter) and ``bool_and`` of the per-position hits
+    handles duplicate positions for one key naturally."""
+    pos = (probe_keys
+           .select(key,
+                   F.explode(_bloom_pos_cols(_key_h32(F.col(key))))
+                   .alias("pos")))
+    hit = (pos.join(F.broadcast(bits.withColumn("set_", F.lit(True))),
+                    "pos", "left")
+           .select(key, F.coalesce("set_", F.lit(False)).alias("hit")))
+    return (hit.groupBy(key)
+            .agg(F.bool_and("hit").alias("bloom_positive")))
+
+
+_D_BLOOM_CORE = f"""
+    build AS (
+        SELECT DISTINCT o_custkey AS key
+        FROM orders WHERE year(o_orderdate) = 1995),
+    bbits AS (
+        SELECT DISTINCT p.pos
+        FROM (SELECT {_D_KEY_H32.format(key='key')} AS h32 FROM build) h
+        CROSS JOIN (SELECT unnest(range(0, {BLOOM_K})) AS k) ks,
+        LATERAL (SELECT ([{", ".join(_BLOOM_POS_SQL)}])[ks.k + 1]
+                     AS pos) p),
+    probe AS (
+        SELECT c_custkey AS key,
+               {_D_KEY_H32.format(key='c_custkey')} AS h32
+        FROM customer),
+    ppos AS (
+        SELECT pr.key, ([{", ".join(_BLOOM_POS_SQL)}])[ks.k + 1] AS pos
+        FROM probe pr
+        CROSS JOIN (SELECT unnest(range(0, {BLOOM_K})) AS k) ks),
+    verdict AS (
+        SELECT pp.key,
+               bool_and(bb.pos IS NOT NULL) AS bloom_positive
+        FROM ppos pp LEFT JOIN bbits bb ON bb.pos = pp.pos
+        GROUP BY pp.key),
+    truth AS (
+        SELECT v.key, v.bloom_positive, b.key IS NOT NULL AS is_member
+        FROM verdict v LEFT JOIN build b ON b.key = v.key)
+"""
+
+
+@query(
+    "bloom_filter_fpr_report",
+    oracle=f"""
+    WITH {_D_BLOOM_CORE}
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_probed,
+           CAST(COUNT(*) FILTER (is_member) AS BIGINT) AS n_members,
+           CAST(COUNT(*) FILTER (bloom_positive) AS BIGINT)
+               AS n_positives,
+           CAST(COUNT(*) FILTER (bloom_positive AND NOT is_member)
+                AS BIGINT) AS n_false_positives,
+           CAST(COUNT(*) FILTER (is_member AND NOT bloom_positive)
+                AS BIGINT) AS n_false_negatives,
+           ROUND(COUNT(*) FILTER (bloom_positive AND NOT is_member)
+                 * 1.0
+                 / NULLIF(COUNT(*) FILTER (NOT is_member), 0), 6)
+               + 0.0 AS fpr
+    FROM truth
+    """,
+)
+def bloom_filter_fpr_report(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Bloom-filter audit: build an 8192-bit / 4-hash filter over the
+    custkeys holding a 1995 order, probe EVERY customer, and report the
+    confusion counts — including ``n_false_negatives``, which the
+    structure guarantees is zero (a member's bits are all set by
+    construction; asserted per-key in the pytest suite) and the
+    measured false-positive rate against the filter's non-member
+    population.
+
+    This is the runtime-pruning primitive Spark itself injects as AQE's
+    bloom-filter join under the name `InjectRuntimeFilters`; expressed
+    as an explicit operator it becomes usable where the optimizer can't
+    see the opportunity — cross-pipeline pruning (build on yesterday's
+    hot keys, probe today's scan) and semi-join pushdown into sources.
+    Both sides shuffle nothing but the ≤ M-row bit set (broadcast); the
+    probe is scan + hash arithmetic + ``bool_and``, partial-aggregated
+    per key."""
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    build = (orders.filter(F.year("o_orderdate") == 1995)
+             .select(F.col("o_custkey").alias("key")).distinct())
+    bits = _bloom_bits(build, "key")
+    probe = cust.select(F.col("c_custkey").alias("key"))
+    verdict = _bloom_probe(probe, "key", bits)
+    truth = (verdict.join(F.broadcast(build.withColumn("m_", F.lit(True))),
+                          "key", "left")
+             .select("key", "bloom_positive",
+                     F.coalesce("m_", F.lit(False)).alias("is_member")))
+    nonmember = F.sum(F.when(~F.col("is_member"), 1).otherwise(0))
+    fp = F.sum(F.when(F.col("bloom_positive") & ~F.col("is_member"), 1)
+               .otherwise(0))
+    return truth.agg(
+        F.count(F.lit(1)).alias("n_probed"),
+        F.sum(F.when(F.col("is_member"), 1).otherwise(0))
+        .cast("bigint").alias("n_members"),
+        F.sum(F.when(F.col("bloom_positive"), 1).otherwise(0))
+        .cast("bigint").alias("n_positives"),
+        fp.cast("bigint").alias("n_false_positives"),
+        F.sum(F.when(F.col("is_member") & ~F.col("bloom_positive"), 1)
+              .otherwise(0)).cast("bigint").alias("n_false_negatives"),
+        (F.round(fp * F.lit(1.0) / F.nullif(nonmember, F.lit(0)), 6)
+         + F.lit(0.0)).alias("fpr"))
+
+
+@query(
+    "bloom_pruned_join_audit",
+    oracle=f"""
+    WITH {_D_BLOOM_CORE},
+    surv AS (SELECT key FROM truth WHERE bloom_positive),
+    o95 AS (SELECT o_custkey, o_totalprice FROM orders
+            WHERE year(o_orderdate) = 1995),
+    pruned AS (
+        SELECT CAST(ROUND(SUM(o.o_totalprice), 2) AS DECIMAL(18, 2))
+                   AS rev
+        FROM surv s JOIN o95 o ON o.o_custkey = s.key),
+    exact AS (
+        SELECT CAST(ROUND(SUM(o.o_totalprice), 2) AS DECIMAL(18, 2))
+                   AS rev
+        FROM (SELECT c_custkey FROM customer) c
+        JOIN o95 o ON o.o_custkey = c.c_custkey)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_probed,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM surv)
+               AS n_scanned_after_prune,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM truth)
+               - (SELECT CAST(COUNT(*) AS BIGINT) FROM surv)
+               AS n_pruned,
+           CAST((SELECT rev FROM pruned) AS DOUBLE) AS pruned_revenue,
+           CAST((SELECT rev FROM exact) AS DOUBLE) AS exact_revenue,
+           (SELECT rev FROM pruned) = (SELECT rev FROM exact)
+               AS results_equal
+    """,
+)
+def bloom_pruned_join_audit(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """The Bloom filter USED: prune the customer side down to
+    bloom-positive keys before joining 1995 orders, and prove the
+    pruned join's revenue equals the unpruned join's — the
+    no-false-negatives guarantee means pruning can only drop rows the
+    join would discard anyway.  One row: probe/survivor/pruned counts,
+    both revenue totals (rounded to cents and DECIMAL-summed so the
+    comparison is exact, not float-luck), and the equality verdict.
+
+    At 100 TB this is the pattern that turns a shuffle-everything
+    fact-dim join into scan-side pruning: the ≤ M-row bit set
+    broadcasts to the fact scan, and only surviving rows ever enter the
+    exchange.  ~22% of probes are pruned on the fixtures; skew-free by
+    construction since the filter is applied per-row pre-shuffle."""
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    build = (orders.filter(F.year("o_orderdate") == 1995)
+             .select(F.col("o_custkey").alias("key")).distinct())
+    bits = _bloom_bits(build, "key")
+    probe = cust.select(F.col("c_custkey").alias("key"))
+    verdict = _bloom_probe(probe, "key", bits).persist()
+    surv = verdict.filter(F.col("bloom_positive")).select("key")
+    o95 = (orders.filter(F.year("o_orderdate") == 1995)
+           .select("o_custkey", "o_totalprice"))
+    dec = "decimal(18,2)"
+    pruned_rev = (surv.join(o95, surv["key"] == o95["o_custkey"])
+                  .agg(F.sum(F.round("o_totalprice", 2).cast(dec))
+                       .cast(dec).alias("rev")))
+    exact_rev = (cust.select("c_custkey")
+                 .join(o95, F.col("c_custkey") == F.col("o_custkey"))
+                 .agg(F.sum(F.round("o_totalprice", 2).cast(dec))
+                      .cast(dec).alias("rev")))
+    counts = verdict.agg(
+        F.count(F.lit(1)).alias("n_probed"),
+        F.sum(F.when(F.col("bloom_positive"), 1).otherwise(0))
+        .cast("bigint").alias("n_scanned_after_prune"))
+    return (counts
+            .crossJoin(F.broadcast(pruned_rev
+                                   .withColumnRenamed("rev", "p_rev")))
+            .crossJoin(F.broadcast(exact_rev
+                                   .withColumnRenamed("rev", "e_rev")))
+            .select("n_probed", "n_scanned_after_prune",
+                    (F.col("n_probed") - F.col("n_scanned_after_prune"))
+                    .alias("n_pruned"),
+                    F.col("p_rev").cast("double").alias("pruned_revenue"),
+                    F.col("e_rev").cast("double").alias("exact_revenue"),
+                    (F.col("p_rev") == F.col("e_rev"))
+                    .alias("results_equal")))

@@ -1,0 +1,133 @@
+"""Sketch operators (plans/sketches.py): count-min sketch and Bloom
+filter structural guarantees.
+
+Unlike the HLL/percentile sketch class (rows-only per SURVEY.md §5.2),
+CMS and Bloom are deterministic functions of the input multiset, so the
+registered queries are value-hash-checked against DuckDB; these tests
+cover the guarantees the top-20 / single-row reports can't — one-sided
+error over the FULL vocabulary, zero false negatives per-key, and
+mergeability (sketch of a union == merge of sketches)."""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_cloud_batch_processing_spark.plans.registry import table
+from etl_cloud_batch_processing_spark.plans.sketches import (
+    BLOOM_K,
+    BLOOM_M,
+    CMS_D,
+    CMS_W,
+    _bloom_bits,
+    _bloom_probe,
+    _cms_bucket_cols,
+    _key_h32,
+    bloom_filter_fpr_report,
+    cms_token_frequency_report,
+)
+
+
+def _token_counts(spark, sf_dir):
+    return (table(spark, sf_dir, "documents")
+            .select(F.explode(F.split("text", " ")).alias("token"))
+            .groupBy("token").agg(F.count(F.lit(1)).alias("exact_count")))
+
+
+def _cms_estimates(tc):
+    """(token, exact_count, cms_estimate) for EVERY vocabulary token."""
+    bk = tc.select(
+        "token", "exact_count",
+        F.posexplode(_cms_bucket_cols(_key_h32(F.col("token"))))
+        .alias("row_id", "bucket"))
+    cells = (bk.groupBy("row_id", "bucket")
+             .agg(F.sum("exact_count").alias("cell")))
+    return (bk.join(cells, ["row_id", "bucket"])
+            .groupBy("token", "exact_count")
+            .agg(F.min("cell").alias("cms_estimate")))
+
+
+def test_cms_error_is_one_sided_for_full_vocabulary(spark, sf_dir):
+    """CMS never underestimates: every cell a token hashes to contains
+    at least that token's own count, so min-over-rows >= exact.  This
+    is the Cormode-Muthukrishnan guarantee, asserted for EVERY token
+    (the registered query reports only the top 20)."""
+    est = _cms_estimates(_token_counts(spark, sf_dir))
+    n_under = est.filter(F.col("cms_estimate") < F.col("exact_count")).count()
+    assert n_under == 0
+    assert est.count() > CMS_W  # vocabulary genuinely exceeds the width
+
+
+def test_cms_collisions_actually_occur(spark, sf_dir):
+    """CMS_W=16 < |vocab| by design, so at least one token must be
+    overestimated — otherwise the report's overestimate column is
+    vacuously zero and the query exercises nothing."""
+    est = _cms_estimates(_token_counts(spark, sf_dir))
+    assert est.filter(F.col("cms_estimate") > F.col("exact_count")).count() > 0
+
+
+def test_cms_sketch_is_mergeable(spark, sf_dir):
+    """Sketch(A ∪ B) == Sketch(A) + Sketch(B) cell-by-cell: build the
+    64-cell table from the full corpus and from two disjoint halves
+    (doc_id parity), and assert cellwise-sum equality — the contract
+    that lets per-day / per-partition sketches roll up by addition."""
+    docs = table(spark, sf_dir, "documents")
+
+    def cells_of(df):
+        tc = (df.select(F.explode(F.split("text", " ")).alias("token"))
+              .groupBy("token").agg(F.count(F.lit(1)).alias("c")))
+        bk = tc.select(
+            "c", F.posexplode(_cms_bucket_cols(_key_h32(F.col("token"))))
+            .alias("row_id", "bucket"))
+        return {(r["row_id"], r["bucket"]): r["cell"]
+                for r in bk.groupBy("row_id", "bucket")
+                .agg(F.sum("c").alias("cell")).collect()}
+
+    whole = cells_of(docs)
+    even = cells_of(docs.filter(F.col("doc_id") % 2 == 0))
+    odd = cells_of(docs.filter(F.col("doc_id") % 2 == 1))
+    merged = {k: even.get(k, 0) + odd.get(k, 0)
+              for k in set(even) | set(odd)}
+    assert merged == whole
+
+
+def test_bloom_has_zero_false_negatives_per_key(spark, sf_dir):
+    """Every member key must probe positive — not just the aggregate
+    count in the report, but each individual build-side key."""
+    orders = table(spark, sf_dir, "orders")
+    build = (orders.filter(F.year("o_orderdate") == 1995)
+             .select(F.col("o_custkey").alias("key")).distinct())
+    bits = _bloom_bits(build, "key")
+    verdict = _bloom_probe(build, "key", bits)
+    assert verdict.filter(~F.col("bloom_positive")).count() == 0
+
+
+def test_bloom_bitset_is_bounded_and_mergeable(spark, sf_dir):
+    """The bit set never exceeds M positions (it IS the broadcastable
+    summary), and the filter of a union equals the union of the two
+    halves' filters (bitwise OR == union-distinct of positions)."""
+    orders = table(spark, sf_dir, "orders")
+    build = (orders.filter(F.year("o_orderdate") == 1995)
+             .select(F.col("o_custkey").alias("key")).distinct())
+    whole = {r["pos"] for r in _bloom_bits(build, "key").collect()}
+    assert 0 < len(whole) <= BLOOM_M
+    even = {r["pos"] for r in _bloom_bits(
+        build.filter(F.col("key") % 2 == 0), "key").collect()}
+    odd = {r["pos"] for r in _bloom_bits(
+        build.filter(F.col("key") % 2 == 1), "key").collect()}
+    assert even | odd == whole
+
+
+def test_bloom_report_confusion_counts_reconcile(spark, sf_dir):
+    """The single-row report's counts must be internally consistent:
+    positives = members + false positives (since FN == 0), and
+    every count bounded by n_probed."""
+    row = bloom_filter_fpr_report(spark, sf_dir).collect()[0]
+    assert row["n_false_negatives"] == 0
+    assert row["n_positives"] == row["n_members"] + row["n_false_positives"]
+    assert row["n_probed"] >= row["n_positives"]
+
+
+def test_cms_report_overestimate_nonnegative(spark, sf_dir):
+    rows = cms_token_frequency_report(spark, sf_dir).collect()
+    assert len(rows) == 20
+    assert all(r["overestimate"] >= 0 for r in rows)
+    assert CMS_D == 4 and BLOOM_K == 4  # docstring constants stay literal
