@@ -195,13 +195,48 @@ def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic shingle self-join of ``ngram_jaccard_top_pairs`` past
     ~10⁶ documents (SURVEY.md §7 risk 3).
     """
-    docs = _par_docs(spark, sf_dir)
-    # Four plan branches (two band-join sides + two verify-join sides)
-    # all start from the hashed-shingle scan; persist it once.
-    hs = hashed_shingles(docs).persist()
-    return (lsh_scored_pairs(hs)
+    return (scored_pairs(spark, sf_dir)
             .orderBy(F.desc("jaccard"), F.asc("doc_a"), F.asc("doc_b"))
             .limit(20))
+
+
+#: One LSH→verify pipeline per (session, fixture dir): six registered
+#: queries (top-20 report, both CC clusterings and their two downstream
+#: size/quality reports, triangles, LPA) consume the same scored pair
+#: frame, and re-running the shingle→minhash→band-join→verify pipeline
+#: per query multiplied the sweep's single most expensive dataflow by
+#: the number of consumers (the _BPE_MEMO rationale, plans/
+#: tokenization.py).  The memoized frame is PAIR-grain — candidates
+#: only, ≪ corpus — so keeping it cached for the session is cheap; the
+#: corpus-sized shingle frame is unpersisted as soon as the pairs are
+#: materialized.
+_SCORED_MEMO: dict[str, tuple[SparkSession, DataFrame]] = {}
+
+
+def scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized :func:`lsh_scored_pairs` over the fixture corpus:
+    (doc_a, doc_b, jaccard) for every band-colliding pair, persisted
+    and materialized once per (session, sf_dir).  Valid only while the
+    frame is still cached (an external ``clearCache()`` — bench.py does
+    one per run — hands back a memo whose lineage would re-run the
+    whole pipeline per downstream branch, exactly the pathology the
+    memo exists to prevent), same discipline as ``_BPE_MEMO``."""
+    hit = _SCORED_MEMO.get(sf_dir)
+    if (hit is not None and hit[0] is spark
+            and (hit[1].storageLevel.useMemory
+                 or hit[1].storageLevel.useDisk)):
+        return hit[1]
+    hs = hashed_shingles(_par_docs(spark, sf_dir)).persist()
+    # Materialize hs BEFORE the pair job: lsh_scored_pairs reads it from
+    # four concurrently-scheduled plan branches, and a lazily-persisted
+    # frame re-executes the whole shingle pipeline per branch (the
+    # measured 21.6 s-vs-3 s pathology in the LPA docstring below).
+    hs.count()
+    scored = lsh_scored_pairs(hs).persist()
+    scored.count()  # one scalar to the driver; pins the pair cache
+    hs.unpersist()  # corpus-sized; everything downstream is pair-grain
+    _SCORED_MEMO[sf_dir] = (spark, scored)
+    return scored
 
 
 def lsh_scored_pairs(hs: DataFrame) -> DataFrame:
@@ -303,9 +338,7 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_cloud_batch_processing_spark.operators.graph import (
         connected_components)
 
-    docs = _par_docs(spark, sf_dir)
-    hs = hashed_shingles(docs).persist()
-    verified = (lsh_scored_pairs(hs)
+    verified = (scored_pairs(spark, sf_dir)
                 .filter(F.col("jaccard") >= CLUSTER_JACCARD)
                 .select("doc_a", "doc_b"))
     edges = (verified
@@ -314,7 +347,7 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))))
     comp = connected_components(edges)
     cluster = F.coalesce("comp", "doc_id")
-    return (table(docs.sparkSession, sf_dir, "documents")
+    return (table(spark, sf_dir, "documents")
             .select("doc_id")
             .join(F.broadcast(comp), F.col("doc_id") == F.col("id"), "left")
             .select("doc_id", cluster.alias("cluster_id"),
@@ -350,14 +383,12 @@ def near_dup_clusters_converged(spark: SparkSession,
     from etl_cloud_batch_processing_spark.operators.graph import (
         connected_components_star)
 
-    docs = _par_docs(spark, sf_dir)
-    hs = hashed_shingles(docs).persist()
-    verified = (lsh_scored_pairs(hs)
+    verified = (scored_pairs(spark, sf_dir)
                 .filter(F.col("jaccard") >= CLUSTER_JACCARD)
                 .select("doc_a", "doc_b"))
     comp = connected_components_star(verified, src="doc_a", dst="doc_b")
     cluster = F.coalesce("comp", "doc_id")
-    return (table(docs.sparkSession, sf_dir, "documents")
+    return (table(spark, sf_dir, "documents")
             .select("doc_id")
             .join(comp, F.col("doc_id") == F.col("id"), "left")
             .select("doc_id", cluster.alias("cluster_id"),
@@ -527,11 +558,9 @@ def near_dup_triangle_stats(spark: SparkSession,
     equi-join on vertex keys (AQE splits hot vertices), never an
     all-pairs product.  Degrees/wedges come from one aggregation of the
     edge list."""
-    hs = hashed_shingles(_par_docs(spark, sf_dir)).persist()
-    e = (lsh_scored_pairs(hs)
+    e = (scored_pairs(spark, sf_dir)
          .filter(F.col("jaccard") >= CLUSTER_JACCARD)
-         .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-         .persist())
+         .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")))
     deg = (e.select(F.col("a").alias("v"))
            .unionByName(e.select(F.col("b").alias("v")))
            .groupBy("v").agg(F.count(F.lit(1)).alias("d")))
@@ -911,9 +940,7 @@ def dup_graph_lpa_communities(spark: SparkSession,
     pipeline per branch (measured 21.6 s vs ~3 s at sf0.1) — the same
     materialize-before-iterating rule MLlib applies to its training
     input."""
-    docs = _par_docs(spark, sf_dir)
-    hs = hashed_shingles(docs).persist()
-    verified = (lsh_scored_pairs(hs)
+    verified = (scored_pairs(spark, sf_dir)
                 .filter(F.col("jaccard") >= CLUSTER_JACCARD)
                 .select("doc_a", "doc_b"))
     edges = (verified
@@ -938,7 +965,7 @@ def dup_graph_lpa_communities(spark: SparkSession,
     # one-row / K-row frames this module does hint.  AQE picks the
     # strategy from the measured size (broadcast on the fixtures, SMJ at
     # scale), same as sibling near_dup_quality_canonical.
-    return (table(docs.sparkSession, sf_dir, "documents")
+    return (table(spark, sf_dir, "documents")
             .select("doc_id")
             .join(lab, F.col("doc_id") == F.col("node"), "left")
             .select("doc_id",
