@@ -632,18 +632,42 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``simhash_signatures`` docstring promises.  The oracle cross-checks
     with an honest all-pairs scan (fine at fixture scale; that form is
     exactly what this query avoids at 100 TB)."""
+    return _simhash_pairs(spark, sf_dir)
+
+
+#: One simhash signature + band-join pipeline per (session, fixture
+#: dir): three registered queries (the pair report, PageRank, the
+#: degree/assortativity stats) consume the same pair frame — the
+#: _SCORED_MEMO / _BPE_MEMO discipline (operators/dedup.py,
+#: plans/tokenization.py).
+_SIMHASH_MEMO: dict[str, tuple[SparkSession, DataFrame]] = {}
+
+
+def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized (doc_a, doc_b, hamming) verified simhash pair frame,
+    persisted and materialized once per (session, sf_dir); valid only
+    while still cached (bench.py clearCache() invalidates, same as the
+    scored-pairs memo)."""
+    hit = _SIMHASH_MEMO.get(sf_dir)
+    if (hit is not None and hit[0] is spark
+            and (hit[1].storageLevel.useMemory
+                 or hit[1].storageLevel.useDisk)):
+        return hit[1]
     sig = _simhash_frame(spark, sf_dir)
     bands = sig.select(
         "doc_id", "simhash",
         F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BANDS - 1)))
         .alias("band"))
     mask = (1 << SIMHASH_BAND_BITS) - 1
-    # Both self-join sides read this frame; persist so the signature
-    # pass (explode × 60 bits per token) runs once, not per branch.
+    # Both self-join sides read this frame; persist AND materialize so
+    # the signature pass (explode × 60 bits per token) runs once, not
+    # per concurrently-scheduled branch (the lazily-persisted
+    # multi-branch pathology — scored_pairs docstring, dedup.py).
     keyed = bands.select(
         "doc_id", "simhash", "band",
         F.expr(f"(simhash >> (band * {SIMHASH_BAND_BITS})) & {mask}")
         .alias("band_val")).persist()
+    keyed.count()
     a, b = keyed.alias("a"), keyed.alias("b")
     cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.band_val") == F.col("b.band_val"))
@@ -653,7 +677,11 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.expr("bit_count(a.simhash ^ b.simhash)")
                     .alias("hamming"))
             .distinct())
-    return cand.filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+    pairs = cand.filter(F.col("hamming") <= SIMHASH_MAX_HAMMING).persist()
+    pairs.count()    # pins the pair-grain cache
+    keyed.unpersist()  # corpus×bands-grain; downstream is pair-grain
+    _SIMHASH_MEMO[sf_dir] = (spark, pairs)
+    return pairs
 
 
 PAGERANK_DAMPING = 0.85
@@ -707,10 +735,9 @@ def pagerank_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     mass term.)  Centrality over a duplicate graph ranks the "template"
     documents that near-duplicate everything else — the curation signal
     for boilerplate removal."""
-    # Persist the pair frame: the union below reads it twice, and the
-    # whole signature+band join pipeline above it is the expensive part.
-    pairs = (simhash_hamming_pairs(spark, sf_dir)
-             .select("doc_a", "doc_b").persist())
+    # The memoized pair frame is already cached; the union below reads
+    # it twice at pair grain.
+    pairs = _simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
     edges = (pairs.select(F.col("doc_a").alias("src"),
                           F.col("doc_b").alias("dst"))
              .unionByName(pairs.select(F.col("doc_b").alias("src"),
@@ -781,15 +808,11 @@ def dup_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge-iterator discipline of ``near_dup_triangle_stats``), and both
     output aggregates run at degree-value grain.  All sums are exact
     BIGINTs; one divide + round at the end."""
-    pairs = (simhash_hamming_pairs(spark, sf_dir)
-             .select("doc_a", "doc_b"))
+    pairs = _simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
     edges = (pairs.select(F.col("doc_a").alias("src"),
                           F.col("doc_b").alias("dst"))
              .unionByName(pairs.select(F.col("doc_b").alias("src"),
-                                       F.col("doc_a").alias("dst")))
-             # the degree aggregate AND the annotation joins read this
-             # frame: keep the banded pair pipeline from re-running.
-             .persist())
+                                       F.col("doc_a").alias("dst"))))
     deg = (edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
            .select(F.col("src").alias("doc_id"), "d"))
     ann = (edges
