@@ -7,6 +7,7 @@ from etl_cloud_batch_processing_spark.plans import (  # noqa: F401
     drift,
     evolution,
     filtering,
+    layout,
     llm,
     profiling,
     sketches,
