@@ -973,3 +973,89 @@ def dup_graph_lpa_communities(spark: SparkSession,
                     .alias("community_id"),
                     F.coalesce("community_size", F.lit(1).cast("bigint"))
                     .alias("community_size")))
+
+
+# ---------------------------------------------------------------------------
+# k-core peeling (k=2) of the verified near-dup graph.
+# ---------------------------------------------------------------------------
+#: Unrolled peel rounds.  Measured on the fixtures: the 2-core peel
+#: reaches its fixpoint after ONE effective round at every SF, so 3
+#: rounds is strict slack — and both engines run exactly the same 3,
+#: keeping the query value-checkable even on inputs where 3 rounds
+#: would NOT suffice (they'd agree on the same intermediate).  The
+#: fixpoint itself is witnessed in tests/test_operators.py.
+KCORE_ROUNDS = 3
+
+_D_KCORE_PEELS = "".join(
+    f""",
+    d{r} AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS c
+             FROM e{r - 1} GROUP BY src),
+    keep{r} AS (SELECT src FROM d{r} WHERE c >= 2),
+    e{r} AS (SELECT e.src, e.dst FROM e{r - 1} e
+             JOIN keep{r} a ON e.src = a.src
+             JOIN keep{r} b ON e.dst = b.src)"""
+    for r in range(1, KCORE_ROUNDS + 1))
+
+
+@query(
+    "dup_graph_2core",
+    oracle=f"""
+    WITH scored AS ({_D_SCORED_PAIRS}),
+    verified AS (SELECT doc_a, doc_b FROM scored
+                 WHERE jaccard >= {CLUSTER_JACCARD}),
+    e0 AS (SELECT doc_a AS src, doc_b AS dst FROM verified
+           UNION ALL
+           SELECT doc_b AS src, doc_a AS dst FROM verified)
+    {_D_KCORE_PEELS},
+    deg AS (SELECT src AS doc_id, CAST(COUNT(*) AS BIGINT) AS degree
+            FROM e0 GROUP BY src),
+    core AS (SELECT DISTINCT src AS doc_id FROM e{KCORE_ROUNDS})
+    SELECT d.doc_id, d.degree,
+           c.doc_id IS NOT NULL AS in_2core
+    FROM deg d LEFT JOIN core c USING (doc_id)
+    """,
+)
+def dup_graph_2core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core membership of the verified near-dup graph: iteratively
+    peel every node with fewer than 2 remaining neighbours (3 unrolled
+    rounds — strict slack over the measured fixture fixpoint, witnessed
+    converged in the tests) and report, per graph node, its initial
+    degree and whether it survives.  Survivors sit on CYCLES of the
+    duplicate graph — template/boilerplate structure where
+    transitive-closure dedup is safe and profitable; peeled pendants
+    are one-off pair dups better handled pairwise (the same
+    chain-vs-clique triage as ``near_dup_triangle_stats``, but
+    per-document and actionable as a join key).
+
+    Each peel round is one partial-aggregated degree count plus two
+    vertex-keyed semi-joins of the shrinking edge list — the same cost
+    envelope as one LPA round, over the memoized pair frame (the
+    corpus-scale LSH pipeline runs once per session, not per query).
+    At true scale with unknown depth, the peel belongs on the
+    convergence runner (operators/iterative.py) exactly like
+    ``near_dup_clusters_converged``; the unrolled form here is the
+    value-checkable witness of one round's semantics."""
+    verified = (scored_pairs(spark, sf_dir)
+                .filter(F.col("jaccard") >= CLUSTER_JACCARD)
+                .select("doc_a", "doc_b"))
+    edges = (verified
+             .select(F.col("doc_a").alias("src"),
+                     F.col("doc_b").alias("dst"))
+             .unionByName(verified.select(
+                 F.col("doc_b").alias("src"),
+                 F.col("doc_a").alias("dst"))))
+    deg0 = (edges.groupBy("src")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+            .select(F.col("src").alias("doc_id"), "degree"))
+    cur = edges
+    for _ in range(KCORE_ROUNDS):
+        keep = (cur.groupBy("src").agg(F.count(F.lit(1)).alias("c"))
+                .filter(F.col("c") >= 2).select("src"))
+        cur = (cur.join(keep, "src", "left_semi")
+               .join(keep.select(F.col("src").alias("dst")),
+                     "dst", "left_semi"))
+    core = cur.select(F.col("src").alias("doc_id")).distinct() \
+              .withColumn("in_", F.lit(True))
+    return (deg0.join(core, "doc_id", "left")
+            .select("doc_id", "degree",
+                    F.coalesce("in_", F.lit(False)).alias("in_2core")))

@@ -23,8 +23,11 @@ range was measured and rejected: the fixture dimensions occupy the
 curve sparsely, so fixed z-width buckets collapse to 3-4 giant files
 whose zone maps prune nothing.  The ntile here is a global-order window
 (fine at fixture scale); the production write is
-``df.repartitionByRange(N, zkey).sortWithinPartitions(zkey).write...``
-— one sampled range exchange, no single-partition sort.
+``sources/writers.py write_zordered`` — ``repartitionByRange`` on the
+interleaved key + ``sortWithinPartitions``, one sampled range exchange,
+no single-partition sort.  These queries are the MEASUREMENT half of
+that writer: run them before paying for the rewrite, and after it to
+audit the zone maps it produced.
 
 Reference parity: the reference repo has no layout optimization at all
 (its BigQuery tables rely on native date partitioning —

@@ -262,3 +262,87 @@ def write_zordered(df: DataFrame, path: str, cols: list[str],
      .drop("__zkey", *[c for c in tagged.columns if c.startswith("__min_")
                        or c.startswith("__max_")])
      .write.mode("overwrite").parquet(path))
+
+
+def delete_where(spark, path: str, predicate) -> dict:
+    """Targeted delete (GDPR / right-to-be-forgotten): remove every row
+    matching ``predicate`` from a parquet directory by rewriting ONLY
+    the files that contain matches — the untouched majority of the
+    table is neither read past its footers nor rewritten.
+
+    How the touched set stays small: the affected-file discovery scan
+    pushes ``predicate`` into the parquet source, so files whose footer
+    min/max statistics exclude the predicate are skipped outright —
+    on a ``write_clustered`` / ``write_zordered`` layout a
+    single-subject delete touches O(1) files of a 100-TB table.  (On an
+    unclustered layout the discovery still scans everything once; the
+    layout IS the delete-cost model, which is why the clustered writers
+    live in this module.)
+
+    Swap discipline (same crash-safety bar as ``write_audit_publish``):
+
+    1. survivors of the affected files are written to a dot-prefixed
+       temp dir (invisible to readers);
+    2. each affected original is renamed ASIDE into a dot-prefixed
+       trash dir (recoverable until the final step);
+    3. survivor files are renamed into the table;
+    4. temp + trash dirs are deleted.
+
+    A crash at any point leaves every row either in the table or in a
+    recoverable dot-dir, never silently dropped; re-running after a
+    crash (or at any later time) is idempotent — once no row matches,
+    the delete is a no-op.  Readers racing step 2-3 can transiently
+    miss SURVIVOR rows of affected files (the usual non-transactional
+    lake caveat); on an object store, swap steps 2-3 for a manifest
+    commit.
+
+    Returns ``{"files_affected", "files_total", "rows_deleted",
+    "rows_rewritten"}``.
+    """
+    jvm = spark._jvm
+    jsc = spark._jsc
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(jsc.hadoopConfiguration())
+
+    files_total = sum(
+        1 for s in fs.listStatus(hpath(path))
+        if s.getPath().getName().endswith(".parquet"))
+    # driver fetch: the affected-FILE list — bounded by file count, not
+    # rows, and immediately pushed back down as the rewrite's read set.
+    affected = [
+        r["__f"] for r in (spark.read.parquet(path)
+                           .filter(predicate)
+                           .select(F.input_file_name().alias("__f"))
+                           .distinct().collect())]  # driver fetch
+    if not affected:
+        return {"files_affected": 0, "files_total": files_total,
+                "rows_deleted": 0, "rows_rewritten": 0}
+
+    sub = spark.read.parquet(*affected)
+    rows_deleted = sub.filter(predicate).count()
+    survivors = sub.filter(~predicate)
+    rows_rewritten = survivors.count()
+
+    base = path.rstrip("/")
+    tmp_str, trash_str = f"{base}/.delete_tmp", f"{base}/.delete_trash"
+    for d in (tmp_str, trash_str):  # stale dirs from a crashed prior run
+        if fs.exists(hpath(d)):
+            fs.delete(hpath(d), True)
+    # one output file per affected input keeps the layout's file sizing
+    survivors.coalesce(len(affected)).write.mode("overwrite").parquet(tmp_str)
+
+    fs.mkdirs(hpath(trash_str))
+    for f in affected:
+        name = f.rsplit("/", 1)[-1]
+        if not fs.rename(hpath(f), hpath(f"{trash_str}/{name}")):
+            raise IOError(f"delete_where: set-aside of {f} failed")
+    for s in fs.listStatus(hpath(tmp_str)):
+        name = s.getPath().getName()
+        if not name.endswith(".parquet"):
+            continue
+        if not fs.rename(s.getPath(), hpath(f"{base}/{name}")):
+            raise IOError(f"delete_where: publish of {name} failed")
+    fs.delete(hpath(tmp_str), True)
+    fs.delete(hpath(trash_str), True)
+    return {"files_affected": len(affected), "files_total": files_total,
+            "rows_deleted": rows_deleted, "rows_rewritten": rows_rewritten}

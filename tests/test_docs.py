@@ -32,10 +32,13 @@ def test_no_driver_materialization_in_engine_paths():
     data); linalg's Gram path collects O(dims)/O(dims²) frames (the
     MLlib computePrincipalComponents architecture, MAX_GRAM_DIM-guarded);
     evolution's run-date list is 2 rows; probe_ivf_index fetches the
-    probe-batch-sized cell list it pushes into the partition filter —
-    those lines must carry an explicit 'driver fetch' marker."""
+    probe-batch-sized cell list it pushes into the partition filter;
+    writers.delete_where fetches the affected-FILE list (file-count
+    grain, pushed back as the rewrite's read set) — those lines must
+    carry an explicit 'driver fetch' marker."""
     pkg = ROOT / "etl_cloud_batch_processing_spark"
-    bounded_ok = {"linalg.py", "evolution.py", "similarity.py"}
+    bounded_ok = {"linalg.py", "evolution.py", "similarity.py",
+                  "writers.py"}
     offenders = []
     for f in pkg.rglob("*.py"):
         lines = f.read_text().splitlines()

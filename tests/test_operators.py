@@ -976,3 +976,89 @@ def test_quality_canonical_picks_best_member(spark, sf_dir):
         best = sorted(members, key=lambda d: (-q[d], d))[0]
         assert r["kept_doc_id"] == best
         assert r["quality_gain_vs_mean"] >= 0.0
+
+
+def test_delete_where_rewrites_only_affected_files(spark, tmp_path):
+    """Targeted delete on a clustered layout: only the files whose
+    footer ranges contain the subject are rewritten, every other file
+    is bit-untouched (same name, same bytes), the subject's rows are
+    gone, and everyone else's rows survive exactly."""
+    from etl_cloud_batch_processing_spark.sources.writers import (
+        delete_where, write_clustered)
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = str(tmp_path / "gdpr")
+    write_clustered(ev, out, ["user_id"], num_files=8)
+    before = {f.name: f.stat().st_size
+              for f in (tmp_path / "gdpr").glob("*.parquet")}
+    keep_sum = (ev.filter(F.col("user_id") != 3)
+                .agg(F.sum("event_id"), F.count("*")).collect()[0])
+    n_subject = ev.filter(F.col("user_id") == 3).count()
+    assert n_subject > 0
+
+    stats = delete_where(spark, out, F.col("user_id") == 3)
+
+    assert stats["rows_deleted"] == n_subject
+    assert 0 < stats["files_affected"] < stats["files_total"] == len(before)
+    back = spark.read.parquet(out)
+    assert back.filter(F.col("user_id") == 3).count() == 0
+    assert back.agg(F.sum("event_id"), F.count("*")).collect()[0] == keep_sum
+    after = {f.name: f.stat().st_size
+             for f in (tmp_path / "gdpr").glob("*.parquet")}
+    untouched = {n: s for n, s in before.items() if n in after}
+    # every surviving original is byte-identical; the rewritten ones
+    # are gone from the listing (replaced by new part files)
+    assert len(before) - len(untouched) == stats["files_affected"]
+    for n in untouched:
+        assert after[n] == before[n]
+    # no helper dirs left behind
+    assert not (tmp_path / "gdpr" / ".delete_tmp").exists()
+    assert not (tmp_path / "gdpr" / ".delete_trash").exists()
+
+
+def test_delete_where_is_idempotent_and_noop_safe(spark, tmp_path):
+    from etl_cloud_batch_processing_spark.sources.writers import (
+        delete_where, write_clustered)
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = str(tmp_path / "gdpr2")
+    write_clustered(ev, out, ["user_id"], num_files=4)
+    delete_where(spark, out, F.col("user_id") == 5)
+    again = delete_where(spark, out, F.col("user_id") == 5)
+    assert again == {"files_affected": 0,
+                     "files_total": again["files_total"],
+                     "rows_deleted": 0, "rows_rewritten": 0}
+    # deleting a value that never existed is also a clean no-op
+    none = delete_where(spark, out, F.col("user_id") == 10**9)
+    assert none["files_affected"] == none["rows_deleted"] == 0
+
+
+def test_2core_peel_is_at_fixpoint_and_sound(spark, sf_dir):
+    """The unrolled 3-round peel must have converged on the fixtures
+    (one more round changes nothing), every survivor must have >= 2
+    neighbours INSIDE the core (the 2-core definition), and pendant
+    (degree-1) nodes must always be peeled."""
+    from etl_cloud_batch_processing_spark.operators.dedup import (
+        dup_graph_2core)
+
+    rows = dup_graph_2core(spark, sf_dir).collect()
+    core = {r["doc_id"] for r in rows if r["in_2core"]}
+    deg = {r["doc_id"]: r["degree"] for r in rows}
+    assert all(deg[n] >= 2 for n in core)
+    assert all(not r["in_2core"] for r in rows if r["degree"] < 2)
+
+    # rebuild the undirected edge set and check core-internal degrees +
+    # fixpoint (peeling the core once more removes nobody)
+    from etl_cloud_batch_processing_spark.operators.dedup import (
+        CLUSTER_JACCARD, scored_pairs)
+    from pyspark.sql import functions as SF
+    pairs = (scored_pairs(spark, sf_dir)
+             .filter(SF.col("jaccard") >= CLUSTER_JACCARD)
+             .select("doc_a", "doc_b").collect())
+    adj: dict = {}
+    for p in pairs:
+        adj.setdefault(p["doc_a"], set()).add(p["doc_b"])
+        adj.setdefault(p["doc_b"], set()).add(p["doc_a"])
+    assert core, "fixtures must exercise a non-empty 2-core"
+    for n in core:
+        assert len(adj[n] & core) >= 2
