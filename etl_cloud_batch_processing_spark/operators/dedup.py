@@ -1047,13 +1047,20 @@ def dup_graph_2core(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg0 = (edges.groupBy("src")
             .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
             .select(F.col("src").alias("doc_id"), "degree"))
-    cur = edges
+    # localCheckpoint each round: round r's frame feeds THREE branches
+    # of round r+1 (the degree count + both semi-join probes), so the
+    # LOGICAL plan grows 3^rounds without truncation and Catalyst
+    # re-analysis — not execution — becomes the cost (measured 35 s vs
+    # ~3 s at sf0.1 under bench's cold-cache regime; caching alone
+    # does NOT fix it, the optimizer still walks the full tree).  Same
+    # bounded-lineage rule as operators/iterative.py, fixed-round form.
+    cur = edges.localCheckpoint()  # eager: materialize + truncate
     for _ in range(KCORE_ROUNDS):
         keep = (cur.groupBy("src").agg(F.count(F.lit(1)).alias("c"))
                 .filter(F.col("c") >= 2).select("src"))
         cur = (cur.join(keep, "src", "left_semi")
                .join(keep.select(F.col("src").alias("dst")),
-                     "dst", "left_semi"))
+                     "dst", "left_semi")).localCheckpoint()
     core = cur.select(F.col("src").alias("doc_id")).distinct() \
               .withColumn("in_", F.lit(True))
     return (deg0.join(core, "doc_id", "left")

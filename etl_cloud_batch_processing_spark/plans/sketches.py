@@ -370,3 +370,185 @@ def bloom_pruned_join_audit(spark: SparkSession,
                     F.col("e_rev").cast("double").alias("exact_revenue"),
                     (F.col("p_rev") == F.col("e_rev"))
                     .alias("results_equal")))
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct-count sketch: keep the KMV_K smallest
+# distinct hash values of a stream; if the k-th smallest is h_k, the
+# distinct count is ≈ (k-1)·H/h_k (Bar-Yossef et al. 2002 — the
+# bottom-k form behind the theta sketch).  Unlike HLL (rows-only per
+# SURVEY.md §5.2: merge internals are engine-specific), KMV is a pure
+# order statistic of a deterministic hash — exactly reproducible in
+# DuckDB, so this family's estimates are value-hash-checked.
+# ---------------------------------------------------------------------------
+KMV_K = 64
+
+_D_KMV = f"""
+    SELECT event_type, user_id,
+           {_D_KEY_H32.format(key='user_id')} AS h
+    FROM events
+"""
+
+
+@query(
+    "kmv_distinct_users_by_type",
+    oracle=f"""
+    WITH hs AS (SELECT DISTINCT event_type, h FROM ({_D_KMV})),
+    ranked AS (
+        SELECT event_type, h,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY h ASC) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS n_hashes
+        FROM hs),
+    exact AS (
+        SELECT event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+        FROM events GROUP BY event_type),
+    est AS (
+        SELECT event_type, n_hashes,
+               CASE WHEN n_hashes < {KMV_K} THEN CAST(n_hashes AS DOUBLE)
+                    ELSE ({KMV_K} - 1) * {H32}.0 / MAX(h)
+               END AS kmv_estimate
+        FROM ranked WHERE rn <= {KMV_K}
+        GROUP BY event_type, n_hashes)
+    SELECT e.event_type, x.exact_distinct,
+           ROUND(e.kmv_estimate, 6) + 0.0 AS kmv_estimate,
+           ROUND(ABS(e.kmv_estimate - x.exact_distinct)
+                 / x.exact_distinct, 6) + 0.0 AS rel_error
+    FROM est e JOIN exact x USING (event_type)
+    """,
+)
+def kmv_distinct_users_by_type(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """KMV distinct-user estimate per event type, audited against the
+    exact count: keep each type's 64 smallest distinct user-id hashes,
+    estimate distinct users as (k−1)·H/h_k (exact count when the type
+    holds fewer than k distinct hashes — the sketch IS the value set
+    then), and report the relative error.  The deterministic,
+    value-checked sibling of ``approx_distinct_users`` (HLL, rows-only):
+    same job, auditable answer.
+
+    Scale shape: one partial-aggregated distinct on (type, hash) — the
+    only fact-scale stage — then a per-type top-k over ≤ distinct-count
+    rows; the sketch that leaves each partition is ≤ k values per type,
+    and two sketches merge by union-then-keep-smallest-k (the same
+    mergeable contract as the CMS cells above).  Estimate/exact divide
+    runs once per type."""
+    ev = table(spark, sf_dir, "events")
+    hs = (ev.select("event_type",
+                    _key_h32(F.col("user_id")).alias("h"))
+          .distinct())
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("event_type").orderBy(F.asc("h"))
+    ranked = (hs.select(
+        "event_type", "h",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+        .cast("bigint").alias("n_hashes")))
+    est = (ranked.filter(F.col("rn") <= KMV_K)
+           .groupBy("event_type", "n_hashes")
+           .agg(F.max("h").alias("hk"))
+           .select("event_type",
+                   F.when(F.col("n_hashes") < KMV_K,
+                          F.col("n_hashes").cast("double"))
+                   .otherwise(F.lit(float(KMV_K - 1)) * F.lit(float(H32))
+                              / F.col("hk"))
+                   .alias("kmv_estimate")))
+    exact = (ev.groupBy("event_type")
+             .agg(F.countDistinct("user_id").cast("bigint")
+                  .alias("exact_distinct")))
+    return (est.join(exact, "event_type")
+            .select("event_type", "exact_distinct",
+                    (F.round("kmv_estimate", 6) + F.lit(0.0))
+                    .alias("kmv_estimate"),
+                    (F.round(F.abs(F.col("kmv_estimate")
+                                   - F.col("exact_distinct"))
+                             / F.col("exact_distinct"), 6) + F.lit(0.0))
+                    .alias("rel_error")))
+
+
+# ---------------------------------------------------------------------------
+# AMS F₂ sketch (Alon-Matias-Szegedy 1996): estimate the second
+# frequency moment Σ c_u² — the SELF-JOIN SIZE on the key — from
+# AMS_R independent ±1-signed sums.  Join-size estimation is what a
+# 100-TB planner wants before committing to a shuffle strategy; the
+# estimator here is the classic median-of-squares, fully deterministic
+# given the md5-derived sign hashes, hence oracle-checked.
+# ---------------------------------------------------------------------------
+AMS_R = 16
+AMS_A = [_const(f"ams_a{j}", 1, 1 << 30) for j in range(AMS_R)]
+AMS_B = [_const(f"ams_b{j}", 0, 1 << 30) for j in range(AMS_R)]
+
+_AMS_SIGN_SQL = [
+    f"(2 * ((({AMS_A[j]} * h32 + {AMS_B[j]}) % {P}) % 2) - 1)"
+    for j in range(AMS_R)]
+
+
+def _ams_sign_cols(h32):
+    return F.array(*[
+        F.lit(2) * (((F.lit(AMS_A[j]) * h32 + F.lit(AMS_B[j])) % F.lit(P))
+                    % F.lit(2)) - F.lit(1)
+        for j in range(AMS_R)])
+
+
+@query(
+    "ams_selfjoin_size_estimate",
+    oracle=f"""
+    WITH c AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt,
+               {_D_KEY_H32.format(key='user_id')} AS h32
+        FROM events GROUP BY 1),
+    sk AS (
+        SELECT j.j,
+               SUM(cnt * ([{", ".join(_AMS_SIGN_SQL)}])[j.j + 1]) AS s
+        FROM c CROSS JOIN (SELECT unnest(range(0, {AMS_R})) AS j) j
+        GROUP BY j.j),
+    est AS (SELECT MEDIAN(s * s) AS ams_estimate FROM sk),
+    exact AS (SELECT CAST(SUM(cnt * cnt) AS BIGINT) AS exact_f2 FROM c)
+    SELECT x.exact_f2,
+           ROUND(e.ams_estimate, 6) + 0.0 AS ams_estimate,
+           ROUND(ABS(e.ams_estimate - x.exact_f2) / x.exact_f2, 6) + 0.0
+               AS rel_error,
+           CAST({AMS_R} AS BIGINT) AS n_estimators
+    FROM est e, exact x
+    """,
+)
+def ams_selfjoin_size_estimate(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """AMS F₂ estimate of the events⋈events self-join size on user_id,
+    audited against the exact Σc²: 16 independent ±1-signed sums of the
+    per-user counts, squared, median-combined — next to the exact
+    second moment and the relative error.  This is the sketch a
+    distributed planner consults before picking a join strategy (a
+    large F₂ means heavy keys and a skew-prone shuffle — the same
+    signal ``salted_join`` acts on), and the median-of-squares form is
+    the textbook one.
+
+    Scale shape: per-user counts are one partial-aggregated groupBy
+    (the only fact-scale stage); the 16 signed sums are one more
+    aggregation over user-grain rows (each ±1 is arithmetic on the
+    already-computed hash — no second scan), and each estimator's
+    signed sum merges across partitions by plain addition, the
+    mergeable contract again.  The 16-row estimator frame reduces to
+    its median on one executor."""
+    ev = table(spark, sf_dir, "events")
+    c = (ev.groupBy("user_id")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt")))
+    signed = c.select(
+        "cnt", F.posexplode(_ams_sign_cols(_key_h32(F.col("user_id"))))
+        .alias("j", "sign"))
+    sk = (signed.groupBy("j")
+          .agg(F.sum(F.col("cnt") * F.col("sign")).alias("s")))
+    est = sk.agg(F.median(F.col("s") * F.col("s")).alias("ams_estimate"))
+    exact = c.agg(F.sum(F.col("cnt") * F.col("cnt")).cast("bigint")
+                  .alias("exact_f2"))
+    return (est.crossJoin(F.broadcast(exact))
+            .select("exact_f2",
+                    (F.round("ams_estimate", 6) + F.lit(0.0))
+                    .alias("ams_estimate"),
+                    (F.round(F.abs(F.col("ams_estimate")
+                                   - F.col("exact_f2"))
+                             / F.col("exact_f2"), 6) + F.lit(0.0))
+                    .alias("rel_error"),
+                    F.lit(AMS_R).cast("bigint").alias("n_estimators")))

@@ -1,5 +1,5 @@
-"""Sketch operators (plans/sketches.py): count-min sketch and Bloom
-filter structural guarantees.
+"""Sketch operators (plans/sketches.py): count-min sketch, Bloom
+filter, KMV distinct-count, and AMS F2 structural guarantees.
 
 Unlike the HLL/percentile sketch class (rows-only per SURVEY.md §5.2),
 CMS and Bloom are deterministic functions of the input multiset, so the
@@ -131,3 +131,70 @@ def test_cms_report_overestimate_nonnegative(spark, sf_dir):
     assert len(rows) == 20
     assert all(r["overestimate"] >= 0 for r in rows)
     assert CMS_D == 4 and BLOOM_K == 4  # docstring constants stay literal
+
+
+def test_kmv_sketch_is_mergeable_and_exact_when_small(spark, sf_dir):
+    """Union-then-keep-smallest-k of two halves' sketches equals the
+    whole corpus's sketch (the theta-sketch merge rule), and a stream
+    with fewer than K distinct hashes is counted exactly."""
+    from etl_cloud_batch_processing_spark.plans.sketches import (
+        KMV_K, _key_h32, kmv_distinct_users_by_type)
+
+    ev = table(spark, sf_dir, "events")
+
+    def bottom_k(df):
+        hs = sorted(r["h"] for r in df.select(
+            _key_h32(F.col("user_id")).alias("h")).distinct().collect())
+        return hs[:KMV_K]
+
+    whole = bottom_k(ev)
+    even = bottom_k(ev.filter(F.col("event_id") % 2 == 0))
+    odd = bottom_k(ev.filter(F.col("event_id") % 2 == 1))
+    assert sorted(set(even) | set(odd))[:KMV_K] == whole
+
+    rows = kmv_distinct_users_by_type(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["rel_error"] >= 0.0
+        if r["exact_distinct"] < KMV_K:
+            # sketch degenerates to the exact value set
+            assert r["kmv_estimate"] == float(r["exact_distinct"])
+
+
+def test_ams_estimators_merge_by_addition(spark, sf_dir):
+    """Each AMS signed sum over the whole corpus equals the sum of the
+    two halves' signed sums computed from per-half counts — the
+    property that lets per-partition sketches combine without a second
+    scan."""
+    from etl_cloud_batch_processing_spark.plans.sketches import (
+        _ams_sign_cols, _key_h32)
+
+    ev = table(spark, sf_dir, "events")
+
+    def sums(df):
+        c = df.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+        sk = (c.select("cnt",
+                       F.posexplode(_ams_sign_cols(
+                           _key_h32(F.col("user_id"))))
+                       .alias("j", "sign"))
+              .groupBy("j").agg(F.sum(F.col("cnt") * F.col("sign"))
+                                .alias("s")))
+        return {r["j"]: r["s"] for r in sk.collect()}
+
+    whole = sums(ev)
+    even = sums(ev.filter(F.col("event_id") % 2 == 0))
+    odd = sums(ev.filter(F.col("event_id") % 2 == 1))
+    assert {j: even.get(j, 0) + odd.get(j, 0) for j in whole} == whole
+
+
+def test_ams_estimate_is_unbiased_scale(spark, sf_dir):
+    """The median-of-squares must land within a factor of 3 of the true
+    F2 on the fixtures (16 estimators give ~50% standard error; a
+    factor-3 miss would mean a sign-hash bug, not noise)."""
+    from etl_cloud_batch_processing_spark.plans.sketches import (
+        ams_selfjoin_size_estimate)
+
+    r = ams_selfjoin_size_estimate(spark, sf_dir).collect()[0]
+    assert r["exact_f2"] > 0
+    assert r["n_estimators"] == 16
+    assert r["exact_f2"] / 3 <= r["ams_estimate"] <= r["exact_f2"] * 3
