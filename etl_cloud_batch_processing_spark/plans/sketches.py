@@ -440,12 +440,24 @@ def kmv_distinct_users_by_type(spark: SparkSession,
                     _key_h32(F.col("user_id")).alias("h"))
           .distinct())
     from pyspark.sql.window import Window
-    w = Window.partitionBy("event_type").orderBy(F.asc("h"))
-    ranked = (hs.select(
-        "event_type", "h",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy("event_type"))
-        .cast("bigint").alias("n_hashes")))
+    # Two-phase bottom-k: a window partitioned by event_type alone has
+    # only |types| partitions — one task per type at 100 TB (measured
+    # 8.3× at the 32× soak).  Phase 1 keeps each (type, h%16 salt)
+    # group's bottom-K (16·|types| parallel window partitions, ≤ K rows
+    # survive per group); phase 2 ranks the ≤ 16K survivors per type —
+    # identical result, because the global bottom-K is contained in the
+    # union of per-salt bottom-Ks.  n_hashes (the exact-when-small
+    # branch) is a plain partial-aggregated count, not a window.
+    w1 = Window.partitionBy("event_type", F.col("h") % 16) \
+               .orderBy(F.asc("h"))
+    survivors = (hs.withColumn("rn1", F.row_number().over(w1))
+                 .filter(F.col("rn1") <= KMV_K).drop("rn1"))
+    w2 = Window.partitionBy("event_type").orderBy(F.asc("h"))
+    n_hashes = hs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hashes"))
+    ranked = (survivors
+              .withColumn("rn", F.row_number().over(w2))
+              .join(F.broadcast(n_hashes), "event_type"))
     est = (ranked.filter(F.col("rn") <= KMV_K)
            .groupBy("event_type", "n_hashes")
            .agg(F.max("h").alias("hk"))
