@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from etl_cloud_batch_processing_spark.plans.registry import query, table
+from etl_cloud_batch_processing_spark.plans import sketches as SK
 from etl_cloud_batch_processing_spark.streaming import windows as W
 
 
@@ -647,3 +648,78 @@ def streaming_hopping_counts(spark: SparkSession,
                    "event_type", "n_events", "sum_value"))
     W.run_available_now(agg, out, ckpt)
     return _ntz(spark.read.parquet(out))
+
+
+@query(
+    "streaming_cms_cell_merge",
+    oracle=f"""
+    WITH occ AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+    tc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c
+           FROM occ GROUP BY token),
+    hb AS (SELECT c,
+                  CAST('0x' || substr(md5(token), 1, 15) AS BIGINT)
+                      % {SK.H32} AS h32
+           FROM tc),
+    bk AS (SELECT c, CAST(r.row_id AS BIGINT) AS row_id,
+                  CAST(([{", ".join(SK._CMS_BUCKET_SQL)}])[r.row_id + 1]
+                       AS BIGINT) AS bucket
+           FROM hb CROSS JOIN (SELECT unnest(range(0, {SK.CMS_D}))
+                               AS row_id) r)
+    SELECT row_id, bucket, CAST(SUM(c) AS BIGINT) AS cell
+    FROM bk GROUP BY 1, 2
+    """,
+)
+def streaming_cms_cell_merge(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """The mergeable-summaries contract RUN as a stream: the documents
+    corpus arrives in 4 micro-batches, each batch computes its own
+    64-cell count-min sketch (one partial-aggregated token count, then
+    the (row, bucket) cell sum), and ``foreachBatch`` folds it into a
+    keyed state table by PLAIN CELLWISE ADDITION — after the
+    AvailableNow drain, the state must equal the batch-computed sketch
+    of the whole corpus, bit-for-bit, which is exactly what the DuckDB
+    oracle checks.  This is the proof behind the CMS docstring's
+    "cells merge across partitions, days, or corpora by addition"
+    (plans/sketches.py): the daily-ingest form keeps one 64-row state
+    table and never re-touches history, O(cells) merge per batch
+    regardless of corpus size.  State versions are keyed by batch_id
+    (a retried batch overwrites its own version — idempotent against
+    at-least-once delivery, same discipline as
+    ``streaming_foreachbatch_upsert``)."""
+    src = tempfile.mkdtemp(prefix="cms_src_")
+    state_root = tempfile.mkdtemp(prefix="cms_state_")
+    ckpt = tempfile.mkdtemp(prefix="cms_ckpt_")
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", "1")
+              .option("pathGlobFilter", "*.parquet")
+              .parquet(src))
+    latest: dict[str, str] = {}
+
+    def merge_cells(batch: DataFrame, batch_id: int) -> None:
+        tc = (batch.select(F.explode(F.split("text", " ")).alias("token"))
+              .groupBy("token").agg(F.count(F.lit(1)).alias("c")))
+        cells = (tc.select(
+            "c", F.posexplode(SK._cms_bucket_cols(SK._key_h32(F.col("token"))))
+            .alias("row_id", "bucket"))
+            .groupBy(F.col("row_id").cast("bigint").alias("row_id"),
+                     F.col("bucket").cast("bigint").alias("bucket"))
+            .agg(F.sum("c").cast("bigint").alias("cell")))
+        if "path" in latest:
+            prev = batch.sparkSession.read.parquet(latest["path"])
+            cells = (prev.unionByName(cells)
+                     .groupBy("row_id", "bucket")
+                     .agg(F.sum("cell").cast("bigint").alias("cell")))
+        version = f"{state_root}/v{batch_id}"
+        cells.write.mode("overwrite").parquet(version)
+        latest["path"] = version
+
+    q = (stream.writeStream.foreachBatch(merge_cells)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.read.parquet(latest["path"])

@@ -198,3 +198,23 @@ def test_ams_estimate_is_unbiased_scale(spark, sf_dir):
     assert r["exact_f2"] > 0
     assert r["n_estimators"] == 16
     assert r["exact_f2"] / 3 <= r["ams_estimate"] <= r["exact_f2"] * 3
+
+
+def test_streaming_cms_state_equals_batch_sketch(spark, sf_dir):
+    """The foreachBatch cellwise merge must reproduce the batch-computed
+    sketch exactly — the streaming face of test_cms_sketch_is_mergeable
+    (4 micro-batches instead of 2 halves)."""
+    from etl_cloud_batch_processing_spark.plans.streams import (
+        streaming_cms_cell_merge)
+
+    got = {(r["row_id"], r["bucket"]): r["cell"]
+           for r in streaming_cms_cell_merge(spark, sf_dir).collect()}
+    tc = _token_counts(spark, sf_dir)
+    bk = tc.select(
+        "exact_count",
+        F.posexplode(_cms_bucket_cols(_key_h32(F.col("token"))))
+        .alias("row_id", "bucket"))
+    want = {(r["row_id"], r["bucket"]): r["cell"]
+            for r in bk.groupBy("row_id", "bucket")
+            .agg(F.sum("exact_count").alias("cell")).collect()}
+    assert got == want
