@@ -301,12 +301,15 @@ def bloom_filter_fpr_report(spark: SparkSession,
     o95 AS (SELECT o_custkey, o_totalprice FROM orders
             WHERE year(o_orderdate) = 1995),
     pruned AS (
-        SELECT CAST(ROUND(SUM(o.o_totalprice), 2) AS DECIMAL(18, 2))
-                   AS rev
+        -- per-row round-then-DECIMAL-sum, mirroring the Spark form
+        -- exactly: a float SUM(double) here would be accumulation-
+        -- order sensitive at larger SFs (round-8 advice)
+        SELECT CAST(SUM(CAST(ROUND(o.o_totalprice, 2) AS DECIMAL(18, 2)))
+                    AS DECIMAL(18, 2)) AS rev
         FROM surv s JOIN o95 o ON o.o_custkey = s.key),
     exact AS (
-        SELECT CAST(ROUND(SUM(o.o_totalprice), 2) AS DECIMAL(18, 2))
-                   AS rev
+        SELECT CAST(SUM(CAST(ROUND(o.o_totalprice, 2) AS DECIMAL(18, 2)))
+                    AS DECIMAL(18, 2)) AS rev
         FROM (SELECT c_custkey FROM customer) c
         JOIN o95 o ON o.o_custkey = c.c_custkey)
     SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_probed,

@@ -684,9 +684,15 @@ def streaming_cms_cell_merge(spark: SparkSession,
     (plans/sketches.py): the daily-ingest form keeps one 64-row state
     table and never re-touches history, O(cells) merge per batch
     regardless of corpus size.  State versions are keyed by batch_id
-    (a retried batch overwrites its own version — idempotent against
-    at-least-once delivery, same discipline as
-    ``streaming_foreachbatch_upsert``)."""
+    and each batch folds over version ``batch_id - 1`` READ FROM DISK
+    (never its own output, never an in-memory pointer): a foreachBatch
+    retry re-reads the same predecessor and overwrites only its own
+    version — idempotent against at-least-once delivery — and a query
+    RESTART from the checkpoint resumes against the prior process's
+    durable state, which an in-memory ``latest`` pointer would silently
+    drop (the round-8 advice finding)."""
+    import os as _os
+
     src = tempfile.mkdtemp(prefix="cms_src_")
     state_root = tempfile.mkdtemp(prefix="cms_state_")
     ckpt = tempfile.mkdtemp(prefix="cms_ckpt_")
@@ -697,7 +703,6 @@ def streaming_cms_cell_merge(spark: SparkSession,
               .option("maxFilesPerTrigger", "1")
               .option("pathGlobFilter", "*.parquet")
               .parquet(src))
-    latest: dict[str, str] = {}
 
     def merge_cells(batch: DataFrame, batch_id: int) -> None:
         tc = (batch.select(F.explode(F.split("text", " ")).alias("token"))
@@ -708,18 +713,19 @@ def streaming_cms_cell_merge(spark: SparkSession,
             .groupBy(F.col("row_id").cast("bigint").alias("row_id"),
                      F.col("bucket").cast("bigint").alias("bucket"))
             .agg(F.sum("c").cast("bigint").alias("cell")))
-        if "path" in latest:
-            prev = batch.sparkSession.read.parquet(latest["path"])
+        prev_path = f"{state_root}/v{batch_id - 1}"
+        if batch_id > 0 and _os.path.isdir(prev_path):
+            prev = batch.sparkSession.read.parquet(prev_path)
             cells = (prev.unionByName(cells)
                      .groupBy("row_id", "bucket")
                      .agg(F.sum("cell").cast("bigint").alias("cell")))
-        version = f"{state_root}/v{batch_id}"
-        cells.write.mode("overwrite").parquet(version)
-        latest["path"] = version
+        cells.write.mode("overwrite").parquet(f"{state_root}/v{batch_id}")
 
     q = (stream.writeStream.foreachBatch(merge_cells)
          .option("checkpointLocation", ckpt)
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
-    return spark.read.parquet(latest["path"])
+    final = max((d for d in _os.listdir(state_root) if d.startswith("v")),
+                key=lambda d: int(d[1:]))
+    return spark.read.parquet(f"{state_root}/{final}")

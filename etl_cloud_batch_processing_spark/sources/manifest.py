@@ -1,0 +1,332 @@
+"""Manifest-committed tables: the smallest honest reader-atomic layer.
+
+``write_audit_publish`` and the raw-directory ``delete_where`` are
+crash-safe and idempotent, but a reader racing their rename swap can
+transiently miss survivor rows — the usual non-transactional-lake
+caveat, and the one 100-TB durability property the engine lacked
+through round 8.  This module closes it with the core Iceberg/Delta
+idea at its minimum honest size:
+
+* a table's LIVE file set is an explicit **manifest** — a tiny JSON
+  file ``_manifest.v<N>.json`` at the table root listing relative
+  parquet paths (plus an optional ``dt`` per file for manifest-level
+  partition pruning);
+* every write lands data as NEW files that no current manifest
+  references (invisible to every reader);
+* the commit is ONE atomic rename of the next manifest version into
+  place.  Readers list ``_manifest.v*`` and take the highest version,
+  so at every instant — including any crash point — they see either
+  the complete old or the complete new file set, never a torn mix;
+* retired files stay on disk until :func:`vacuum`, which is what makes
+  an in-flight reader of the PREVIOUS version keep working (snapshot
+  isolation); ``read_manifest(version=N)`` exposes the same property
+  as explicit time travel.
+
+Concurrency: rename-to-a-fresh-name doubles as optimistic locking —
+two racing committers both target ``v<N+1>``, the filesystem lets
+exactly one rename succeed, and the loser gets an ``IOError`` to
+re-read and retry (single-writer is the expected deployment, same as
+Delta on a filesystem without a lock service).
+
+Reference scope: the reference pipeline publishes via BigQuery load
+jobs, which are transactional on the service side
+(dags/daily_search_history.py:50, dags/transaction_data.py:49); this
+module is the self-managed-storage equivalent of that guarantee.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_MF_RE = re.compile(r"^_manifest\.v(\d+)\.json$")
+
+
+def _mf_name(version: int) -> str:
+    return f"_manifest.v{version:010d}.json"
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    return jvm, hpath, fs
+
+
+def _versions(hpath, fs, base: str) -> list[int]:
+    if not fs.exists(hpath(base)):
+        return []
+    out = []
+    for s in fs.listStatus(hpath(base)):
+        m = _MF_RE.match(s.getPath().getName())
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def has_manifest(spark: SparkSession, path: str) -> bool:
+    """True if the directory is manifest-committed (any ``_manifest.v*``
+    present) — the auto-detect :func:`..writers.delete_where` uses to
+    pick the atomic-swap strategy."""
+    _, hpath, fs = _fs(spark, path)
+    return bool(_versions(hpath, fs, path.rstrip("/")))
+
+
+def current_manifest(spark: SparkSession, path: str,
+                     version: int | None = None) -> tuple[int, list[dict]]:
+    """(version, entries) of the latest — or an explicitly requested —
+    manifest version.  Entries are ``{"file": <relative path>,
+    "dt": <str | None>}``."""
+    from etl_cloud_batch_processing_spark.sources.writers import (
+        _fs_read_text,
+    )
+
+    jvm, hpath, fs = _fs(spark, path)
+    base = path.rstrip("/")
+    versions = _versions(hpath, fs, base)
+    if not versions:
+        raise FileNotFoundError(f"no _manifest.v* under {base}")
+    v = version if version is not None else versions[-1]
+    if v not in versions:
+        raise FileNotFoundError(f"manifest version {v} not found under "
+                                f"{base} (have {versions})")
+    doc = json.loads(_fs_read_text(jvm, fs, f"{base}/{_mf_name(v)}"))
+    return v, doc["entries"]
+
+
+def read_manifest_files(spark: SparkSession, path: str,
+                        dts: list[str] | None = None,
+                        version: int | None = None) -> list[str]:
+    """Absolute paths of the live files, optionally pruned to the
+    given ``dt`` partitions AT THE MANIFEST — files whose recorded dt
+    is excluded are never even handed to the scan (the Iceberg-style
+    metadata prune that precedes footer pruning).  Files with no
+    recorded dt (e.g. delete rewrites spanning partitions) are
+    conservatively always included."""
+    base = path.rstrip("/")
+    _, entries = current_manifest(spark, base, version)
+    if dts is not None:
+        want = set(dts)
+        entries = [e for e in entries
+                   if e.get("dt") is None or e["dt"] in want]
+    return [f"{base}/{e['file']}" for e in entries]
+
+
+def read_manifest(spark: SparkSession, path: str,
+                  dts: list[str] | None = None,
+                  version: int | None = None) -> DataFrame:
+    """Snapshot read: scan exactly the files the (selected) manifest
+    version lists.  Two readers holding different versions see two
+    consistent tables; a commit between their list and scan steps
+    cannot tear either one (retired files persist until vacuum)."""
+    files = read_manifest_files(spark, path, dts, version)
+    if not files:
+        raise ValueError(f"manifest at {path} lists no files "
+                         "(fully-deleted table); nothing to read")
+    return spark.read.parquet(*files)
+
+
+def init_manifest(spark: SparkSession, path: str) -> int:
+    """Bootstrap version 1 from the directory's current root-level
+    parquet listing (adopting an existing raw table)."""
+    _, hpath, fs = _fs(spark, path)
+    base = path.rstrip("/")
+    if _versions(hpath, fs, base):
+        raise FileExistsError(f"{base} already has a manifest")
+    entries = sorted(
+        ({"file": s.getPath().getName(), "dt": None}
+         for s in fs.listStatus(hpath(base))
+         if s.getPath().getName().endswith(".parquet")),
+        key=lambda e: e["file"])
+    return commit_manifest(spark, base, add=entries)
+
+
+def commit_manifest(spark: SparkSession, path: str,
+                    add: list[dict] = (),
+                    remove: list[str] = ()) -> int:
+    """Atomically publish the next manifest version = current entries
+    minus ``remove`` (relative paths) plus ``add`` (entry dicts).
+    Returns the new version number.  The rename-into-place either
+    fully succeeds or fully fails — there is no observable
+    intermediate — and a concurrent committer racing to the same
+    version number loses the rename and gets an IOError to retry."""
+    from etl_cloud_batch_processing_spark.sources.writers import (
+        _fs_write_atomic,
+    )
+
+    jvm, hpath, fs = _fs(spark, path)
+    base = path.rstrip("/")
+    versions = _versions(hpath, fs, base)
+    cur = versions[-1] if versions else 0
+    entries = current_manifest(spark, base, cur)[1] if versions else []
+    drop = set(remove)
+    new_entries = ([e for e in entries if e["file"] not in drop]
+                   + [{"file": e["file"], "dt": e.get("dt")} for e in add])
+    names = [e["file"] for e in new_entries]
+    if len(names) != len(set(names)):
+        raise ValueError("manifest commit would list a file twice")
+    _fs_write_atomic(
+        jvm, fs, f"{base}/{_mf_name(cur + 1)}",
+        json.dumps({"version": cur + 1, "entries": new_entries},
+                   indent=1, sort_keys=True))
+    return cur + 1
+
+
+def vacuum(spark: SparkSession, path: str) -> dict:
+    """Garbage-collect files no longer referenced by the LATEST
+    manifest, plus superseded manifest versions.  Run it only after
+    in-flight readers of older versions have drained (the grace-period
+    contract every snapshot store has); until then, retired files cost
+    only storage.  Returns ``{"files_removed", "manifests_removed"}``."""
+    _, hpath, fs = _fs(spark, path)
+    base = path.rstrip("/")
+    versions = _versions(hpath, fs, base)
+    if not versions:
+        raise FileNotFoundError(f"no manifest under {base}")
+    latest = versions[-1]
+    live = {e["file"] for e in current_manifest(spark, base, latest)[1]}
+    base_uri = fs.makeQualified(hpath(base)).toString().rstrip("/")
+    files_removed = 0
+    it = fs.listFiles(hpath(base), True)
+    while it.hasNext():
+        st = it.next()
+        uri = st.getPath().toString()
+        if not uri.startswith(base_uri + "/"):
+            continue
+        rel = uri[len(base_uri) + 1:]
+        if rel.endswith(".parquet") and rel not in live:
+            fs.delete(st.getPath(), False)
+            files_removed += 1
+    # a .data subdir with no live file left is pure garbage (its
+    # _SUCCESS/.crc markers included) — drop the whole dir
+    data_root = hpath(f"{base}/.data")
+    if fs.exists(data_root):
+        for s in fs.listStatus(data_root):
+            rel_dir = f".data/{s.getPath().getName()}"
+            if not any(f.startswith(rel_dir + "/") for f in live):
+                fs.delete(s.getPath(), True)
+    for v in versions[:-1]:
+        fs.delete(hpath(f"{base}/{_mf_name(v)}"), False)
+    return {"files_removed": files_removed,
+            "manifests_removed": len(versions) - 1}
+
+
+def _rel_parquet(hpath, fs, base: str, rel_dir: str) -> list[str]:
+    return sorted(
+        f"{rel_dir}/{s.getPath().getName()}"
+        for s in fs.listStatus(hpath(f"{base}/{rel_dir}"))
+        if s.getPath().getName().endswith(".parquet"))
+
+
+def publish_manifested(df: DataFrame, path: str, run_date: str,
+                       rules: list = ()) -> list:
+    """Write-audit-publish with a manifest commit as the publish step —
+    the reader-atomic upgrade of ``writers.write_audit_publish``.
+
+    The run's rows (stamped with a ``dt`` COLUMN — manifest tables
+    carry dt in the data, and prune at the manifest instead of the
+    directory name) land under a fresh ``.data/<run_date>-<uid>/``
+    directory no manifest references; the staged files are read back
+    and audited; then one manifest commit swaps the partition's old
+    files for the new ones.  Re-publishing a run_date replaces it.  A
+    crash before the commit leaves the table exactly as it was (plus a
+    vacuum-able orphan dir); there is no crash point at which a reader
+    can see half a partition.
+
+    Returns the audit report; raises :class:`..writers.AuditError`
+    (staging removed) on a failed rule."""
+    from etl_cloud_batch_processing_spark.operators.quality import (
+        run_checks,
+    )
+    from etl_cloud_batch_processing_spark.sources.writers import AuditError
+
+    spark = df.sparkSession
+    _, hpath, fs = _fs(spark, path)
+    base = path.rstrip("/")
+    rel_dir = f".data/{run_date}-{uuid.uuid4().hex[:8]}"
+    data_dir = f"{base}/{rel_dir}"
+    (df.withColumn("dt", F.lit(run_date))
+       .write.mode("overwrite").parquet(data_dir))
+
+    staged = spark.read.parquet(data_dir)
+    report = run_checks(staged, list(rules)) if rules else []
+    failures = [r for r in report if not r.passed]
+    if failures:
+        fs.delete(hpath(data_dir), True)
+        raise AuditError(failures)
+
+    new_files = _rel_parquet(hpath, fs, base, rel_dir)
+    versions = _versions(hpath, fs, base)
+    old = []
+    if versions:
+        old = [e["file"] for e in current_manifest(spark, base)[1]
+               if e.get("dt") == run_date]
+    commit_manifest(spark, base,
+                    add=[{"file": f, "dt": run_date} for f in new_files],
+                    remove=old)
+    return report
+
+
+def delete_where_manifested(spark: SparkSession, path: str,
+                            predicate) -> dict:
+    """Manifest-table delete: survivors of affected files are written
+    as new (unreferenced, hence invisible) files, and ONE manifest
+    commit retires the affected originals and adds the rewrites — a
+    racing reader sees the complete old or complete new table, closing
+    the transient-miss window of the raw-directory swap.  Retired
+    originals stay on disk for older-version readers until
+    :func:`vacuum`, so a crashed run needs no recovery at all: either
+    the commit happened or the table is untouched (orphan rewrite
+    files are vacuum-able garbage).
+
+    Same NULL semantics and zero-loss audit as the raw path: rows whose
+    predicate is NULL survive, and deleted + rewritten must equal the
+    rows read from affected files before the commit is attempted.
+
+    Rewrite files carry ``dt=None`` in the manifest (a delete can span
+    partitions), which every dt-pruned read conservatively includes;
+    a later compaction can re-partition them."""
+    base = path.rstrip("/")
+    _, hpath, fs = _fs(spark, base)
+    cur_v, entries = current_manifest(spark, base)
+    files_total = len(entries)
+    live_abs = [f"{base}/{e['file']}" for e in entries]
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+
+    hits = [r["__f"] for r in (spark.read.parquet(*live_abs)
+                               .filter(pred)
+                               .select(F.input_file_name().alias("__f"))
+                               .distinct().collect())]  # file-count bounded
+    affected_rel = sorted(
+        e["file"] for e in entries
+        if any(h.endswith("/" + e["file"]) for h in hits))
+    if not affected_rel:
+        return {"files_affected": 0, "files_total": files_total,
+                "rows_deleted": 0, "rows_rewritten": 0}
+
+    sub = spark.read.parquet(*[f"{base}/{f}" for f in affected_rel])
+    rows_read = sub.count()
+    rows_deleted = sub.filter(pred).count()
+    survivors = sub.filter(~F.coalesce(pred, F.lit(False)))
+    rows_rewritten = survivors.count()
+    if rows_deleted + rows_rewritten != rows_read:
+        raise IOError(
+            f"delete_where (manifest): zero-loss audit failed — read "
+            f"{rows_read}, deleted {rows_deleted} + rewrote "
+            f"{rows_rewritten}; aborting before the commit")
+
+    rel_dir = f".data/delete-{uuid.uuid4().hex[:8]}"
+    (survivors.coalesce(len(affected_rel))
+     .write.mode("overwrite").parquet(f"{base}/{rel_dir}"))
+    new_files = _rel_parquet(hpath, fs, base, rel_dir)
+    commit_manifest(spark, base,
+                    add=[{"file": f, "dt": None} for f in new_files],
+                    remove=affected_rel)
+    return {"files_affected": len(affected_rel),
+            "files_total": files_total,
+            "rows_deleted": rows_deleted,
+            "rows_rewritten": rows_rewritten}

@@ -264,11 +264,115 @@ def write_zordered(df: DataFrame, path: str, cols: list[str],
      .write.mode("overwrite").parquet(path))
 
 
+def _fs_write_atomic(jvm, fs, path_str: str, text: str) -> None:
+    """Write a small text file atomically: land the bytes at
+    ``<path>.tmp`` then rename into place.  Rename-to-a-fresh-name is
+    atomic on HDFS/local POSIX; callers guarantee the destination does
+    not already exist (a pre-existing destination fails the rename —
+    by design, so two racing writers cannot both 'win')."""
+    hpath = jvm.org.apache.hadoop.fs.Path
+    tmp = hpath(path_str + ".tmp")
+    out = fs.create(tmp, True)
+    out.write(bytearray(text.encode("utf-8")))
+    out.close()
+    if not fs.rename(tmp, hpath(path_str)):
+        raise IOError(f"atomic write rename {path_str}.tmp -> "
+                      f"{path_str} failed")
+
+
+def _fs_read_text(jvm, fs, path_str: str) -> str:
+    """Read a small text file through the Hadoop FS API (scheme-
+    agnostic — works wherever the table lives, not just local paths)."""
+    stream = fs.open(jvm.org.apache.hadoop.fs.Path(path_str))
+    try:
+        return jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8")
+    finally:
+        stream.close()
+
+
+#: In-progress / committed journal markers for delete_where's swap.
+#: The journal records exactly which files the swap touches, so a
+#: crashed run can be ROLLED BACK (journal present: restore set-aside
+#: originals, un-publish any survivor files already renamed in) or
+#: ROLLED FORWARD (committed marker present: the swap finished, the
+#: helper dirs are garbage).  Renaming the journal to the committed
+#: marker is the single atomic commit point.
+_DELETE_JOURNAL = ".delete_journal"
+_DELETE_COMMITTED = ".delete_journal.committed"
+
+
+def _recover_stale_delete(jvm, fs, base: str) -> None:
+    """Recover a crashed prior :func:`delete_where` before starting a
+    new one.  Exactly one of three states can exist:
+
+    * journal present (crash mid-swap) → roll BACK: delete any survivor
+      file the crashed run already published, restore every set-aside
+      original from ``.delete_trash``, remove the helper dirs.  The
+      table is bit-identical to its pre-delete state and the new run
+      re-discovers the matches from scratch.
+    * committed marker present (crash between commit and cleanup) →
+      roll FORWARD: the swap finished, ``.delete_tmp``/``.delete_trash``
+      hold only garbage; delete them and the marker.
+    * trash dir present with NEITHER marker → impossible for this code
+      (the journal is written before any rename); refuse with a clear
+      error rather than destroy what might be the only copy of
+      someone's data (the round-8 advice finding: the old 'delete stale
+      dirs' cleanup could permanently drop set-aside originals).
+    """
+    import json as _json
+
+    hpath = jvm.org.apache.hadoop.fs.Path
+    tmp_str, trash_str = f"{base}/.delete_tmp", f"{base}/.delete_trash"
+    journal, committed = (f"{base}/{_DELETE_JOURNAL}",
+                          f"{base}/{_DELETE_COMMITTED}")
+    if fs.exists(hpath(journal)):
+        j = _json.loads(_fs_read_text(jvm, fs, journal))
+        for name in j["survivors"]:  # un-publish partially renamed-in
+            p = hpath(f"{base}/{name}")
+            if fs.exists(p):
+                fs.delete(p, False)
+        for name in j["affected"]:  # restore set-aside originals
+            t = hpath(f"{trash_str}/{name}")
+            if fs.exists(t):
+                if not fs.rename(t, hpath(f"{base}/{name}")):
+                    raise IOError(
+                        f"delete_where recovery: restore of {name} failed")
+        for d in (tmp_str, trash_str, journal, journal + ".tmp"):
+            if fs.exists(hpath(d)):
+                fs.delete(hpath(d), True)
+        return
+    if fs.exists(hpath(committed)):
+        for d in (tmp_str, trash_str, committed):
+            if fs.exists(hpath(d)):
+                fs.delete(hpath(d), True)
+        return
+    if fs.exists(hpath(trash_str)):
+        raise IOError(
+            f"delete_where: {trash_str} exists with no journal — it "
+            "holds original table files set aside by an interrupted "
+            "delete from an unknown layout; refusing to run.  Recover "
+            "the trash files manually (rename them back into the "
+            "table) before retrying.")
+    for d in (tmp_str, f"{base}/{_DELETE_JOURNAL}.tmp"):
+        # survivors never published / journal never committed: garbage
+        if fs.exists(hpath(d)):
+            fs.delete(hpath(d), True)
+
+
 def delete_where(spark, path: str, predicate) -> dict:
     """Targeted delete (GDPR / right-to-be-forgotten): remove every row
     matching ``predicate`` from a parquet directory by rewriting ONLY
     the files that contain matches — the untouched majority of the
     table is neither read past its footers nor rewritten.
+
+    If the directory is manifest-committed (``_manifest.v*`` present —
+    :mod:`.manifest`), the swap is a manifest commit instead: survivors
+    land as NEW files invisible to manifest readers, one atomic
+    manifest flip retires the affected files, and a racing reader sees
+    either the complete old or the complete new file set — never a
+    torn state.  The retired originals stay on disk until
+    :func:`.manifest.vacuum`.
 
     How the touched set stays small: the affected-file discovery scan
     pushes ``predicate`` into the parquet source, so files whose footer
@@ -279,30 +383,52 @@ def delete_where(spark, path: str, predicate) -> dict:
     layout IS the delete-cost model, which is why the clustered writers
     live in this module.)
 
-    Swap discipline (same crash-safety bar as ``write_audit_publish``):
+    NULL semantics: a row whose predicate evaluates to NULL is a
+    SURVIVOR.  A delete removes rows the predicate POSITIVELY matches;
+    under three-valued logic ``filter(p)`` and ``filter(~p)`` BOTH drop
+    NULL rows, which would silently lose them — so survivors are
+    ``~coalesce(p, false)`` and a zero-loss audit asserts
+    ``deleted + rewritten == rows read`` before any rename happens.
+
+    Swap discipline for the raw-directory path (manifest-less tables):
 
     1. survivors of the affected files are written to a dot-prefixed
        temp dir (invisible to readers);
-    2. each affected original is renamed ASIDE into a dot-prefixed
-       trash dir (recoverable until the final step);
-    3. survivor files are renamed into the table;
-    4. temp + trash dirs are deleted.
+    2. a JOURNAL listing the affected originals and the survivor file
+       names is committed (atomic rename);
+    3. each affected original is renamed ASIDE into a dot-prefixed
+       trash dir; survivor files are renamed into the table;
+    4. the journal is renamed to a ``committed`` marker — the atomic
+       commit point — then temp dir, trash dir, and marker are deleted.
 
     A crash at any point leaves every row either in the table or in a
-    recoverable dot-dir, never silently dropped; re-running after a
-    crash (or at any later time) is idempotent — once no row matches,
-    the delete is a no-op.  Readers racing step 2-3 can transiently
-    miss SURVIVOR rows of affected files (the usual non-transactional
-    lake caveat); on an object store, swap steps 2-3 for a manifest
-    commit.
+    recoverable dot-dir, never silently dropped, and the NEXT run
+    recovers mechanically before starting (:func:`_recover_stale_delete`:
+    journal → roll back to the exact pre-delete bytes; committed marker
+    → finish the cleanup).  Re-running after a crash or at any later
+    time is idempotent — once no row matches, the delete is a no-op.
+    Readers racing step 3 can transiently miss SURVIVOR rows of
+    affected files (the non-transactional caveat the manifest path
+    removes).
 
     Returns ``{"files_affected", "files_total", "rows_deleted",
     "rows_rewritten"}``.
     """
+    import json as _json
+
+    from etl_cloud_batch_processing_spark.sources import manifest as M
+
     jvm = spark._jvm
     jsc = spark._jsc
     hpath = jvm.org.apache.hadoop.fs.Path
     fs = hpath(path).getFileSystem(jsc.hadoopConfiguration())
+    base = path.rstrip("/")
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+
+    if M.has_manifest(spark, base):
+        return M.delete_where_manifested(spark, base, pred)
+
+    _recover_stale_delete(jvm, fs, base)
 
     files_total = sum(
         1 for s in fs.listStatus(hpath(path))
@@ -311,7 +437,7 @@ def delete_where(spark, path: str, predicate) -> dict:
     # rows, and immediately pushed back down as the rewrite's read set.
     affected = [
         r["__f"] for r in (spark.read.parquet(path)
-                           .filter(predicate)
+                           .filter(pred)
                            .select(F.input_file_name().alias("__f"))
                            .distinct().collect())]  # driver fetch
     if not affected:
@@ -319,30 +445,43 @@ def delete_where(spark, path: str, predicate) -> dict:
                 "rows_deleted": 0, "rows_rewritten": 0}
 
     sub = spark.read.parquet(*affected)
-    rows_deleted = sub.filter(predicate).count()
-    survivors = sub.filter(~predicate)
+    rows_read = sub.count()
+    rows_deleted = sub.filter(pred).count()
+    # NULL-predicate rows are survivors (see docstring) — ~coalesce(p,
+    # false) keeps them where plain ~p would drop them.
+    survivors = sub.filter(~F.coalesce(pred, F.lit(False)))
     rows_rewritten = survivors.count()
+    if rows_deleted + rows_rewritten != rows_read:
+        raise IOError(
+            f"delete_where: zero-loss audit failed — read {rows_read} "
+            f"rows from affected files but deleted {rows_deleted} + "
+            f"rewrote {rows_rewritten}; aborting before any rename")
 
-    base = path.rstrip("/")
     tmp_str, trash_str = f"{base}/.delete_tmp", f"{base}/.delete_trash"
-    for d in (tmp_str, trash_str):  # stale dirs from a crashed prior run
-        if fs.exists(hpath(d)):
-            fs.delete(hpath(d), True)
     # one output file per affected input keeps the layout's file sizing
     survivors.coalesce(len(affected)).write.mode("overwrite").parquet(tmp_str)
+    survivor_names = [
+        s.getPath().getName() for s in fs.listStatus(hpath(tmp_str))
+        if s.getPath().getName().endswith(".parquet")]
+    affected_names = [f.rsplit("/", 1)[-1] for f in affected]
+    journal_str = f"{base}/{_DELETE_JOURNAL}"
+    _fs_write_atomic(jvm, fs, journal_str, _json.dumps(
+        {"affected": affected_names, "survivors": survivor_names}))
 
     fs.mkdirs(hpath(trash_str))
-    for f in affected:
-        name = f.rsplit("/", 1)[-1]
-        if not fs.rename(hpath(f), hpath(f"{trash_str}/{name}")):
-            raise IOError(f"delete_where: set-aside of {f} failed")
-    for s in fs.listStatus(hpath(tmp_str)):
-        name = s.getPath().getName()
-        if not name.endswith(".parquet"):
-            continue
-        if not fs.rename(s.getPath(), hpath(f"{base}/{name}")):
+    for name in affected_names:
+        if not fs.rename(hpath(f"{base}/{name}"),
+                         hpath(f"{trash_str}/{name}")):
+            raise IOError(f"delete_where: set-aside of {name} failed")
+    for name in survivor_names:
+        if not fs.rename(hpath(f"{tmp_str}/{name}"),
+                         hpath(f"{base}/{name}")):
             raise IOError(f"delete_where: publish of {name} failed")
+    if not fs.rename(hpath(journal_str),
+                     hpath(f"{base}/{_DELETE_COMMITTED}")):
+        raise IOError("delete_where: commit-marker rename failed")
     fs.delete(hpath(tmp_str), True)
     fs.delete(hpath(trash_str), True)
+    fs.delete(hpath(f"{base}/{_DELETE_COMMITTED}"), False)
     return {"files_affected": len(affected), "files_total": files_total,
             "rows_deleted": rows_deleted, "rows_rewritten": rows_rewritten}

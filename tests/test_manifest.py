@@ -1,0 +1,247 @@
+"""delete_where durability fixes (round-8 advice) + the manifest-
+committed reader-atomic layer (round-8 verdict item 4).
+
+The raw-directory delete must (a) keep rows whose predicate evaluates
+to NULL — three-valued logic drops them from BOTH filter(p) and
+filter(~p) — and (b) recover, not destroy, the set-aside originals of
+a crashed prior run.  The manifest layer must give a reader the
+complete old or complete new file set at every crash/race point.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_cloud_batch_processing_spark.sources import manifest as M
+from etl_cloud_batch_processing_spark.sources.writers import (
+    AuditError, delete_where, write_clustered)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _events_with_nulls(spark):
+    """events with user_id nulled for every 7th event — fixture tables
+    have no NULL keys, which is exactly why the round-8 advice bug
+    survived the round-8 tests."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    return ev.withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(
+            F.col("user_id")))
+
+
+# ---------------------------------------------------------------------------
+# Advice (high): NULL-predicate rows must survive a delete.
+# ---------------------------------------------------------------------------
+
+def test_delete_where_keeps_null_predicate_rows(spark, tmp_path):
+    ev = _events_with_nulls(spark)
+    out = str(tmp_path / "t")
+    write_clustered(ev, out, ["user_id"], num_files=4)
+    n_total = ev.count()
+    n_null = ev.filter(F.col("user_id").isNull()).count()
+    n_subject = ev.filter(F.col("user_id") == 3).count()
+    assert n_null > 0 and n_subject > 0
+
+    stats = delete_where(spark, out, F.col("user_id") == 3)
+
+    back = spark.read.parquet(out)
+    assert stats["rows_deleted"] == n_subject
+    assert back.count() == n_total - n_subject
+    # every NULL-key row is still present — the old ~predicate survivor
+    # filter silently dropped any that shared a file with the subject
+    assert back.filter(F.col("user_id").isNull()).count() == n_null
+
+
+def test_delete_where_accepts_sql_string_predicate(spark, tmp_path):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    out = str(tmp_path / "t")
+    write_clustered(ev, out, ["user_id"], num_files=4)
+    n_subject = ev.filter(F.col("user_id") == 5).count()
+    stats = delete_where(spark, out, "user_id = 5")
+    assert stats["rows_deleted"] == n_subject
+    assert spark.read.parquet(out).filter("user_id = 5").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Advice (medium): crashed-run recovery must restore, never destroy.
+# ---------------------------------------------------------------------------
+
+def _file_bytes(d):
+    return {f.name: f.read_bytes() for f in d.glob("*.parquet")}
+
+
+def test_delete_where_recovers_crash_mid_swap(spark, tmp_path):
+    """Emulate a crash mid step 3 (journal present, one original
+    set aside, one survivor file already published): the next run must
+    roll back to the exact pre-delete bytes, then complete its own
+    delete normally."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    out = tmp_path / "t"
+    write_clustered(ev, str(out), ["user_id"], num_files=4)
+    pristine = _file_bytes(out)
+
+    victim = sorted(pristine)[0]
+    trash = out / ".delete_trash"
+    trash.mkdir()
+    shutil.move(str(out / victim), str(trash / victim))
+    fake_survivor = "part-00000-crashed-rewrite.c000.snappy.parquet"
+    # any parquet bytes will do for the un-publish check
+    (out / fake_survivor).write_bytes((trash / victim).read_bytes())
+    (out / ".delete_tmp").mkdir()
+    (out / ".delete_journal").write_text(json.dumps(
+        {"affected": [victim], "survivors": [fake_survivor]}))
+
+    n_subject = ev.filter(F.col("user_id") == 2).count()
+    stats = delete_where(spark, str(out), F.col("user_id") == 2)
+
+    assert stats["rows_deleted"] == n_subject
+    back = spark.read.parquet(str(out))
+    assert back.filter(F.col("user_id") == 2).count() == 0
+    assert back.count() == ev.count() - n_subject
+    # the crashed run's survivor file was un-published during recovery
+    # (else its rows would double-count), and no helper state remains
+    for leftover in (".delete_tmp", ".delete_trash",
+                     ".delete_journal", ".delete_journal.committed"):
+        assert not (out / leftover).exists()
+
+
+def test_delete_where_rolls_forward_committed_crash(spark, tmp_path):
+    """Crash AFTER the commit marker rename: helper dirs are garbage;
+    the next run deletes them and the table is untouched."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    out = tmp_path / "t"
+    write_clustered(ev, str(out), ["user_id"], num_files=4)
+    before = _file_bytes(out)
+    (out / ".delete_tmp").mkdir()
+    trash = out / ".delete_trash"
+    trash.mkdir()
+    (trash / "garbage.parquet").write_bytes(b"x")
+    (out / ".delete_journal.committed").write_text(
+        json.dumps({"affected": [], "survivors": []}))
+
+    stats = delete_where(spark, str(out), F.col("user_id") == 10**9)
+    assert stats["rows_deleted"] == 0
+    assert _file_bytes(out) == before
+    assert not (out / ".delete_trash").exists()
+    assert not (out / ".delete_journal.committed").exists()
+
+
+def test_delete_where_refuses_trash_without_journal(spark, tmp_path):
+    """A trash dir with no journal cannot be attributed to any known
+    crash state — the old code DELETED it (destroying what might be
+    the only copy of set-aside originals); now it refuses loudly and
+    leaves the trash untouched."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    out = tmp_path / "t"
+    write_clustered(ev, str(out), ["user_id"], num_files=2)
+    trash = out / ".delete_trash"
+    trash.mkdir()
+    (trash / "orphan.parquet").write_bytes(b"precious")
+
+    with pytest.raises(IOError, match="refusing"):
+        delete_where(spark, str(out), F.col("user_id") == 1)
+    assert (trash / "orphan.parquet").read_bytes() == b"precious"
+
+
+# ---------------------------------------------------------------------------
+# Manifest layer: atomic commit, snapshot reads, vacuum.
+# ---------------------------------------------------------------------------
+
+def test_init_and_read_manifest_round_trip(spark, tmp_path):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    out = str(tmp_path / "t")
+    write_clustered(ev, out, ["user_id"], num_files=3)
+    assert not M.has_manifest(spark, out)
+    v = M.init_manifest(spark, out)
+    assert v == 1 and M.has_manifest(spark, out)
+    assert M.read_manifest(spark, out).count() == ev.count()
+    with pytest.raises(FileExistsError):
+        M.init_manifest(spark, out)
+
+
+def test_publish_manifested_replaces_run_date_and_prunes_dt(spark, tmp_path):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").limit(200)
+    out = str(tmp_path / "t")
+    M.publish_manifested(ev.limit(50), out, "2024-01-01")
+    M.publish_manifested(ev.limit(80), out, "2024-01-02")
+    assert M.read_manifest(spark, out).count() == 130
+    # re-publish day 1 with different rows: REPLACES, never duplicates
+    M.publish_manifested(ev.limit(60), out, "2024-01-01")
+    got = M.read_manifest(spark, out)
+    assert got.count() == 140
+    assert got.filter(F.col("dt") == "2024-01-01").count() == 60
+    # manifest-level dt prune: only day-2 files are handed to the scan
+    day2 = M.read_manifest_files(spark, out, dts=["2024-01-02"])
+    assert day2 and all("2024-01-02" in f for f in day2)
+    assert M.read_manifest(spark, out, dts=["2024-01-02"]).count() == 80
+
+
+def test_publish_manifested_audit_failure_commits_nothing(spark, tmp_path):
+    from etl_cloud_batch_processing_spark.operators.quality import min_rows
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").limit(10)
+    out = str(tmp_path / "t")
+    M.publish_manifested(ev, out, "2024-01-01")
+    v_before = M.current_manifest(spark, out)[0]
+    with pytest.raises(AuditError):
+        M.publish_manifested(ev, out, "2024-01-02", rules=[min_rows(100)])
+    assert M.current_manifest(spark, out)[0] == v_before
+    assert M.read_manifest(spark, out).count() == 10
+
+
+def test_manifest_delete_is_snapshot_isolated(spark, tmp_path):
+    """The headline property: a reader holding the pre-delete manifest
+    version keeps reading the complete OLD table after the delete
+    commits; the latest version is the complete NEW table; and an
+    uncommitted crash leaves the latest read bit-unchanged."""
+    ev = _events_with_nulls(spark)
+    out = str(tmp_path / "t")
+    write_clustered(ev, out, ["user_id"], num_files=4)
+    M.init_manifest(spark, out)
+    v_old, _ = M.current_manifest(spark, out)
+    n_total = ev.count()
+    n_null = ev.filter(F.col("user_id").isNull()).count()
+    n_subject = ev.filter(F.col("user_id") == 3).count()
+
+    # crash BEFORE commit: orphan rewrite files exist, manifest silent
+    os.makedirs(f"{out}/.data/delete-deadbeef")
+    ev.limit(5).write.mode("overwrite").parquet(
+        f"{out}/.data/delete-deadbeef")
+    assert M.read_manifest(spark, out).count() == n_total
+
+    # delete_where auto-detects the manifest and commits atomically
+    stats = delete_where(spark, out, F.col("user_id") == 3)
+    assert stats["rows_deleted"] == n_subject
+    new = M.read_manifest(spark, out)
+    assert new.count() == n_total - n_subject
+    assert new.filter(F.col("user_id").isNull()).count() == n_null
+    # the pre-delete reader still sees its complete snapshot
+    old = M.read_manifest(spark, out, version=v_old)
+    assert old.count() == n_total
+
+    # vacuum retires the old snapshot + the crashed run's orphans
+    rep = M.vacuum(spark, out)
+    assert rep["files_removed"] > 0
+    assert M.read_manifest(spark, out).count() == n_total - n_subject
+    with pytest.raises(FileNotFoundError):
+        M.read_manifest(spark, out, version=v_old)
+    assert not os.path.exists(f"{out}/.data/delete-deadbeef")
+
+    # idempotent: nothing left to delete
+    again = delete_where(spark, out, F.col("user_id") == 3)
+    assert again["rows_deleted"] == again["files_affected"] == 0
+
+
+def test_manifest_commit_rejects_duplicate_files(spark, tmp_path):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").limit(10)
+    out = str(tmp_path / "t")
+    M.publish_manifested(ev, out, "2024-01-01")
+    _, entries = M.current_manifest(spark, out)
+    with pytest.raises(ValueError, match="twice"):
+        M.commit_manifest(spark, out, add=[entries[0]])
