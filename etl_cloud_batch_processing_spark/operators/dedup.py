@@ -226,26 +226,54 @@ def scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             and (hit[1].storageLevel.useMemory
                  or hit[1].storageLevel.useDisk)):
         return hit[1]
-    hs = hashed_shingles(_par_docs(spark, sf_dir)).persist()
-    # Materialize hs BEFORE the pair job: lsh_scored_pairs reads it from
-    # four concurrently-scheduled plan branches, and a lazily-persisted
-    # frame re-executes the whole shingle pipeline per branch (the
-    # measured 21.6 s-vs-3 s pathology in the LPA docstring below).
-    hs.count()
-    scored = lsh_scored_pairs(hs).persist()
-    scored.count()  # one scalar to the driver; pins the pair cache
-    hs.unpersist()  # corpus-sized; everything downstream is pair-grain
+    # Two persist+count jobs at DOC grain (round-8 verdict item 2,
+    # scale-corrected twice — the full story is in DRIVER_NOTES #15):
+    # job 1 materializes the doc-grain profile (minhash signature +
+    # shingle set in ONE grouped aggregation — strictly cheaper than
+    # the old job 1, which cached the corpus-sized shingle-grain
+    # frame), job 2 materializes the pair frame.  Persist, not
+    # localCheckpoint: (a) a cached relation carries ACTUAL size
+    # stats, so the band self-join sides never slip under
+    # autoBroadcastJoinThreshold on a raw estimate (the one-action
+    # form broadcast a corpus×bands frame at the 32× soak — heap OOM);
+    # (b) cache blocks are evictable and clearCache-collectable, where
+    # superseded localCheckpoint blocks dodge clearCache and pile up
+    # across cache-cleared reruns until GC (measured: the checkpoint
+    # form OOMed the 32× soak on its second family rebuild).
+    doc = _doc_profile(
+        hashed_shingles(_par_docs(spark, sf_dir))).persist()
+    doc.count()  # one scalar; fills the cache before the fan-out
+    scored = _pairs_from_doc(doc).persist()
+    scored.count()  # pins the pair-grain cache (memo validity sentinel)
+    doc.unpersist()  # everything downstream is pair-grain
     _SCORED_MEMO[sf_dir] = (spark, scored)
     return scored
 
 
+def _doc_profile(hs: DataFrame) -> DataFrame:
+    """Doc-grain profile in ONE grouped aggregation over the hashed
+    shingles: the k minhash signature columns AND the exact shingle
+    set.  Everything pair-scale downstream derives from this frame —
+    callers materialize it (checkpoint/persist) because its four read
+    sites are two band-join sides and two verify sides."""
+    return hs.groupBy("doc_id").agg(
+        *minhash_agg_exprs(), F.collect_set("h").alias("hset"))
+
+
 def lsh_scored_pairs(hs: DataFrame) -> DataFrame:
     """(doc_a, doc_b, jaccard) for every LSH band-colliding pair, scored
-    with exact Jaccard over the hashed shingle sets.  ``hs`` is the
-    (doc_id, h) hashed-shingle frame — callers persist it because four
-    plan branches (two band-join sides + two verify-join sides) read it."""
-    mh = hs.groupBy("doc_id").agg(*minhash_agg_exprs())
-    bands = mh.select(
+    with exact Jaccard over the hashed shingle sets — the un-memoized
+    composition of :func:`_doc_profile` and :func:`_pairs_from_doc`
+    (single-use callers and tests; the registered queries go through
+    :func:`scored_pairs`, which materializes the doc frame first)."""
+    return _pairs_from_doc(_doc_profile(hs))
+
+
+def _pairs_from_doc(doc: DataFrame) -> DataFrame:
+    """Candidate generation + verification from a doc-grain profile:
+    band self-join for candidates, exact Jaccard over the shingle sets
+    for verification."""
+    bands = doc.select(
         "doc_id",
         F.posexplode(F.array(*band_key_exprs())).alias("band", "band_key"))
     a, b = bands.alias("a"), bands.alias("b")
@@ -255,7 +283,7 @@ def lsh_scored_pairs(hs: DataFrame) -> DataFrame:
              .select(F.col("a.doc_id").alias("doc_a"),
                      F.col("b.doc_id").alias("doc_b"))
              .distinct())
-    sets = hs.groupBy("doc_id").agg(F.collect_set("h").alias("hset"))
+    sets = doc.select("doc_id", "hset")
     sa, sb = sets.alias("sa"), sets.alias("sb")
     inter = F.size(F.array_intersect(F.col("sa.hset"), F.col("sb.hset")))
     union = (F.size(F.col("sa.hset")) + F.size(F.col("sb.hset")) - inter)

@@ -661,8 +661,12 @@ def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     mask = (1 << SIMHASH_BAND_BITS) - 1
     # Both self-join sides read this frame; persist AND materialize so
     # the signature pass (explode × 60 bits per token) runs once, not
-    # per concurrently-scheduled branch (the lazily-persisted
-    # multi-branch pathology — scored_pairs docstring, dedup.py).
+    # per concurrently-scheduled branch, AND so the join sides carry
+    # actual cached-relation size stats (a raw-estimate side slipped
+    # under autoBroadcastJoinThreshold at the 32× soak and OOMed the
+    # heap broadcasting corpus×bands rows; persist blocks are also
+    # evictable and clearCache-collectable where superseded
+    # localCheckpoint blocks leak — DRIVER_NOTES #15).
     keyed = bands.select(
         "doc_id", "simhash", "band",
         F.expr(f"(simhash >> (band * {SIMHASH_BAND_BITS})) & {mask}")

@@ -567,3 +567,145 @@ def ams_selfjoin_size_estimate(spark: SparkSession,
                              / F.col("exact_f2"), 6) + F.lit(0.0))
                     .alias("rel_error"),
                     F.lit(AMS_R).cast("bigint").alias("n_estimators")))
+
+
+# ---------------------------------------------------------------------------
+# Theta-sketch set algebra (Dasgupta et al., the DataSketches theta
+# model) over KMV bottom-k sketches: estimate |A ∪ B| and |A ∩ B| of
+# two user sets FROM THEIR SKETCHES ALONE.  θ = min(θ_A, θ_B); every
+# retained hash below θ is a fixed-rate sample of its set, so
+# |{h < θ}| · H/θ estimates any set-expression's cardinality by
+# applying the expression to the retained hash sets.  This is what
+# distinct-count sketches exist for at 100 TB — audience overlap /
+# cross-corpus contamination answered from KB-scale summaries without
+# re-touching either corpus — and, like KMV, it is a pure order
+# statistic of the deterministic md5 hash: fully value-hash-checked.
+# ---------------------------------------------------------------------------
+THETA_SET_A, THETA_SET_B = "purchase", "click"
+
+
+@query(
+    "theta_sketch_set_ops",
+    oracle=f"""
+    WITH hs AS (
+        SELECT DISTINCT event_type,
+               {_D_KEY_H32.format(key='user_id')} AS h
+        FROM events
+        WHERE event_type IN ('{THETA_SET_A}', '{THETA_SET_B}')),
+    ranked AS (
+        SELECT event_type, h,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY h ASC) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM hs),
+    theta AS (
+        SELECT event_type,
+               CAST(CASE WHEN MAX(n) >= {KMV_K}
+                         THEN MAX(CASE WHEN rn = {KMV_K} THEN h END)
+                         ELSE {H32} END AS BIGINT) AS th
+        FROM ranked GROUP BY event_type),
+    tu AS (SELECT MIN(th) AS theta_u FROM theta),
+    ret AS (SELECT event_type, h FROM ranked, tu
+            WHERE rn <= {KMV_K} AND h < tu.theta_u),
+    su AS (SELECT CAST(COUNT(DISTINCT h) AS BIGINT) AS cu FROM ret),
+    si AS (SELECT CAST(COUNT(*) AS BIGINT) AS ci FROM (
+           SELECT h FROM ret WHERE event_type = '{THETA_SET_A}'
+           INTERSECT
+           SELECT h FROM ret WHERE event_type = '{THETA_SET_B}')),
+    exu AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_union
+            FROM events
+            WHERE event_type IN ('{THETA_SET_A}', '{THETA_SET_B}')),
+    exi AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_intersection FROM (
+            SELECT DISTINCT user_id FROM events
+            WHERE event_type = '{THETA_SET_A}'
+            INTERSECT
+            SELECT DISTINCT user_id FROM events
+            WHERE event_type = '{THETA_SET_B}'))
+    SELECT ROUND(su.cu * {H32}.0 / tu.theta_u, 6) + 0.0 AS est_union,
+           exu.exact_union,
+           ROUND(ABS(su.cu * {H32}.0 / tu.theta_u - exu.exact_union)
+                 / exu.exact_union, 6) + 0.0 AS union_rel_error,
+           ROUND(si.ci * {H32}.0 / tu.theta_u, 6) + 0.0
+               AS est_intersection,
+           exi.exact_intersection,
+           ROUND(ABS(si.ci * {H32}.0 / tu.theta_u
+                     - exi.exact_intersection)
+                 / exi.exact_intersection, 6) + 0.0
+               AS intersection_rel_error
+    FROM su, si, tu, exu, exi
+    """,
+)
+def theta_sketch_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union and intersection cardinality of the purchase-user and
+    click-user sets estimated from their bottom-k sketches alone
+    (θ = min of the two sketch thresholds; retained hashes below θ are
+    a fixed-rate sample, so count·H/θ prices any set expression),
+    audited against the exact distinct counts.  One row: both
+    estimates, both exacts, both relative errors — all deterministic,
+    all value-hash-checked.
+
+    Scale shape: the only fact-scale stage is the partial-aggregated
+    distinct on (set, hash); the sketches leave each partition as
+    ≤ k values per set (the salted two-phase bottom-k from the KMV
+    query), and every set operation thereafter runs on ≤ 2k retained
+    hashes.  Two corpora that never co-reside can answer their overlap
+    by shipping kilobytes — the mergeable-summaries contract extended
+    from single-set counts to set ALGEBRA."""
+    from pyspark.sql.window import Window
+
+    ev = (table(spark, sf_dir, "events")
+          .filter(F.col("event_type").isin(THETA_SET_A, THETA_SET_B)))
+    hs = (ev.select("event_type", _key_h32(F.col("user_id")).alias("h"))
+          .distinct())
+    # salted two-phase bottom-k (KMV rationale: |sets| window
+    # partitions is a one-task-per-set cliff at scale)
+    w1 = Window.partitionBy("event_type", F.col("h") % 16) \
+               .orderBy(F.asc("h"))
+    survivors = (hs.withColumn("rn1", F.row_number().over(w1))
+                 .filter(F.col("rn1") <= KMV_K).drop("rn1"))
+    n_hashes = hs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"))
+    w2 = Window.partitionBy("event_type").orderBy(F.asc("h"))
+    ranked = (survivors.withColumn("rn", F.row_number().over(w2))
+              .filter(F.col("rn") <= KMV_K)
+              .join(F.broadcast(n_hashes), "event_type"))
+    theta = (ranked.groupBy("event_type", "n")
+             .agg(F.max("h").alias("hk"))
+             .select(F.when(F.col("n") >= KMV_K, F.col("hk"))
+                     .otherwise(F.lit(H32)).cast("bigint").alias("th")))
+    theta_u = theta.agg(F.min("th").alias("theta_u"))
+    ret = (ranked.select("event_type", "h")
+           .crossJoin(F.broadcast(theta_u))
+           .filter(F.col("h") < F.col("theta_u")))
+    cu = ret.select("h").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("cu"))
+    si = (ret.filter(F.col("event_type") == THETA_SET_A).select("h")
+          .intersect(
+              ret.filter(F.col("event_type") == THETA_SET_B).select("h"))
+          .agg(F.count(F.lit(1)).cast("bigint").alias("ci")))
+    exu = ev.agg(F.countDistinct("user_id").cast("bigint")
+                 .alias("exact_union"))
+    exi = (ev.filter(F.col("event_type") == THETA_SET_A)
+           .select("user_id").distinct()
+           .intersect(ev.filter(F.col("event_type") == THETA_SET_B)
+                      .select("user_id").distinct())
+           .agg(F.count(F.lit(1)).cast("bigint")
+                .alias("exact_intersection")))
+    h = F.lit(float(H32))
+    out = (cu.crossJoin(F.broadcast(si))
+           .crossJoin(F.broadcast(theta_u))
+           .crossJoin(F.broadcast(exu))
+           .crossJoin(F.broadcast(exi)))
+    est_u = F.col("cu") * h / F.col("theta_u")
+    est_i = F.col("ci") * h / F.col("theta_u")
+    return out.select(
+        (F.round(est_u, 6) + F.lit(0.0)).alias("est_union"),
+        "exact_union",
+        (F.round(F.abs(est_u - F.col("exact_union"))
+                 / F.col("exact_union"), 6) + F.lit(0.0))
+        .alias("union_rel_error"),
+        (F.round(est_i, 6) + F.lit(0.0)).alias("est_intersection"),
+        "exact_intersection",
+        (F.round(F.abs(est_i - F.col("exact_intersection"))
+                 / F.col("exact_intersection"), 6) + F.lit(0.0))
+        .alias("intersection_rel_error"))

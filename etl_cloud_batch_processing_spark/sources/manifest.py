@@ -222,6 +222,37 @@ def _rel_parquet(hpath, fs, base: str, rel_dir: str) -> list[str]:
         if s.getPath().getName().endswith(".parquet"))
 
 
+def compact_manifested(spark: SparkSession, path: str,
+                       target_file_bytes: int = 128 * 1024 * 1024) -> dict:
+    """Small-file compaction as a manifest commit: rewrite the live
+    file set into ``ceil(total_bytes / target)`` files under a fresh
+    ``.data/compact-<uid>/`` dir and flip the manifest — the
+    reader-atomic version of ``writers.compact`` (which deletes the
+    input dir before renaming the replacement in; safe for batch
+    windows, torn for racing readers).  Rewrites carry ``dt=None``
+    (a compaction merges partitions by design — run it per-dt via
+    read/commit filtering when dt pruning must survive).  Old files
+    stay for old-version readers until :func:`vacuum`.
+
+    Returns ``{"files_before", "files_after", "version"}``."""
+    _, hpath, fs = _fs(spark, path)
+    base = path.rstrip("/")
+    _, entries = current_manifest(spark, base)
+    total = 0
+    for e in entries:
+        total += fs.getFileStatus(hpath(f"{base}/{e['file']}")).getLen()
+    n_files = max(1, -(-total // target_file_bytes))
+    rel_dir = f".data/compact-{uuid.uuid4().hex[:8]}"
+    (read_manifest(spark, base).coalesce(int(n_files))
+     .write.mode("overwrite").parquet(f"{base}/{rel_dir}"))
+    new_files = _rel_parquet(hpath, fs, base, rel_dir)
+    v = commit_manifest(spark, base,
+                        add=[{"file": f, "dt": None} for f in new_files],
+                        remove=[e["file"] for e in entries])
+    return {"files_before": len(entries), "files_after": len(new_files),
+            "version": v}
+
+
 def publish_manifested(df: DataFrame, path: str, run_date: str,
                        rules: list = ()) -> list:
     """Write-audit-publish with a manifest commit as the publish step —
@@ -297,10 +328,13 @@ def delete_where_manifested(spark: SparkSession, path: str,
     live_abs = [f"{base}/{e['file']}" for e in entries]
     pred = F.expr(predicate) if isinstance(predicate, str) else predicate
 
+    # driver fetch: the affected-FILE list — bounded by file count,
+    # not rows, immediately pushed back down as the rewrite's read set
+    # (same grain as writers.delete_where's discovery fetch).
     hits = [r["__f"] for r in (spark.read.parquet(*live_abs)
                                .filter(pred)
                                .select(F.input_file_name().alias("__f"))
-                               .distinct().collect())]  # file-count bounded
+                               .distinct().collect())]  # driver fetch
     affected_rel = sorted(
         e["file"] for e in entries
         if any(h.endswith("/" + e["file"]) for h in hits))

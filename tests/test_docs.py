@@ -33,12 +33,13 @@ def test_no_driver_materialization_in_engine_paths():
     MLlib computePrincipalComponents architecture, MAX_GRAM_DIM-guarded);
     evolution's run-date list is 2 rows; probe_ivf_index fetches the
     probe-batch-sized cell list it pushes into the partition filter;
-    writers.delete_where fetches the affected-FILE list (file-count
-    grain, pushed back as the rewrite's read set) — those lines must
-    carry an explicit 'driver fetch' marker."""
+    writers.delete_where and manifest.delete_where_manifested fetch the
+    affected-FILE list (file-count grain, pushed back as the rewrite's
+    read set) — those lines must carry an explicit 'driver fetch'
+    marker."""
     pkg = ROOT / "etl_cloud_batch_processing_spark"
     bounded_ok = {"linalg.py", "evolution.py", "similarity.py",
-                  "writers.py"}
+                  "writers.py", "manifest.py"}
     offenders = []
     for f in pkg.rglob("*.py"):
         lines = f.read_text().splitlines()

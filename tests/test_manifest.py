@@ -238,6 +238,29 @@ def test_manifest_delete_is_snapshot_isolated(spark, tmp_path):
     assert again["rows_deleted"] == again["files_affected"] == 0
 
 
+def test_compact_manifested_preserves_rows_and_snapshots(spark, tmp_path):
+    """Compaction must change the file layout and NOTHING else: same
+    rows after, pre-compact version still readable until vacuum."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    out = str(tmp_path / "t")
+    write_clustered(ev, out, ["user_id"], num_files=8)
+    M.init_manifest(spark, out)
+    v_old, entries = M.current_manifest(spark, out)
+    assert len(entries) == 8
+
+    rep = M.compact_manifested(spark, out)
+    assert rep["files_before"] == 8
+    assert rep["files_after"] < 8
+    got = M.read_manifest(spark, out)
+    assert got.count() == ev.count()
+    assert (got.agg(F.sum("event_id")).collect()[0][0]
+            == ev.agg(F.sum("event_id")).collect()[0][0])
+    # snapshot isolation holds across a compaction too
+    assert M.read_manifest(spark, out, version=v_old).count() == ev.count()
+    M.vacuum(spark, out)
+    assert M.read_manifest(spark, out).count() == ev.count()
+
+
 def test_manifest_commit_rejects_duplicate_files(spark, tmp_path):
     ev = spark.read.parquet(f"{SF_DIR}/events.parquet").limit(10)
     out = str(tmp_path / "t")

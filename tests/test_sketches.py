@@ -218,3 +218,31 @@ def test_streaming_cms_state_equals_batch_sketch(spark, sf_dir):
             for r in bk.groupBy("row_id", "bucket")
             .agg(F.sum("exact_count").alias("cell")).collect()}
     assert got == want
+
+
+def test_theta_set_ops_exact_when_small(spark, sf_dir):
+    """At sf0.001 both sets hold fewer than KMV_K distinct users, so
+    θ = H, the sketch IS the set, and every estimate must be exact —
+    the small-set branch of the theta model."""
+    from etl_cloud_batch_processing_spark.plans.sketches import (
+        theta_sketch_set_ops)
+
+    r = theta_sketch_set_ops(spark, sf_dir).collect()[0]
+    assert r["est_union"] == float(r["exact_union"])
+    assert r["est_intersection"] == float(r["exact_intersection"])
+    assert r["union_rel_error"] == r["intersection_rel_error"] == 0.0
+
+
+def test_theta_set_ops_estimates_at_scale(spark):
+    """At sf0.01 each set holds 150 > KMV_K = 64 distinct users: θ < H,
+    the estimates come from the retained sample, and the theta error
+    model (~1/√k ≈ 12.5%) must hold with slack."""
+    from etl_cloud_batch_processing_spark.plans.sketches import (
+        theta_sketch_set_ops)
+
+    r = theta_sketch_set_ops(spark, "/root/testdata/sf0.01").collect()[0]
+    assert r["exact_union"] > 64  # estimation actually engaged
+    assert r["union_rel_error"] <= 0.5
+    assert r["intersection_rel_error"] <= 0.5
+    # algebra sanity: an intersection can never out-count its union
+    assert r["est_intersection"] <= r["est_union"] + 1e-9

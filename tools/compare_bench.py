@@ -1,13 +1,24 @@
 #!/usr/bin/env python
-"""Compare two bench.py JSON outputs: total delta, new/removed queries,
-and per-query regressions beyond a threshold.
+"""Compare two bench runs with a per-query verdict gated on measured
+run-to-run spread: total delta, new/removed queries, and — the round-9
+upgrade — a mechanical REGRESSED / NOISE split.
 
-    python tools/compare_bench.py OLD.json NEW.json [--threshold 1.5]
+    python tools/compare_bench.py OLD.json NEW.json [--threshold 2.0]
 
-Exit code 1 if any shared query slowed by more than --threshold x
-(guards a round's perf work against silent regressions; noise on a
-shared box is why the default is a generous 1.5x on top of bench.py's
-best-of-2)."""
+Inputs are bench.py outputs: BENCH_FULL.json (preferred — carries the
+per-query ``spread`` = max−min across the best-of-N runs) or the
+truncated stdout capture (no spread → spread treated as 0 for that
+side).  A shared query is REGRESSED only when BOTH hold:
+
+* ``new > threshold × max(old, 0.05)`` (the old ratio gate), AND
+* ``new − old > max(spread_old, spread_new)`` — the delta exceeds what
+  the box itself measured as noise for this query at measure time.
+
+Everything that trips the ratio gate but sits inside the measured
+spread prints as NOISE instead — the shared-microVM reality
+(DRIVER_NOTES #7/#16: same query 7 s and 51 s minutes apart) that made
+raw ratio flags un-actionable.  Exit 1 only on true REGRESSED rows.
+"""
 
 from __future__ import annotations
 
@@ -16,14 +27,22 @@ import json
 import sys
 
 
+def _load(path: str) -> tuple[dict, dict]:
+    doc = json.load(open(path))
+    # driver-recorded BENCH_r*.json wraps the stdout line under "parsed"
+    if "queries" not in doc and isinstance(doc.get("parsed"), dict):
+        doc = doc["parsed"]
+    return doc.get("queries", {}), doc.get("spread", {})
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("old")
     ap.add_argument("new")
-    ap.add_argument("--threshold", type=float, default=1.5)
+    ap.add_argument("--threshold", type=float, default=2.0)
     args = ap.parse_args()
-    old = json.load(open(args.old))["queries"]
-    new = json.load(open(args.new))["queries"]
+    old, old_spread = _load(args.old)
+    new, new_spread = _load(args.new)
 
     added = sorted(set(new) - set(old))
     removed = sorted(set(old) - set(new))
@@ -38,10 +57,19 @@ def main() -> None:
     if removed:
         print(f"removed ({len(removed)}): " + ", ".join(removed))
 
-    regressed = [(q, old[q], new[q]) for q in shared
-                 if new[q] > args.threshold * max(old[q], 0.05)]
-    for q, o, n in sorted(regressed, key=lambda t: -t[2] / t[1]):
-        print(f"REGRESSED {q}: {o:.3f}s -> {n:.3f}s ({n / o:.1f}x)")
+    regressed, noise = [], []
+    for q in shared:
+        if new[q] <= args.threshold * max(old[q], 0.05):
+            continue
+        allowance = max(old_spread.get(q, 0.0), new_spread.get(q, 0.0))
+        row = (q, old[q], new[q], allowance)
+        (regressed if new[q] - old[q] > allowance else noise).append(row)
+    for q, o, n, a in sorted(noise, key=lambda t: -(t[2] - t[1])):
+        print(f"NOISE {q}: {o:.3f}s -> {n:.3f}s "
+              f"(delta {n - o:+.3f}s within measured spread {a:.3f}s)")
+    for q, o, n, a in sorted(regressed, key=lambda t: -t[2] / t[1]):
+        print(f"REGRESSED {q}: {o:.3f}s -> {n:.3f}s ({n / o:.1f}x, "
+              f"delta {n - o:+.3f}s > spread {a:.3f}s)")
     sys.exit(1 if regressed else 0)
 
 

@@ -8,6 +8,16 @@ whose cost is driven by pair generation, not scan bytes.  Appends
 nothing; prints a markdown table for SCALE.md.
 
 Usage: python tools/soak8x.py [query ...]
+
+SPARK_GRAFT_SOAK_SKEW=zipf additionally re-draws every event's user_id
+from a Zipf(s≈1) distribution over the scaled user space (inverse-CDF
+``floor(N^u)`` on a fixed-seed xxhash64 uniform — deterministic, no
+RNG state).  The uniform replication above scales VOLUME but keeps
+per-key group sizes flat; real 100-TB event tables are Zipf-skewed,
+and the shuffle-heavy families (funnel, sessionization, dup-graph,
+KMV) must survive a head user owning several percent of all events —
+the regime AQE skew splitting and operators/skew.py's salted forms
+exist for (round-8 verdict item 5).
 """
 
 from __future__ import annotations
@@ -26,6 +36,7 @@ from etl_cloud_batch_processing_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 FACTOR = int(os.environ.get("SPARK_GRAFT_SOAK_FACTOR", "8"))
+SKEW = os.environ.get("SPARK_GRAFT_SOAK_SKEW", "")
 
 DEFAULT_QUERIES = [
     "cross_doc_ngram_dup_share",
@@ -57,12 +68,31 @@ def build_8x(spark, out_dir: str) -> None:
     ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
     n_ev = ev.count()
     n_users = ev.agg(F.max("user_id")).collect()[0][0] + 1
-    (ev.crossJoin(reps)
-     .withColumn("event_id", F.col("event_id") + F.col("rep") * F.lit(n_ev))
-     .withColumn("user_id",
-                 F.col("user_id") + F.col("rep") * F.lit(n_users))
-     .drop("rep")
-     .write.mode("overwrite").parquet(f"{out_dir}/events.parquet"))
+    scaled = (ev.crossJoin(reps)
+              .withColumn("event_id",
+                          F.col("event_id") + F.col("rep") * F.lit(n_ev))
+              .withColumn("user_id",
+                          F.col("user_id") + F.col("rep") * F.lit(n_users))
+              .drop("rep"))
+    if SKEW == "zipf":
+        # inverse-CDF Zipf(s=1): u ~ U[0,1) from a seeded xxhash64 of
+        # the (already re-strided) event id, user_id = floor(N^u) —
+        # P(user ≤ k) = log_N(k+1), density ∝ 1/k, head user owns
+        # ~1/ln(N) of ALL events.  Deterministic, so reruns compare.
+        n_total = n_users * FACTOR
+        u = ((F.abs(F.xxhash64("event_id", F.lit(42))) % F.lit(10 ** 9))
+             / F.lit(10 ** 9))
+        scaled = scaled.withColumn(
+            "user_id",
+            F.floor(F.pow(F.lit(float(n_total)), u)).cast("bigint") - 1)
+    scaled.write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
+    if SKEW == "zipf":
+        top = (spark.read.parquet(f"{out_dir}/events.parquet")
+               .groupBy("user_id").count().orderBy(F.desc("count"))
+               .limit(1).collect()[0])
+        print(f"zipf skew: top user {top['user_id']} owns "
+              f"{top['count']}/{n_ev * FACTOR} events "
+              f"({100.0 * top['count'] / (n_ev * FACTOR):.1f}%)")
     # orders replicate with re-strided order keys (same date span,
     # FACTORx orders/year — the growth axis for the reporting queries)
     od = spark.read.parquet(f"{SF_DIR}/orders.parquet")
@@ -98,7 +128,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     out_dir = tempfile.mkdtemp(prefix="soak8x_")
     build_8x(spark, out_dir)
-    print(f"| query | sf0.1 | {FACTOR}x data | time ratio |")
+    tag = f"{FACTOR}x data" + (f" ({SKEW} skew)" if SKEW else "")
+    print(f"| query | sf0.1 | {tag} | time ratio |")
     print("|---|---|---|---|")
     for name in names:
         t1 = time_query(spark, name, SF_DIR)
