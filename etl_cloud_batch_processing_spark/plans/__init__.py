@@ -4,6 +4,7 @@ from etl_cloud_batch_processing_spark.plans import (  # noqa: F401
     analytics,
     core,
     corpus,
+    dq,
     drift,
     evolution,
     filtering,
