@@ -709,3 +709,262 @@ def theta_sketch_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.abs(est_i - F.col("exact_intersection"))
                  / F.col("exact_intersection"), 6) + F.lit(0.0))
         .alias("intersection_rel_error"))
+
+
+# ---------------------------------------------------------------------------
+# HDR-style log2 histogram quantiles (Gil Tene's HdrHistogram bucketing):
+# integer-exact bucket indices — the exponent comes from length(bin(x)),
+# never from libm log — so the sketch, its quantile estimates, and the
+# error envelope are bit-identical in DuckDB and the query hash-checks.
+# This is the value-checked sibling of the rows-only approx_percentile
+# queries (SURVEY.md §5.2), exactly as CMS/KMV are for HLL-class counts.
+# Sub-bucket resolution: 2 extra mantissa bits -> relative error <= 1/4.
+# ---------------------------------------------------------------------------
+_HDR_PS = [0.5, 0.9, 0.99]
+
+
+def _hdr_bucket_sql(scaled: str) -> str:
+    e = f"(length(bin({scaled})) - 1)"
+    return (f"CASE WHEN {e} < 2 THEN {scaled} "
+            f"ELSE ({scaled} >> ({e} - 2)) << ({e} - 2) END")
+
+
+@query(
+    "hdr_histogram_value_quantiles",
+    oracle=f"""
+    WITH vc AS (
+        SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS scaled,
+               COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2),
+    n AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n_values
+          FROM vc GROUP BY 1),
+    tgt AS (
+        SELECT event_type, p, n_values,
+               CAST(CEIL(p * n_values) AS BIGINT) AS rnk
+        FROM n CROSS JOIN (SELECT unnest([{", ".join(
+            f"CAST({p} AS DOUBLE)" for p in _HDR_PS)}]) AS p)),
+    cum AS (
+        SELECT event_type, scaled,
+               SUM(cnt) OVER (PARTITION BY event_type ORDER BY scaled)
+                   AS cum
+        FROM vc),
+    exact AS (
+        SELECT t.event_type, t.p, MIN(c.scaled) AS exact_cents
+        FROM tgt t JOIN cum c
+          ON c.event_type = t.event_type AND c.cum >= t.rnk
+        GROUP BY 1, 2),
+    bc AS (
+        SELECT event_type, {_hdr_bucket_sql("scaled")} AS bucket_lo,
+               SUM(cnt) AS bcnt
+        FROM vc GROUP BY 1, 2),
+    bcum AS (
+        SELECT event_type, bucket_lo,
+               SUM(bcnt) OVER (PARTITION BY event_type ORDER BY bucket_lo)
+                   AS cum
+        FROM bc),
+    est AS (
+        SELECT t.event_type, t.p, MIN(b.bucket_lo) AS est_cents
+        FROM tgt t JOIN bcum b
+          ON b.event_type = t.event_type AND b.cum >= t.rnk
+        GROUP BY 1, 2)
+    SELECT t.event_type, t.p, t.n_values, e.est_cents, x.exact_cents,
+           e.est_cents <= x.exact_cents
+               AND x.exact_cents * 4 <= e.est_cents * 5 AS within_bound
+    FROM tgt t
+    JOIN est e ON e.event_type = t.event_type AND e.p = t.p
+    JOIN exact x ON x.event_type = t.event_type AND x.p = t.p
+    ORDER BY t.event_type, t.p
+    """,
+)
+def hdr_histogram_value_quantiles(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """HDR-histogram quantile estimates (p50/p90/p99 of ``value`` per
+    event type) next to their exact rank-equivalent, plus the executed
+    error envelope: the bucket lower bound can undershoot the true
+    discrete quantile by at most the sub-bucket width, 25% relative —
+    ``within_bound`` asserts exactly that, in integer cents, inside the
+    query.
+
+    Bucketing is HdrHistogram's: values scale to integer cents, the
+    octave is the binary exponent (``length(bin(x)) - 1`` — integer
+    string length, NOT libm log, so both engines agree bit-for-bit),
+    and 2 extra mantissa bits split each octave into 4 sub-buckets.
+    The sketch is a (type, bucket)-grain count frame: mergeable by
+    addition, O(octaves x 4) cells per type regardless of input size.
+    At 100 TB the value-grain pre-aggregation is the only corpus-scale
+    stage (map-side combine on (type, cents)); the histogram itself is
+    a few hundred cells and the rank scan is window work over those
+    cells.  Exact twin computed from the SAME value-grain frame via
+    cumulative counts — one extra window over an already-tiny frame."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("scaled"))
+    vc = ev.groupBy("event_type", "scaled").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    n = vc.groupBy("event_type").agg(
+        F.sum("cnt").cast("bigint").alias("n_values"))
+    ps = F.array(*[F.lit(float(p)) for p in _HDR_PS])
+    tgt = (n.select("event_type", "n_values",
+                    F.explode(ps).alias("p"))
+           .withColumn("rnk", F.ceil(F.col("p") * F.col("n_values"))))
+    cum_w = (Window.partitionBy("event_type").orderBy("scaled")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = vc.withColumn("cum", F.sum("cnt").over(cum_w))
+    exact = (tgt.join(cum, "event_type")
+             .filter(F.col("cum") >= F.col("rnk"))
+             .groupBy("event_type", "p")
+             .agg(F.min("scaled").alias("exact_cents")))
+    bc = (vc.withColumn(
+              "bucket_lo",
+              F.expr("CASE WHEN length(bin(scaled)) - 1 < 2 THEN scaled"
+                     " ELSE shiftleft(shiftright(scaled,"
+                     " length(bin(scaled)) - 3),"
+                     " length(bin(scaled)) - 3) END"))
+          .groupBy("event_type", "bucket_lo")
+          .agg(F.sum("cnt").alias("bcnt")))
+    bcum_w = (Window.partitionBy("event_type").orderBy("bucket_lo")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    bcum = bc.withColumn("cum", F.sum("bcnt").over(bcum_w))
+    est = (tgt.join(bcum, "event_type")
+           .filter(F.col("cum") >= F.col("rnk"))
+           .groupBy("event_type", "p")
+           .agg(F.min("bucket_lo").alias("est_cents")))
+    return (tgt.join(est, ["event_type", "p"])
+            .join(exact, ["event_type", "p"])
+            .select("event_type", "p", "n_values", "est_cents",
+                    "exact_cents",
+                    ((F.col("est_cents") <= F.col("exact_cents"))
+                     & (F.col("exact_cents") * 4
+                        <= F.col("est_cents") * 5))
+                    .alias("within_bound"))
+            .orderBy("event_type", "p"))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic HyperLogLog (Flajolet et al. 2007): m=16 registers keyed
+# by the low 4 hash bits, rho = leading-zero rank of the remaining 28
+# bits, computed as 29 - length(bin(r)) — integer-exact in both engines.
+# The harmonic sum is a sum of exact powers of two (every term and every
+# partial sum is an exact multiple of 2^-29 within 34 significant bits),
+# so even the double arithmetic is order-independent and the estimate
+# hash-checks.  This upgrades the rows-only approx_distinct class to a
+# value-checked query, the same move CMS/KMV made for counts.
+# ---------------------------------------------------------------------------
+HLL_M = 16
+HLL_ALPHA16 = 0.673  # Flajolet's alpha_m for m=16
+
+
+@query(
+    "hll_register_cardinality",
+    oracle=f"""
+    WITH hashed AS (
+        SELECT event_type,
+               CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) % {H32} AS h32
+        FROM events),
+    rho AS (
+        SELECT event_type, h32 % {HLL_M} AS reg,
+               CASE WHEN h32 // {HLL_M} = 0 THEN 29
+                    ELSE 29 - length(bin(h32 // {HLL_M})) END AS rho
+        FROM hashed),
+    regs AS (
+        SELECT event_type, reg, MAX(rho) AS m_j
+        FROM rho GROUP BY 1, 2
+        UNION ALL
+        SELECT 'ALL' AS event_type, reg, MAX(rho) AS m_j
+        FROM rho GROUP BY reg),
+    sums AS (
+        SELECT event_type,
+               SUM(CAST(1.0 AS DOUBLE)
+                   / CAST(1::BIGINT << m_j AS DOUBLE)) AS s_present,
+               CAST(COUNT(*) AS BIGINT) AS v_present
+        FROM regs GROUP BY 1),
+    ex AS (
+        SELECT event_type, CAST(COUNT(DISTINCT event_id) AS BIGINT)
+                   AS exact_distinct
+        FROM events GROUP BY 1
+        UNION ALL
+        SELECT 'ALL', CAST(COUNT(DISTINCT event_id) AS BIGINT)
+        FROM events),
+    est AS (
+        SELECT s.event_type, x.exact_distinct,
+               {HLL_M} - s.v_present AS zero_registers,
+               {HLL_ALPHA16} * {HLL_M * HLL_M}
+                   / (s.s_present + ({HLL_M} - s.v_present)) AS raw
+        FROM sums s JOIN ex x ON x.event_type = s.event_type)
+    SELECT event_type, exact_distinct,
+           ROUND(raw, 4) AS hll_estimate,
+           ROUND(ABS(raw / exact_distinct - 1.0), 4) AS rel_err,
+           zero_registers,
+           raw <= 2.5 * {HLL_M} AND zero_registers > 0
+               AS used_linear_counting,
+           ABS(raw / exact_distinct - 1.0) <= 0.8 AS within_bound
+    FROM est
+    ORDER BY event_type
+    """,
+)
+def hll_register_cardinality(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count estimate of event_ids per event type
+    PLUS the merged all-types sketch, next to exact counts and the
+    executed error envelope — every register, the harmonic sum, and the
+    raw estimate are deterministic functions of the input multiset, so
+    the whole pipeline hash-checks against DuckDB (unlike Spark's
+    approx_count_distinct, whose engine-internal HLL is sanctioned
+    rows-only per SURVEY.md §5.2).
+
+    m=16 registers: register = low 4 bits of the md5-derived h32, rho =
+    leading-zero rank of the remaining 28 bits via length(bin(r)) —
+    integer arithmetic only.  The 'ALL' row is max-merged from the same
+    register frame, value-checking HLL's defining property (register-
+    wise max = sketch of the union) inside the query.  The raw
+    small-range branch is REPORTED (`used_linear_counting`) rather than
+    taken: fixtures keep every group in the raw regime (pytest-pinned),
+    and branching into libm's ln() would put cross-libm rounding in the
+    hash path.  At 100 TB the only corpus-scale stage is the
+    (type, register)-grain max — map-side combined, 16 cells per type;
+    the exact twin is the one genuinely expensive stage (COUNT DISTINCT
+    over the corpus) and exists only to audit the estimate."""
+    ev = table(spark, sf_dir, "events")
+    h32 = (F.conv(F.substring(
+        F.md5(F.col("event_id").cast("string").cast("binary")), 1, 15),
+        16, 10).cast("bigint") % F.lit(H32))
+    r = F.expr(f"h32 DIV {HLL_M}")
+    rho = (ev.select("event_type", h32.alias("h32"))
+           .select("event_type",
+                   (F.col("h32") % HLL_M).alias("reg"),
+                   F.when(r == 0, F.lit(29))
+                   .otherwise(F.lit(29) - F.length(F.bin(r)))
+                   .alias("rho")))
+    per_type = rho.groupBy("event_type", "reg").agg(
+        F.max("rho").alias("m_j"))
+    merged = (rho.groupBy("reg").agg(F.max("rho").alias("m_j"))
+              .select(F.lit("ALL").alias("event_type"), "reg", "m_j"))
+    regs = per_type.unionByName(merged)
+    sums = regs.groupBy("event_type").agg(
+        F.sum(F.expr("1.0D / cast(shiftleft(1L, m_j) as double)"))
+        .alias("s_present"),
+        F.count(F.lit(1)).cast("bigint").alias("v_present"))
+    ex = (ev.groupBy("event_type")
+          .agg(F.countDistinct("event_id").alias("exact_distinct"))
+          .unionByName(ev.agg(F.countDistinct("event_id")
+                              .alias("exact_distinct"))
+                       .select(F.lit("ALL").alias("event_type"),
+                               "exact_distinct")))
+    raw = (F.lit(HLL_ALPHA16) * F.lit(HLL_M * HLL_M)
+           / (F.col("s_present") + (F.lit(HLL_M) - F.col("v_present"))))
+    return (sums.join(ex, "event_type")
+            .select("event_type", "exact_distinct",
+                    F.round(raw, 4).alias("hll_estimate"),
+                    F.round(F.abs(raw / F.col("exact_distinct") - 1.0), 4)
+                    .alias("rel_err"),
+                    (F.lit(HLL_M) - F.col("v_present"))
+                    .alias("zero_registers"),
+                    ((raw <= F.lit(2.5 * HLL_M))
+                     & (F.lit(HLL_M) - F.col("v_present") > 0))
+                    .alias("used_linear_counting"),
+                    (F.abs(raw / F.col("exact_distinct") - 1.0)
+                     <= F.lit(0.8)).alias("within_bound"))
+            .orderBy("event_type"))

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from etl_cloud_batch_processing_spark import plans
 from etl_cloud_batch_processing_spark.plans.registry import table
 from etl_cloud_batch_processing_spark.plans.sketches import (
     BLOOM_K,
@@ -246,3 +247,69 @@ def test_theta_set_ops_estimates_at_scale(spark):
     assert r["intersection_rel_error"] <= 0.5
     # algebra sanity: an intersection can never out-count its union
     assert r["est_intersection"] <= r["est_union"] + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Round-9 session 2: HDR-histogram quantiles + deterministic HLL.
+# ---------------------------------------------------------------------------
+
+def test_hdr_quantiles_envelope_executes(spark, sf_dir):
+    rows = (plans.REGISTRY["hdr_histogram_value_quantiles"]
+            .builder(spark, sf_dir).collect())
+    assert len(rows) == 15  # 5 types x 3 percentiles
+    for r in rows:
+        assert r["within_bound"], dict(r.asDict())
+        # one-sided error: bucket lower bound never overshoots
+        assert r["est_cents"] <= r["exact_cents"]
+        assert r["exact_cents"] * 4 <= r["est_cents"] * 5
+    # the sketch genuinely approximates (not a disguised exact quantile)
+    assert any(r["est_cents"] != r["exact_cents"] for r in rows)
+
+
+def test_hdr_bucket_relative_width_bound(spark):
+    """Every value maps to a bucket whose lower bound is within 25%
+    below it — the invariant the quantile envelope rests on."""
+    df = spark.range(1, 5000).selectExpr(
+        "id AS scaled",
+        "CASE WHEN length(bin(id)) - 1 < 2 THEN id"
+        " ELSE shiftleft(shiftright(id, length(bin(id)) - 3),"
+        " length(bin(id)) - 3) END AS bucket_lo")
+    bad = df.filter("bucket_lo > scaled OR scaled * 4 > bucket_lo * 5")
+    assert bad.count() == 0
+
+
+def test_hll_register_cardinality_audits_itself(spark, sf_dir):
+    rows = {r["event_type"]: r for r in
+            (plans.REGISTRY["hll_register_cardinality"]
+             .builder(spark, sf_dir).collect())}
+    assert set(rows) == {"ALL", "click", "error", "purchase", "signup",
+                         "view"}
+    for r in rows.values():
+        assert r["within_bound"], dict(r.asDict())
+        # fixtures keep every group in the raw-estimate regime, so the
+        # libm linear-counting branch never enters the hash path
+        assert not r["used_linear_counting"]
+        assert r["rel_err"] <= 0.8
+    assert rows["ALL"]["exact_distinct"] == sum(
+        r["exact_distinct"] for t, r in rows.items() if t != "ALL")
+
+
+def test_hll_merge_is_registerwise_max(spark, sf_dir):
+    """HLL's defining property on disjoint halves: sketch(union) ==
+    registerwise max of sketch(half_a), sketch(half_b) — rebuilt here
+    from the same md5 hash pipeline as the registered query."""
+    from etl_cloud_batch_processing_spark.plans.sketches import H32, HLL_M
+    ev = table(spark, sf_dir, "events")
+    h32 = (F.conv(F.substring(
+        F.md5(F.col("event_id").cast("string").cast("binary")), 1, 15),
+        16, 10).cast("bigint") % F.lit(H32))
+    rho = ev.select(
+        (F.col("event_id") % 2).alias("half"), h32.alias("h32")).select(
+        "half", (F.col("h32") % HLL_M).alias("reg"),
+        F.expr(f"CASE WHEN h32 DIV {HLL_M} = 0 THEN 29"
+               f" ELSE 29 - length(bin(h32 DIV {HLL_M})) END").alias("rho"))
+    merged = (rho.groupBy("half", "reg").agg(F.max("rho").alias("m"))
+              .groupBy("reg").agg(F.max("m").alias("m_j")))
+    whole = rho.groupBy("reg").agg(F.max("rho").alias("m_j"))
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, whole.collect()))
