@@ -8,6 +8,7 @@ from etl_cloud_batch_processing_spark.plans import (  # noqa: F401
     drift,
     evolution,
     filtering,
+    formats,
     layout,
     llm,
     profiling,

@@ -25,7 +25,8 @@ from pyspark.sql import functions as F
 
 def write_overwrite(df: DataFrame, path: str, fmt: str = "parquet",
                     bucket_by: tuple[int, list[str]] | None = None,
-                    table_name: str | None = None) -> None:
+                    table_name: str | None = None,
+                    **options: str) -> None:
     """WRITE_TRUNCATE equivalent: replace the whole table.
 
     ``bucket_by=(n_buckets, [cols])`` writes a BUCKETED table: rows are
@@ -41,7 +42,7 @@ def write_overwrite(df: DataFrame, path: str, fmt: str = "parquet",
     table.
     """
     if bucket_by is None:
-        df.write.mode("overwrite").format(fmt).save(path)
+        df.write.mode("overwrite").format(fmt).options(**options).save(path)
         return
     if table_name is None:
         raise ValueError("bucket_by requires table_name: bucketed "
