@@ -503,3 +503,115 @@ def markov_stationary_event_mix(spark: SparkSession,
                         (F.col("pi") + F.lit(0.0)).alias(f"pi_{i}")),
             "event_type")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Multi-feature OLS via the Gram-matrix aggregation — the scalable
+# closed-form regression shape: ONE pass accumulates X'X and X'y (a
+# handful of scalars per group), the 3x3 solve is O(1) driver-free
+# arithmetic on the aggregated frame.  The solve formulas are defined
+# ONCE as SQL text and used verbatim by both engines (F.expr on the
+# Spark side, pasted into the DuckDB oracle), so the double arithmetic
+# cannot drift between them.
+# ---------------------------------------------------------------------------
+
+# Cramer's rule for [[n,sh,sd],[sh,shh,shd],[sd,shd,sdd]] beta = [sy,shy,sdy],
+# every product forced to DOUBLE before multiplying: the raw BIGINT
+# product n*shh*sdd overflows int64 around sf0.1.
+_OLS3_TERMS = """
+    CAST(shh AS DOUBLE) * sdd - CAST(shd AS DOUBLE) * shd AS t1,
+    CAST(sh AS DOUBLE) * sdd - CAST(shd AS DOUBLE) * sd AS t2,
+    CAST(sh AS DOUBLE) * shd - CAST(shh AS DOUBLE) * sd AS t3,
+    CAST(shy AS DOUBLE) * sdd - CAST(shd AS DOUBLE) * sdy AS u1,
+    CAST(sh AS DOUBLE) * sdy - CAST(shy AS DOUBLE) * sd AS u2,
+    CAST(shh AS DOUBLE) * sdy - CAST(shy AS DOUBLE) * shd AS u3
+"""
+_OLS3_DET = ("CAST(n AS DOUBLE) * t1 - CAST(sh AS DOUBLE) * t2"
+             " + CAST(sd AS DOUBLE) * t3")
+_OLS3_B0 = ("CAST(sy AS DOUBLE) * t1 - CAST(sh AS DOUBLE) * u1"
+            " - CAST(sd AS DOUBLE) * u3")
+_OLS3_B1 = ("CAST(n AS DOUBLE) * u1 - CAST(sy AS DOUBLE) * t2"
+            " + CAST(sd AS DOUBLE) * u2")
+_OLS3_B2 = ("CAST(n AS DOUBLE) * u3 - CAST(sh AS DOUBLE) * u2"
+            " + CAST(sy AS DOUBLE) * t3")
+
+
+@query(
+    "ols_value_on_time_features",
+    oracle=f"""
+    WITH g AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(h) AS BIGINT) AS sh,
+               CAST(SUM(d) AS BIGINT) AS sd,
+               CAST(SUM(h * h) AS BIGINT) AS shh,
+               CAST(SUM(h * d) AS BIGINT) AS shd,
+               CAST(SUM(d * d) AS BIGINT) AS sdd,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(h * y) AS BIGINT) AS shy,
+               CAST(SUM(d * y) AS BIGINT) AS sdy,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM (SELECT event_type,
+                     CAST(hour(ts) AS BIGINT) AS h,
+                     CAST(dayofweek(ts) AS BIGINT) AS d,
+                     CAST(ROUND(value * 100) AS BIGINT) AS y
+              FROM events)
+        GROUP BY event_type),
+    t AS (SELECT *, {_OLS3_TERMS} FROM g),
+    s AS (SELECT *, {_OLS3_DET} AS det, {_OLS3_B0} AS n0,
+                 {_OLS3_B1} AS n1, {_OLS3_B2} AS n2 FROM t)
+    SELECT event_type, n AS n_rows,
+           ROUND(n0 / det, 6) + 0.0 AS intercept_cents,
+           ROUND(n1 / det, 6) + 0.0 AS coef_hour,
+           ROUND(n2 / det, 6) + 0.0 AS coef_dow,
+           ROUND(1.0 - (syy - ((n0 / det) * sy + (n1 / det) * shy
+                               + (n2 / det) * sdy))
+                 / (syy - CAST(sy AS DOUBLE) * sy / n), 6) + 0.0 AS r2
+    FROM s
+    ORDER BY event_type
+    """,
+)
+def ols_value_on_time_features(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Per-event-type multi-feature OLS (value in cents regressed on
+    hour-of-day and day-of-week plus intercept) solved in closed form
+    from the Gram matrix: one corpus pass accumulates the ten exact
+    BIGINT sums of X'X / X'y / y'y, then Cramer's rule solves the 3x3
+    normal equations on the 5-row aggregated frame.
+
+    This is the regression shape that scales: no iteration, no driver
+    loop, no per-row Python — d features cost d(d+1)/2 sum cells in ONE
+    map-side-combined aggregation, and only the O(d^3) solve (here 3x3)
+    happens per group.  The determinant products overflow int64 near
+    sf0.1, so every solve-stage product is forced to DOUBLE; the solve
+    expressions are a single SQL text evaluated by BOTH engines
+    (F.expr here, pasted into the oracle), making cross-engine drift
+    structurally impossible.  Spark's dayofweek is 1-based (Sunday=1)
+    vs DuckDB's 0-based, normalized here by -1."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour("ts").cast("bigint").alias("h"),
+        (F.dayofweek("ts") - 1).cast("bigint").alias("d"),
+        F.round(F.col("value") * 100).cast("bigint").alias("y"))
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("h").alias("sh"), F.sum("d").alias("sd"),
+        F.sum(F.col("h") * F.col("h")).alias("shh"),
+        F.sum(F.col("h") * F.col("d")).alias("shd"),
+        F.sum(F.col("d") * F.col("d")).alias("sdd"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("h") * F.col("y")).alias("shy"),
+        F.sum(F.col("d") * F.col("y")).alias("sdy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"))
+    t = g.selectExpr("*", *[c.strip() for c in _OLS3_TERMS.split(",")])
+    s = t.selectExpr("*", f"{_OLS3_DET} AS det", f"{_OLS3_B0} AS n0",
+                     f"{_OLS3_B1} AS n1", f"{_OLS3_B2} AS n2")
+    return (s.selectExpr(
+        "event_type", "n AS n_rows",
+        "ROUND(n0 / det, 6) + 0.0D AS intercept_cents",
+        "ROUND(n1 / det, 6) + 0.0D AS coef_hour",
+        "ROUND(n2 / det, 6) + 0.0D AS coef_dow",
+        "ROUND(1.0D - (syy - ((n0 / det) * sy + (n1 / det) * shy"
+        " + (n2 / det) * sdy))"
+        " / (syy - CAST(sy AS DOUBLE) * sy / n), 6) + 0.0D AS r2")
+        .orderBy("event_type"))

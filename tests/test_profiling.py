@@ -141,3 +141,36 @@ def test_markov_iterations_join_bounded_frames(spark):
     assert "CartesianProduct" not in plan
     # the per-user lead window is the only corpus-scale stage
     assert plan.count("Window") >= 1
+
+
+def test_ols3_matches_numpy_lstsq(spark, sf_dir):
+    """Cramer-from-Gram must agree with numpy's QR-based lstsq on the
+    same design matrix — pins the algebra, not just engine parity."""
+    import numpy as np
+    import pytest
+    from etl_cloud_batch_processing_spark import plans
+    from etl_cloud_batch_processing_spark.plans.registry import table
+    got = {r["event_type"]: r for r in
+           (plans.REGISTRY["ols_value_on_time_features"]
+            .builder(spark, sf_dir).collect())}
+    rows = (table(spark, sf_dir, "events")
+            .selectExpr("event_type", "CAST(hour(ts) AS DOUBLE) AS h",
+                        "CAST(dayofweek(ts) - 1 AS DOUBLE) AS d",
+                        "CAST(ROUND(value * 100) AS DOUBLE) AS y")
+            .collect())
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    assert set(by_type) == set(got)
+    for t, rs in by_type.items():
+        X = np.array([[1.0, r["h"], r["d"]] for r in rs])
+        y = np.array([r["y"] for r in rs])
+        beta = np.linalg.lstsq(X, y, rcond=None)[0]
+        assert got[t]["intercept_cents"] == pytest.approx(beta[0], abs=1e-3)
+        assert got[t]["coef_hour"] == pytest.approx(beta[1], abs=1e-3)
+        assert got[t]["coef_dow"] == pytest.approx(beta[2], abs=1e-3)
+        pred = X @ beta
+        ss_res = float(((y - pred) ** 2).sum())
+        ss_tot = float(((y - y.mean()) ** 2).sum())
+        assert got[t]["r2"] == pytest.approx(1 - ss_res / ss_tot, abs=1e-4)
+        assert 0.0 <= got[t]["r2"] <= 1.0
