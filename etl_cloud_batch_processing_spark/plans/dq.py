@@ -188,3 +188,100 @@ def dq_referential_integrity(spark: SparkSession,
     for f in frames[1:]:
         out = out.unionByName(f)
     return out.orderBy("child_table", "fk_column")
+
+
+# ---------------------------------------------------------------------------
+# Privacy measurement: k-anonymity / l-diversity audit (Sweeney 2002,
+# Machanavajjhala et al. 2007).  A training-data release pipeline needs
+# to quantify re-identification risk BEFORE publishing derived tables;
+# this is the measurement half (the redaction half is pii_redaction in
+# plans/llm.py).
+# ---------------------------------------------------------------------------
+
+_QI_LEVELS = [
+    ("type", "event_type"),
+    ("type+day", "event_type, day"),
+    ("type+day+valbucket", "event_type, day, val_bucket"),
+]
+
+
+def _kanon_sql() -> str:
+    levels = []
+    for name, keys in _QI_LEVELS:
+        levels.append(f"""
+    SELECT '{name}' AS qi_level, n_rows, n_classes, k_min,
+           rows_below_k5,
+           ROUND(CAST(rows_below_k5 AS DOUBLE) / n_rows, 6) + 0.0
+               AS pct_rows_below_k5,
+           l_min
+    FROM (
+        SELECT CAST(SUM(class_rows) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_classes,
+               CAST(MIN(class_rows) AS BIGINT) AS k_min,
+               CAST(SUM(CASE WHEN class_rows < 5 THEN class_rows
+                             ELSE 0 END) AS BIGINT) AS rows_below_k5,
+               CAST(MIN(class_users) AS BIGINT) AS l_min
+        FROM (
+            SELECT {keys},
+                   SUM(cnt) AS class_rows,
+                   COUNT(DISTINCT user_id) AS class_users
+            FROM base GROUP BY {keys})
+    )""")
+    return ("""
+    WITH base AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(FLOOR(value / 10) AS BIGINT) AS val_bucket,
+               user_id, COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2, 3, 4)
+    """ + "\nUNION ALL\n".join(levels)
+            + "\nORDER BY qi_level")
+
+
+@query("k_anonymity_audit", oracle=_kanon_sql())
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit of the events table under a
+    three-rung quasi-identifier ladder (event_type; +day; +value
+    decile-bucket): per rung, the equivalence-class count, the minimum
+    class size k, the row mass in classes below k=5 (the standard
+    suppression threshold), and the minimum per-class distinct-user
+    count l (diversity of the sensitive attribute).  Coarse rungs are
+    safe (large classes); the fine rung quantifies exactly how much
+    re-identification surface a naive full-resolution release adds.
+
+    One corpus-scale pass builds the (QI..., user)-grain base frame;
+    every rung then REGROUPS that bounded frame (class sizes sum, user
+    diversity re-counted — never re-scanning the corpus), so the audit
+    costs one scan plus three aggregations over a frame bounded by
+    |QI-combos| x |users| regardless of input size."""
+    ev = table(spark, sf_dir, "events")
+    base = (ev.select("event_type",
+                      F.col("ts").cast("date").alias("day"),
+                      F.floor(F.col("value") / 10).cast("bigint")
+                      .alias("val_bucket"),
+                      "user_id")
+            .groupBy("event_type", "day", "val_bucket", "user_id")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+    base = base.persist()
+    frames = []
+    for name, keys in _QI_LEVELS:
+        cols = [k.strip() for k in keys.split(",")]
+        classes = (base.groupBy(*cols)
+                   .agg(F.sum("cnt").alias("class_rows"),
+                        F.countDistinct("user_id").alias("class_users")))
+        frames.append(classes.agg(
+            F.sum("class_rows").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+            F.min("class_rows").cast("bigint").alias("k_min"),
+            F.sum(F.when(F.col("class_rows") < 5, F.col("class_rows"))
+                  .otherwise(0)).cast("bigint").alias("rows_below_k5"),
+            F.min("class_users").cast("bigint").alias("l_min"))
+            .select(F.lit(name).alias("qi_level"), "n_rows", "n_classes",
+                    "k_min", "rows_below_k5",
+                    (F.round(F.col("rows_below_k5").cast("double")
+                             / F.col("n_rows"), 6) + F.lit(0.0))
+                    .alias("pct_rows_below_k5"),
+                    "l_min"))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.orderBy("qi_level")

@@ -102,3 +102,24 @@ def test_suite_is_single_scan_per_table(spark, sf_dir):
         X.in_range("value", 0, 1e6), X.not_null("user_id")])
     plan = rep._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") <= 1
+
+
+def test_k_anonymity_ladder_invariants(spark, duck, sf_dir):
+    spec = plans.REGISTRY["k_anonymity_audit"]
+    rows = {r["qi_level"]: r for r in spec.builder(spark, sf_dir).collect()}
+    assert list(rows) == ["type", "type+day", "type+day+valbucket"]
+    coarse, mid, fine = (rows["type"], rows["type+day"],
+                         rows["type+day+valbucket"])
+    # refining the QI can only split classes: count grows, k shrinks
+    assert coarse["n_classes"] <= mid["n_classes"] <= fine["n_classes"]
+    assert coarse["k_min"] >= mid["k_min"] >= fine["k_min"]
+    assert coarse["rows_below_k5"] <= mid["rows_below_k5"] \
+        <= fine["rows_below_k5"]
+    for r in rows.values():
+        assert r["l_min"] <= r["k_min"]  # distinct users <= class rows
+        assert 0.0 <= r["pct_rows_below_k5"] <= 1.0
+        assert r["n_rows"] == coarse["n_rows"]  # same release, all rungs
+    # oracle parity
+    want = [tuple(r) for r in duck.execute(spec.oracle).fetchall()]
+    got = [tuple(r) for r in spec.builder(spark, sf_dir).collect()]
+    assert got == want
