@@ -615,3 +615,133 @@ def ols_value_on_time_features(spark: SparkSession,
         " + (n2 / det) * sdy))"
         " / (syy - CAST(sy AS DOUBLE) * sy / n), 6) + 0.0D AS r2")
         .orderBy("event_type"))
+
+
+# ---------------------------------------------------------------------------
+# Converged logistic regression (Newton/IRLS) on the fixpoint runner —
+# the second-order training-loop shape at corpus scale: ONE aggregation
+# pass per round produces the gradient, the Hessian's 10 distinct cells,
+# and the log-loss together; the bounded O(d^2) statistics come to the
+# driver where numpy solves the 4x4 Newton system (MLlib's own
+# treeAggregate-then-driver-update architecture), and the new
+# coefficient row re-enters the plan as a LEAF — zero lineage growth,
+# no per-round broadcast tree.  Registered rows-only (sigmoid puts libm
+# exp() in every value, so no cross-engine hash oracle exists per
+# SURVEY.md §5.2) but SELF-AUDITING: the result rows carry executed
+# loss assertions, and pytest replays the recurrence in numpy.
+# ---------------------------------------------------------------------------
+_LR_TOL = 1e-8
+_LR_MAX_ROUNDS = 12
+_LR_FEATURES = ["intercept", "hour_scaled", "dow_scaled", "value_scaled"]
+
+
+def _logreg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label: is this a purchase event; features scaled into [0, 1] so
+    the Newton steps are well-conditioned at every SF."""
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        F.when(F.col("event_type") == "purchase", 1.0).otherwise(0.0)
+        .alias("y"),
+        (F.hour("ts") / F.lit(23.0)).alias("x1"),
+        ((F.dayofweek("ts") - 1) / F.lit(6.0)).alias("x2"),
+        (F.col("value") / F.lit(500.0)).alias("x3"))
+
+
+@query("logreg_converged_coeffs")
+def logreg_converged_coeffs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic regression (is-this-a-purchase on time-of-day /
+    day-of-week / value features) trained by Newton/IRLS under the
+    convergence runner (operators/iterative.py): each round is ONE
+    map-side-combined aggregation over the cached feature frame
+    producing the 4 gradient means, the 10 Hessian cells, and the
+    log-loss together; the driver solves the 4x4 system with numpy and
+    the updated coefficients re-enter as a 1-row leaf frame.  Stops
+    when the largest coefficient step falls under 1e-8 — quadratic
+    convergence lands this in ~5 rounds where first-order GD needs
+    hundreds (the GD form was measured at 30+ rounds without
+    converging, and its coefficient-frame-in-the-plan state doubled
+    the plan tree per round — both recorded in SCALE.md's pathology
+    list; Newton-with-leaf-state eliminates the class).
+
+    Scale shape is MLlib LogisticRegression's own: per round, corpus
+    work is one pass with a 15-cell result; the driver round-trip is
+    O(d^2) bounded statistics (the sanctioned guarded-fetch pattern,
+    operators/linalg.py); state plans never deepen because each round
+    is a fresh leaf.  Self-audit columns (the rows-only contract per
+    SURVEY.md §5.2): `loss_improved` asserts the final log-loss beats
+    the zero-coefficient model's ln(2); `beats_prior_only` asserts it
+    also reaches the best intercept-only model's entropy floor — both
+    executed inside the query and pinned by pytest alongside a numpy
+    replay of the exact recurrence."""
+    import math
+
+    import numpy as np
+
+    from etl_cloud_batch_processing_spark.operators.iterative import (
+        iterate_to_fixpoint)
+
+    feats = _logreg_features(spark, sf_dir).persist()
+    feats.count()
+    state = spark.createDataFrame(
+        [(0.0, 0.0, 0.0, 0.0, None)],
+        "b0 double, b1 double, b2 double, b3 double, loss double")
+
+    xs = [F.lit(1.0), F.col("x1"), F.col("x2"), F.col("x3")]
+
+    def step(prev: DataFrame) -> DataFrame:
+        c = prev.first()
+        b = [c[f"b{i}"] for i in range(4)]
+        z = (F.lit(b[0]) + F.lit(b[1]) * F.col("x1")
+             + F.lit(b[2]) * F.col("x2") + F.lit(b[3]) * F.col("x3"))
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        w = p * (F.lit(1.0) - p)
+        # log-loss via log1p(exp(-|z|)) form: stable for large |z|
+        ll = (F.when(F.col("y") == 1.0, F.log1p(F.exp(-z)))
+              .otherwise(F.log1p(F.exp(-z)) + z))
+        cells = [F.avg((p - F.col("y")) * x).alias(f"g{i}")
+                 for i, x in enumerate(xs)]
+        cells += [F.avg(w * xs[i] * xs[j]).alias(f"h{i}{j}")
+                  for i in range(4) for j in range(i, 4)]
+        cells.append(F.avg(ll).alias("loss"))
+        s = feats.agg(*cells).first()
+        g = np.array([s[f"g{i}"] for i in range(4)])
+        H = np.zeros((4, 4))
+        for i in range(4):
+            for j in range(i, 4):
+                H[i, j] = H[j, i] = s[f"h{i}{j}"]
+        H += 1e-9 * np.eye(4)  # ridge jitter: exact separation guard
+        nb = np.array(b) - np.linalg.solve(H, g)
+        return prev.sparkSession.createDataFrame(
+            [(float(nb[0]), float(nb[1]), float(nb[2]), float(nb[3]),
+              float(s["loss"]))],
+            "b0 double, b1 double, b2 double, b3 double, loss double")
+
+    losses: list[float] = []
+
+    def metric(old: DataFrame, new: DataFrame) -> float:
+        o, r = old.first(), new.first()
+        losses.append(r["loss"])
+        return max(abs(r[f"b{i}"] - o[f"b{i}"]) for i in range(4))
+
+    res = iterate_to_fixpoint(state, step, metric, tol=_LR_TOL,
+                              max_rounds=_LR_MAX_ROUNDS,
+                              checkpoint_every=4)
+    final_loss = step(res.state).first()["loss"]
+    # entropy floor of the best intercept-only model
+    p1 = feats.agg(F.avg("y")).first()[0]
+    prior_loss = -(p1 * math.log(p1) + (1 - p1) * math.log(1 - p1))
+    feats.unpersist()
+    coefs = res.state.select(
+        F.expr("stack(4, " + ", ".join(
+            f"'{name}', b{i}" for i, name in enumerate(_LR_FEATURES))
+            + ")").alias("feature", "coef"))
+    return (coefs.select(
+        "feature", (F.round(F.col("coef"), 6) + F.lit(0.0)).alias("coef"),
+        F.lit(res.rounds).alias("rounds"),
+        F.lit(res.converged).alias("converged"),
+        F.lit(round(losses[0], 6)).alias("zero_model_loss"),
+        F.lit(round(final_loss, 6)).alias("final_loss"),
+        F.lit(bool(final_loss < losses[0])).alias("loss_improved"),
+        F.lit(bool(final_loss < prior_loss + 1e-9))
+        .alias("beats_prior_only"))
+        .orderBy("feature"))

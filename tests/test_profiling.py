@@ -174,3 +174,43 @@ def test_ols3_matches_numpy_lstsq(spark, sf_dir):
         ss_tot = float(((y - y.mean()) ** 2).sum())
         assert got[t]["r2"] == pytest.approx(1 - ss_res / ss_tot, abs=1e-4)
         assert 0.0 <= got[t]["r2"] <= 1.0
+
+
+def test_logreg_converged_matches_numpy_newton(spark, sf_dir):
+    """Replay the exact Newton/IRLS recurrence in numpy from the same
+    feature matrix: coefficients, round count, and audits must agree."""
+    import numpy as np
+    import pytest
+    from etl_cloud_batch_processing_spark import plans
+    from etl_cloud_batch_processing_spark.plans.profiling import (
+        _LR_MAX_ROUNDS, _LR_TOL, _logreg_features)
+    got = {r["feature"]: r for r in
+           (plans.REGISTRY["logreg_converged_coeffs"]
+            .builder(spark, sf_dir).collect())}
+    rows = _logreg_features(spark, sf_dir).collect()
+    X = np.array([[1.0, r["x1"], r["x2"], r["x3"]] for r in rows])
+    y = np.array([r["y"] for r in rows])
+    b = np.zeros(4)
+    rounds = 0
+    for _ in range(_LR_MAX_ROUNDS):
+        z = X @ b
+        p = 1 / (1 + np.exp(-z))
+        g = ((p - y)[:, None] * X).mean(axis=0)
+        W = p * (1 - p)
+        H = (X.T * W) @ X / len(y) + 1e-9 * np.eye(4)
+        nb = b - np.linalg.solve(H, g)
+        step_sz = np.abs(nb - b).max()
+        b, rounds = nb, rounds + 1
+        if step_sz <= _LR_TOL:
+            break
+    names = ["intercept", "hour_scaled", "dow_scaled", "value_scaled"]
+    for i, name in enumerate(names):
+        assert got[name]["coef"] == pytest.approx(b[i], abs=1e-4), name
+    r0 = got["intercept"]
+    assert r0["rounds"] == rounds
+    assert r0["converged"]
+    assert r0["loss_improved"] and r0["beats_prior_only"]
+    z = X @ b
+    ll = float(np.mean(np.where(y == 1, np.log1p(np.exp(-z)),
+                                np.log1p(np.exp(-z)) + z)))
+    assert r0["final_loss"] == pytest.approx(ll, abs=1e-4)
