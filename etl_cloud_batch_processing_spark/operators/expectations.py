@@ -25,6 +25,17 @@ Design rules:
 * The report is itself a DataFrame — pipelines gate publishes on
   ``report.filter(~passed).count() == 0`` and persist the report next to
   the data as an audit artifact.
+
+Division of labor with :mod:`..operators.quality`: quality.py is the
+GATE half — driver-side pass/fail scalars consumed inside
+``write_audit_publish``/``publish_manifested`` (raise-before-publish)
+plus zero-extra-scan ``observe`` write metrics.  This module is the
+REPORT half — the distributed, persistable, oracle-value-checked audit
+a platform schedules AGAINST the lake (per-check violation counts,
+FK-edge orphan audits, regex/cross-column invariants), surfaced as the
+registered queries in plans/dq.py.  The gate stays scalar because a
+publish decision needs one boolean now; the report stays a DataFrame
+because an audit trail needs rows you can store, diff, and re-verify.
 """
 
 from __future__ import annotations

@@ -10,6 +10,13 @@ Rules are plain declarative tuples, so a pipeline can gate a write on
 ``all(r.passed for r in report)`` — the moral equivalent of the
 reference's manual screenshot verification (README.md:84-93), made
 executable.
+
+This is the GATE half of the data-quality layer: driver-side scalars a
+writer checks before an atomic publish (sources/writers.py:84,
+sources/manifest.py).  The queryable REPORT half — distributed
+DataFrame reports with per-check violation counts, FK-edge orphan
+audits, and regex/cross-column invariants, value-checked by the driver
+oracle — lives in :mod:`.expectations` (queries in plans/dq.py).
 """
 
 from __future__ import annotations
