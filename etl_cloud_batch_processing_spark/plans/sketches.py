@@ -801,8 +801,10 @@ def hdr_histogram_value_quantiles(spark: SparkSession,
     ev = table(spark, sf_dir, "events").select(
         "event_type",
         F.round(F.col("value") * 100).cast("bigint").alias("scaled"))
+    # three consumers (totals, exact cum-counts, bucket counts) — one
+    # corpus-scale pass, cached at the bounded value grain
     vc = ev.groupBy("event_type", "scaled").agg(
-        F.count(F.lit(1)).alias("cnt"))
+        F.count(F.lit(1)).alias("cnt")).persist()
     n = vc.groupBy("event_type").agg(
         F.sum("cnt").cast("bigint").alias("n_values"))
     ps = F.array(*[F.lit(float(p)) for p in _HDR_PS])
