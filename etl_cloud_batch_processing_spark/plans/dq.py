@@ -285,3 +285,172 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in frames[1:]:
         out = out.unionByName(f)
     return out.orderBy("qi_level")
+
+
+# ---------------------------------------------------------------------------
+# Record linkage / entity resolution (Fellegi & Sunter 1969, multi-pass
+# blocking per Hernandez & Stolfo 1995): the identity-resolution member
+# of the data-quality family.  The registry's "typos" are injected
+# DETERMINISTICALLY (md5-selected records, md5-selected digit position)
+# so the whole pipeline — perturbation, blocking, match scoring,
+# transitive closure — replays exactly in DuckDB and the query is
+# value-hash-checked end to end.
+# ---------------------------------------------------------------------------
+
+
+def _er_sql() -> str:
+    h = ("CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15)"
+         " AS BIGINT)")
+    return f"""
+    WITH RECURSIVE base AS (
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+               {h} AS h, substr(c_name, 10, 9) AS digits
+        FROM customer),
+    pert AS (
+        SELECT *, 1 + (h // 3) % 9 AS p,
+               CAST(substr(digits, 1 + (h // 3) % 9, 1) AS INTEGER) AS d
+        FROM base WHERE h % 3 = 0),
+    registry AS (
+        SELECT c_custkey * 2 AS rid, c_name AS name, c_nationkey AS nation,
+               c_acctbal AS bal, c_custkey AS entity, FALSE AS perturbed
+        FROM base
+        UNION ALL
+        SELECT c_custkey * 2 + 1,
+               'Customer#' || substr(digits, 1, p - 1)
+                   || CAST((d + 1) % 10 AS VARCHAR)
+                   || substr(digits, p + 1),
+               c_nationkey, c_acctbal, c_custkey, TRUE
+        FROM pert),
+    keyed AS (
+        SELECT *, substr(name, 15, 4) AS sfx,
+               CAST(FLOOR(bal) AS BIGINT) AS balf
+        FROM registry),
+    cands AS (
+        SELECT a.rid AS ra, b.rid AS rb, a.name AS na, b.name AS nb,
+               a.bal AS bala, b.bal AS balb
+        FROM keyed a JOIN keyed b
+          ON a.nation = b.nation AND a.sfx = b.sfx AND a.rid < b.rid
+        UNION
+        SELECT a.rid, b.rid, a.name, b.name, a.bal, b.bal
+        FROM keyed a JOIN keyed b
+          ON a.nation = b.nation AND a.balf = b.balf AND a.rid < b.rid),
+    matches AS (
+        SELECT ra, rb FROM cands
+        WHERE levenshtein(na, nb) <= 1 AND ABS(bala - balb) < 0.005),
+    edges AS (
+        SELECT ra AS src, rb AS dst FROM matches
+        UNION ALL
+        SELECT rb, ra FROM matches),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    walk(node, root) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.dst, w.root FROM walk w JOIN edges e ON e.src = w.node),
+    comp AS (SELECT node, MIN(root) AS comp FROM walk GROUP BY node),
+    labeled AS (
+        SELECT r.rid, r.entity, r.perturbed,
+               COALESCE(c.comp, r.rid) AS cluster_id
+        FROM registry r LEFT JOIN comp c ON c.node = r.rid)
+    SELECT cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_records,
+           CAST(COUNT(DISTINCT entity) AS BIGINT) AS n_entities,
+           CAST(SUM(CASE WHEN perturbed THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_perturbed,
+           COUNT(DISTINCT entity) > 1 AS overmerged
+    FROM labeled
+    GROUP BY cluster_id
+    ORDER BY cluster_id
+    """
+
+
+@query("entity_resolution_dirty_customers", oracle=_er_sql())
+def entity_resolution_dirty_customers(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """Record linkage over a deterministically-dirtied customer
+    registry: one third of customers (md5-selected) get a duplicate
+    record whose name has one digit replaced (md5-selected position),
+    same balance — the classic typo-dupe.  The resolver runs the
+    standard multi-pass shape: two BLOCKING passes (nation + name
+    suffix-4; nation + integer balance — the second guarantees every
+    planted pair co-blocks regardless of typo position), a match rule
+    combining field similarities (name Levenshtein ≤ 1 AND balance
+    within half a cent), then transitive closure into entity clusters
+    via distributed connected components (operators/graph.py).  Per
+    cluster: record/entity/perturbed counts and an `overmerged` flag —
+    TRUE means distinct source entities fused (name-adjacent customers
+    whose balances also collide), the precision failure ER dashboards
+    track.
+
+    Scale shape: blocking bounds candidate pairs to Σ|block|² (the
+    low-entropy left half of the fixture names is exactly why the
+    suffix and balance keys carry the discrimination — production
+    blocking picks keys by entropy, same as here); match scoring is an
+    equi-join + cheap per-pair verify (the dedup family's
+    candidates-then-verify discipline); CC is the same min-label
+    fixpoint every dedup closure here uses.  Planted-pair recall = 1.0
+    is pytest-pinned; over-merge is measured, not hidden."""
+    from etl_cloud_batch_processing_spark.operators.graph import (
+        connected_components)
+
+    cust = table(spark, sf_dir, "customer")
+    h = (F.conv(F.substring(
+        F.md5(F.col("c_custkey").cast("string").cast("binary")), 1, 15),
+        16, 10).cast("bigint"))
+    base = cust.select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        h.alias("h"), F.substring("c_name", 10, 9).alias("digits"))
+    pert = (base.filter(F.col("h") % 3 == 0)
+            .withColumn("p", 1 + F.expr("h DIV 3") % 9)
+            .withColumn("d", F.expr("CAST(substr(digits, p, 1) AS INT)")))
+    registry = (
+        base.select((F.col("c_custkey") * 2).alias("rid"),
+                    F.col("c_name").alias("name"),
+                    F.col("c_nationkey").alias("nation"),
+                    F.col("c_acctbal").alias("bal"),
+                    F.col("c_custkey").alias("entity"),
+                    F.lit(False).alias("perturbed"))
+        .unionByName(pert.select(
+            (F.col("c_custkey") * 2 + 1).alias("rid"),
+            F.expr("concat('Customer#', substr(digits, 1, p - 1),"
+                   " CAST((d + 1) % 10 AS STRING),"
+                   " substr(digits, p + 1))").alias("name"),
+            F.col("c_nationkey").alias("nation"),
+            F.col("c_acctbal").alias("bal"),
+            F.col("c_custkey").alias("entity"),
+            F.lit(True).alias("perturbed"))))
+    keyed = registry.select(
+        "*", F.substring("name", 15, 4).alias("sfx"),
+        F.floor("bal").cast("bigint").alias("balf")).persist()
+    a, b = keyed.alias("a"), keyed.alias("b")
+
+    def pass_on(key: str) -> DataFrame:
+        return (a.join(b, (F.col(f"a.{key}") == F.col(f"b.{key}"))
+                       & (F.col("a.nation") == F.col("b.nation"))
+                       & (F.col("a.rid") < F.col("b.rid")))
+                .select(F.col("a.rid").alias("ra"),
+                        F.col("b.rid").alias("rb"),
+                        F.col("a.name").alias("na"),
+                        F.col("b.name").alias("nb"),
+                        F.col("a.bal").alias("bala"),
+                        F.col("b.bal").alias("balb")))
+
+    cands = pass_on("sfx").unionByName(pass_on("balf")).distinct()
+    matches = cands.filter(
+        (F.levenshtein("na", "nb") <= 1)
+        & (F.abs(F.col("bala") - F.col("balb")) < 0.005))
+    edges = (matches.select(F.col("ra").alias("src"),
+                            F.col("rb").alias("dst"))
+             .unionByName(matches.select(F.col("rb").alias("src"),
+                                         F.col("ra").alias("dst"))))
+    comp = connected_components(edges)
+    labeled = (registry.join(
+        comp.select(F.col("id").alias("rid"), "comp"), "rid", "left")
+        .select("rid", "entity", "perturbed",
+                F.coalesce("comp", "rid").alias("cluster_id")))
+    return (labeled.groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_records"),
+                 F.countDistinct("entity").alias("n_entities"),
+                 F.sum(F.when(F.col("perturbed"), 1).otherwise(0))
+                 .cast("bigint").alias("n_perturbed"),
+                 (F.countDistinct("entity") > 1).alias("overmerged"))
+            .orderBy("cluster_id"))

@@ -1152,3 +1152,64 @@ def strict_funnel_with_timeouts(spark: SparkSession,
               CASE WHEN n2 = 0 THEN CAST(NULL AS DOUBLE)
                    ELSE ROUND(n3 * 1.0D / n2, 6) + 0.0D END)
         AS (stage, stage_name, n_users, conversion_from_prev)""")
+
+
+# ---------------------------------------------------------------------------
+# Timezone semantics: the one temporal axis the family had not yet
+# value-checked.  Storage is timezone-naive UTC (the lake convention);
+# presentation re-interprets per business region via IANA rules — both
+# engines consult the same tzdata, so local-wall-clock derivations are
+# hash-checkable, including the half-hour-offset zone.
+# ---------------------------------------------------------------------------
+_TZ_ZONES = ["America/New_York", "Asia/Kolkata", "Asia/Tokyo",
+             "Europe/Berlin"]
+
+
+@query(
+    "events_local_hour_profile",
+    oracle=f"""
+    WITH z AS (SELECT unnest([{", ".join(f"'{z}'" for z in _TZ_ZONES)}])
+                   AS tz),
+    loc AS (
+        SELECT z.tz,
+               hour(timezone(z.tz, timezone('UTC', e.ts))) AS local_hour,
+               CAST(timezone(z.tz, timezone('UTC', e.ts)) AS DATE)
+                   AS local_day
+        FROM events e CROSS JOIN z)
+    SELECT tz, CAST(local_hour AS BIGINT) AS local_hour,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT local_day) AS BIGINT) AS n_local_days
+    FROM loc
+    GROUP BY tz, local_hour
+    ORDER BY tz, local_hour
+    """,
+)
+def events_local_hour_profile(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Hour-of-day activity profile re-interpreted in four business
+    timezones (including a half-hour-offset zone, Asia/Kolkata) from
+    the timezone-naive UTC storage column: per (zone, local hour), the
+    event count and the number of distinct LOCAL calendar days — the
+    date-boundary shift (a 03:00 UTC event is previous-day evening in
+    New York) is exactly what naive hour() reporting gets wrong, and
+    what this query pins against DuckDB's independent ICU tzdata.
+
+    Scale shape: the zone list is a 4-row literal exploded onto the
+    scan (linear ×|zones|, no join), and the aggregate map-side
+    combines to |zones|×24 cells; conversion is `convert_timezone`
+    JVM-side — no UDF.  At 100 TB you run this once per reporting
+    surface, not per query — the lake stays UTC-naive (the convention
+    every temporal operator here assumes), and THIS is the audited
+    boundary where wall-clock semantics enter."""
+    ev = table(spark, sf_dir, "events")
+    zones = F.array(*[F.lit(z) for z in _TZ_ZONES])
+    loc = (ev.select(F.explode(zones).alias("tz"), "ts")
+           .select("tz",
+                   F.expr("hour(convert_timezone('UTC', tz, ts))")
+                   .cast("bigint").alias("local_hour"),
+                   F.expr("cast(convert_timezone('UTC', tz, ts) as date)")
+                   .alias("local_day")))
+    return (loc.groupBy("tz", "local_hour")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.countDistinct("local_day").alias("n_local_days"))
+            .orderBy("tz", "local_hour"))

@@ -123,3 +123,27 @@ def test_k_anonymity_ladder_invariants(spark, duck, sf_dir):
     want = [tuple(r) for r in duck.execute(spec.oracle).fetchall()]
     got = [tuple(r) for r in spec.builder(spark, sf_dir).collect()]
     assert got == want
+
+
+def test_entity_resolution_recall_and_conservation(spark, duck, sf_dir):
+    spec = plans.REGISTRY["entity_resolution_dirty_customers"]
+    rows = spec.builder(spark, sf_dir).collect()
+    n_cust = plans.registry.table(spark, sf_dir, "customer").count()
+    total_pert = sum(r["n_perturbed"] for r in rows)
+    assert total_pert > 0, "no perturbed records planted — fixture too small"
+    # conservation: every registry record lands in exactly one cluster
+    assert sum(r["n_records"] for r in rows) == n_cust + total_pert
+    # planted-pair recall = 1.0: the balance-block guarantees the true
+    # pair co-blocks, so a perturbed record ALWAYS clusters with its
+    # clean source — no cluster is perturbed-only
+    for r in rows:
+        if r["n_perturbed"] > 0:
+            assert r["n_records"] > r["n_perturbed"], dict(r.asDict())
+    # overmerge flag is consistent with entity counts
+    for r in rows:
+        assert r["overmerged"] == (r["n_entities"] > 1)
+        assert r["n_entities"] <= r["n_records"]
+    # oracle parity
+    want = [tuple(r) for r in duck.execute(spec.oracle).fetchall()]
+    got = [tuple(r) for r in rows]
+    assert got == want

@@ -1062,3 +1062,29 @@ def test_2core_peel_is_at_fixpoint_and_sound(spark, sf_dir):
     assert core, "fixtures must exercise a non-empty 2-core"
     for n in core:
         assert len(adj[n] & core) >= 2
+
+
+def test_local_hour_profile_shifts_date_boundaries(spark, sf_dir):
+    """Kolkata (+5:30) must shift some events across the local date
+    boundary relative to UTC, and every zone's hour histogram must
+    cover the same total events."""
+    from etl_cloud_batch_processing_spark import plans
+    rows = (plans.REGISTRY["events_local_hour_profile"]
+            .builder(spark, sf_dir).collect())
+    by_tz: dict[str, list] = {}
+    for r in rows:
+        by_tz.setdefault(r["tz"], []).append(r)
+    assert len(by_tz) == 4
+    totals = {tz: sum(r["n_events"] for r in rs) for tz, rs in by_tz.items()}
+    assert len(set(totals.values())) == 1  # same events, every zone
+    ev = plans.registry.table(spark, sf_dir, "events")
+    utc_days = ev.selectExpr("cast(ts as date) d").distinct().count()
+    tokyo_days = ev.selectExpr(
+        "cast(convert_timezone('UTC', 'Asia/Tokyo', ts) as date) d"
+    ).distinct().count()
+    # a +9 zone pushes late-UTC events into a day UTC never saw
+    assert tokyo_days >= utc_days
+    # and the hour-bucket day counts never exceed the zone's day span
+    assert max(r["n_local_days"] for r in by_tz["Asia/Tokyo"]) <= tokyo_days
+    for r in rows:
+        assert 0 <= r["local_hour"] <= 23
