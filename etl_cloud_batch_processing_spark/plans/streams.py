@@ -729,3 +729,106 @@ def streaming_cms_cell_merge(spark: SparkSession,
     final = max((d for d in _os.listdir(state_root) if d.startswith("v")),
                 key=lambda d: int(d[1:]))
     return spark.read.parquet(f"{state_root}/{final}")
+
+
+# ---------------------------------------------------------------------------
+# Streaming × data quality: the constraint suite as a mergeable summary.
+# ---------------------------------------------------------------------------
+_SDQ_TYPES = ["click", "error", "purchase", "signup", "view"]
+_SDQ_CELLS = [
+    ("event_id_not_null", "not_null", "event_id IS NULL"),
+    ("event_type_accepted_values", "accepted_values",
+     "NOT COALESCE(event_type IN ("
+     + ", ".join(f"'{t}'" for t in _SDQ_TYPES) + "), FALSE)"),
+    ("props_matches", "matches",
+     "NOT COALESCE(regexp_matches(props, '^[{].*[}]$'), FALSE)"),
+    ("user_id_not_null", "not_null", "user_id IS NULL"),
+    ("value_in_range", "in_range",
+     "NOT COALESCE(value > 0 AND value <= 1000000.0, FALSE)"),
+]
+
+
+def _sdq_oracle() -> str:
+    aggs = ["CAST(COUNT(*) AS BIGINT) AS n"]
+    aggs += [f"CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT)"
+             f" AS v{i}" for i, (_, _, cond) in enumerate(_SDQ_CELLS)]
+    rows = [
+        f"SELECT '{name}' AS check_name, '{kind}' AS kind,"
+        f" n AS rows_scanned, v{i} AS violations, v{i} = 0 AS passed"
+        " FROM a"
+        for i, (name, kind, _) in enumerate(_SDQ_CELLS)]
+    return ("WITH a AS (SELECT " + ", ".join(aggs) + " FROM events)\n"
+            + "\nUNION ALL\n".join(rows) + "\nORDER BY check_name")
+
+
+@query("streaming_dq_violation_merge", oracle=_sdq_oracle())
+def streaming_dq_violation_merge(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """The data-quality report RUN as a stream: events arrive in 4
+    micro-batches, ``foreachBatch`` evaluates the row-level half of the
+    dq_expectation_report suite on each batch alone
+    (operators/expectations.py — one conditional-aggregate pass), and
+    the per-check (rows_scanned, violations) counts fold into a keyed
+    state table by PLAIN ADDITION.  After the AvailableNow drain, the
+    merged state must equal the whole-corpus suite bit-for-bit — the
+    oracle recomputes exactly that — proving the audit report is a
+    mergeable summary: a daily-ingest pipeline keeps ONE tiny state
+    table per table-under-audit, updates it in O(checks) per batch,
+    and never re-scans history to answer "how many violations so far".
+    (`unique` is the one suite member that is NOT additive — counting
+    distinct keys across batches needs sketch state, the HLL family —
+    so the streaming gate carries the five row-level checks.)
+
+    Same durability discipline as ``streaming_cms_cell_merge``: state
+    versions keyed by batch_id, each batch folds over version
+    ``batch_id - 1`` read from disk, so retries overwrite their own
+    version idempotently and restarts resume the durable state."""
+    import os as _os
+
+    from etl_cloud_batch_processing_spark.operators import (
+        expectations as XP)
+
+    src = tempfile.mkdtemp(prefix="sdq_src_")
+    state_root = tempfile.mkdtemp(prefix="sdq_state_")
+    ckpt = tempfile.mkdtemp(prefix="sdq_ckpt_")
+    ev = table(spark, sf_dir, "events")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+
+    checks = [
+        XP.not_null("event_id"),
+        XP.accepted_values("event_type", _SDQ_TYPES),
+        XP.matches("props", "^[{].*[}]$"),
+        XP.not_null("user_id"),
+        XP.in_range("value", 0, 1000000.0),
+    ]
+
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", "1")
+              .option("pathGlobFilter", "*.parquet")
+              .parquet(src))
+
+    def merge_report(batch: DataFrame, batch_id: int) -> None:
+        rep = (XP.run_checks(batch, "events", checks)
+               .select("check_name", "kind", "rows_scanned", "violations"))
+        prev_path = f"{state_root}/v{batch_id - 1}"
+        if batch_id > 0 and _os.path.isdir(prev_path):
+            prev = batch.sparkSession.read.parquet(prev_path)
+            rep = (prev.unionByName(rep)
+                   .groupBy("check_name", "kind")
+                   .agg(F.sum("rows_scanned").cast("bigint")
+                        .alias("rows_scanned"),
+                        F.sum("violations").cast("bigint")
+                        .alias("violations")))
+        rep.write.mode("overwrite").parquet(f"{state_root}/v{batch_id}")
+
+    q = (stream.writeStream.foreachBatch(merge_report)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    final = max((d for d in _os.listdir(state_root) if d.startswith("v")),
+                key=lambda d: int(d[1:]))
+    return (spark.read.parquet(f"{state_root}/{final}")
+            .select("check_name", "kind", "rows_scanned", "violations",
+                    (F.col("violations") == 0).alias("passed"))
+            .orderBy("check_name"))

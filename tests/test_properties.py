@@ -312,3 +312,57 @@ def test_misra_gries_candidates_contain_all_heavy_hitters(
             assert tok in survivors, (tok, c, n)
     for _, r in out.iterrows():
         assert r.lower_bound <= true[r.token]
+
+
+@given(st.lists(
+    st.tuples(st.one_of(st.none(), st.integers(-5, 5)),
+              st.one_of(st.none(), st.floats(-100, 100,
+                                             allow_nan=False))),
+    min_size=1, max_size=60))
+@_slow
+def test_expectations_counts_match_python_recount(spark, rows):
+    """For ANY small table (including NULLs and duplicates), every
+    violation count from the single-pass compiled suite must equal a
+    row-by-row Python recount — the NULL-safety contract under fuzz."""
+    from etl_cloud_batch_processing_spark.operators import (
+        expectations as X)
+
+    df = spark.createDataFrame(rows, "k bigint, v double")
+    rep = {r["check_name"]: r["violations"]
+           for r in X.run_checks(df, "t", [
+               X.not_null("k"), X.unique("k"),
+               X.in_range("v", -50.0, 50.0),
+               X.accepted_values("k", [1, 2, 3]),
+           ]).collect()}
+    ks = [k for k, _ in rows]
+    vs = [v for _, v in rows]
+    assert rep["k_not_null"] == sum(k is None for k in ks)
+    nn = [k for k in ks if k is not None]
+    assert rep["k_unique"] == len(nn) - len(set(nn))
+    assert rep["v_in_range"] == sum(
+        v is None or not (-50.0 < v <= 50.0) for v in vs)
+    assert rep["k_accepted_values"] == sum(k not in (1, 2, 3) for k in ks)
+
+
+@given(st.lists(st.integers(1, 10 ** 7), min_size=1, max_size=80),
+       st.sampled_from([0.25, 0.5, 0.9, 0.99]))
+@_slow
+def test_hdr_bucket_quantile_envelope_property(spark, values, p):
+    """For ANY positive integer multiset and ANY percentile, the HDR
+    bucket-estimate quantile never overshoots the exact discrete
+    quantile and stays within the 25% one-sided relative envelope."""
+    import math
+
+    df = spark.createDataFrame([(v,) for v in values], "scaled bigint")
+    bucketed = df.selectExpr(
+        "scaled",
+        "CASE WHEN length(bin(scaled)) - 1 < 2 THEN scaled"
+        " ELSE shiftleft(shiftright(scaled, length(bin(scaled)) - 3),"
+        " length(bin(scaled)) - 3) END AS bucket_lo").collect()
+    rank = math.ceil(p * len(values))
+    exact = sorted(values)[rank - 1]
+    # estimate = lower bound of the bucket holding the rank-th element
+    by_bucket = sorted(r["bucket_lo"] for r in bucketed)
+    est = by_bucket[rank - 1]
+    assert est <= exact
+    assert exact * 4 <= est * 5

@@ -100,3 +100,22 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # row (value 9.0) was neither merged nor re-emitted
     assert (dt.datetime(2024, 1, 1), 1, 1.0) in rows
     assert all(sv not in (9.0, 10.0) for _, _, sv in rows)
+
+
+def test_streaming_dq_merge_equals_batch_suite(spark, sf_dir):
+    """The drained per-batch DQ state must equal the batch suite's
+    events rows exactly — the mergeable-report contract."""
+    from etl_cloud_batch_processing_spark import plans
+
+    merged = {r["check_name"]: r for r in
+              (plans.REGISTRY["streaming_dq_violation_merge"]
+               .builder(spark, sf_dir).collect())}
+    batch = {r["check_name"]: r for r in
+             (plans.REGISTRY["dq_expectation_report"]
+              .builder(spark, sf_dir).collect())
+             if r["table_name"] == "events"}
+    assert set(merged) == set(batch) - {"event_id_unique"}
+    for name, m in merged.items():
+        b = batch[name]
+        assert (m["rows_scanned"], m["violations"], m["passed"]) == \
+            (b["rows_scanned"], b["violations"], b["passed"]), name
