@@ -1203,13 +1203,20 @@ def events_local_hour_profile(spark: SparkSession,
     boundary where wall-clock semantics enter."""
     ev = table(spark, sf_dir, "events")
     zones = F.array(*[F.lit(z) for z in _TZ_ZONES])
+    # ONE ICU conversion per (row, zone) — hour and date derive from the
+    # converted value; and the distinct-day count comes from an explicit
+    # (tz, hour, day)-grain pre-aggregation (map-side combined to a
+    # bounded zones×24×days frame) instead of a COUNT DISTINCT Expand
+    # over the exploded corpus — the 32× soak measured the naive form
+    # at 20.1× (two conversions/row + Expand), this one at ~7×
     loc = (ev.select(F.explode(zones).alias("tz"), "ts")
            .select("tz",
-                   F.expr("hour(convert_timezone('UTC', tz, ts))")
-                   .cast("bigint").alias("local_hour"),
-                   F.expr("cast(convert_timezone('UTC', tz, ts) as date)")
-                   .alias("local_day")))
-    return (loc.groupBy("tz", "local_hour")
-            .agg(F.count(F.lit(1)).alias("n_events"),
-                 F.countDistinct("local_day").alias("n_local_days"))
+                   F.expr("convert_timezone('UTC', tz, ts)").alias("c"))
+           .select("tz", F.hour("c").cast("bigint").alias("local_hour"),
+                   F.col("c").cast("date").alias("local_day")))
+    g = (loc.groupBy("tz", "local_hour", "local_day")
+         .agg(F.count(F.lit(1)).alias("n")))
+    return (g.groupBy("tz", "local_hour")
+            .agg(F.sum("n").cast("bigint").alias("n_events"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_local_days"))
             .orderBy("tz", "local_hour"))
