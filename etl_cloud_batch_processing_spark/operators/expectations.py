@@ -103,7 +103,18 @@ def run_checks(df: DataFrame, table_name: str,
     Returns the long-format report (one row per check).  The wide→long
     unpivot is a ``stack`` over the single aggregated row, so the whole
     suite is one scan + one 1-row exchange regardless of suite size.
+
+    Check names are interpolated into the ``stack`` SQL as string
+    literals, so they must not contain quotes; an empty suite would
+    compile to malformed ``stack(0, )`` SQL — both rejected up front.
     """
+    if not checks:
+        raise ValueError("run_checks requires at least one Check")
+    for c in checks:
+        if "'" in c.name or "\\" in c.name:
+            raise ValueError(
+                f"check name {c.name!r} must not contain quotes or "
+                "backslashes (interpolated into stack() SQL)")
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for i, c in enumerate(checks):
         if c.kind == "unique":
@@ -127,17 +138,25 @@ def run_checks(df: DataFrame, table_name: str,
 
 
 def fk_audit(child: DataFrame, child_table: str, fk_col: str,
-             parent: DataFrame, pk_col: str) -> DataFrame:
+             parent: DataFrame, pk_col: str,
+             broadcast_parent: bool = False) -> DataFrame:
     """Referential-integrity audit for one FK edge.
 
-    Orphans are child rows whose (non-NULL) key has no parent — the
-    left-anti join pushes the parent key set as a broadcast when small.
-    NULL FKs are reported separately (``null_fks``), not as orphans, so
-    an optional relationship doesn't read as corruption.
+    Orphans are child rows whose (non-NULL) key has no parent, found by
+    a left-anti join against the DISTINCT parent key set.  Pass
+    ``broadcast_parent=True`` only for genuine dimension parents (the
+    caller knows the schema); the default leaves the join strategy to
+    Spark's size estimation + AQE, so a fact-sized parent (e.g. the
+    lineitem→orders edge at 100 TB) plans a shuffled anti join instead
+    of attempting to broadcast billions of keys into the 8 GB broadcast
+    limit.  NULL FKs are reported separately (``null_fks``), not as
+    orphans, so an optional relationship doesn't read as corruption.
     """
     keys = parent.select(F.col(pk_col).alias(fk_col)).distinct()
+    if broadcast_parent:
+        keys = F.broadcast(keys)
     nn = child.filter(F.col(fk_col).isNotNull())
-    orphans = nn.join(F.broadcast(keys), fk_col, "left_anti")
+    orphans = nn.join(keys, fk_col, "left_anti")
     stats = child.agg(
         F.count(F.lit(1)).alias("child_rows"),
         F.sum(F.when(F.col(fk_col).isNull(), 1).otherwise(0))

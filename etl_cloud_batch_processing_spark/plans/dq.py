@@ -130,21 +130,26 @@ def dq_expectation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _FK_EDGES = [
-    # (child, fk, parent, pk)
-    ("customer", "c_nationkey", "nation", "n_nationkey"),
-    ("events", "user_id", "customer", "c_custkey"),
-    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
-    ("lineitem", "l_partkey", "part", "p_partkey"),
-    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
-    ("nation", "n_regionkey", "region", "r_regionkey"),
-    ("orders", "o_custkey", "customer", "c_custkey"),
-    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    # (child, fk, parent, pk, broadcast_parent) — the hint is set only
+    # for FIXED-size dimension parents (region: 5 rows, nation: 25 —
+    # invariant across scale factors); every SF-scaled parent (customer,
+    # part, supplier, orders) is left to size estimation + AQE, which
+    # broadcasts them at fixture scale and shuffles them at 100 TB
+    # instead of blowing the 8 GB broadcast limit.
+    ("customer", "c_nationkey", "nation", "n_nationkey", True),
+    ("events", "user_id", "customer", "c_custkey", False),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey", False),
+    ("lineitem", "l_partkey", "part", "p_partkey", False),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey", False),
+    ("nation", "n_regionkey", "region", "r_regionkey", True),
+    ("orders", "o_custkey", "customer", "c_custkey", False),
+    ("supplier", "s_nationkey", "nation", "n_nationkey", True),
 ]
 
 
 def _ri_sql() -> str:
     edges = []
-    for child, fk, parent, pk in _FK_EDGES:
+    for child, fk, parent, pk, _bc in _FK_EDGES:
         orphan = (f"{fk} IS NOT NULL AND {fk} NOT IN"
                   f" (SELECT {pk} FROM {parent})")
         edges.append(f"""
@@ -173,17 +178,20 @@ def dq_referential_integrity(spark: SparkSession,
     edge, the child row count, distinct/NULL key counts, orphan rows
     and orphan keys, and the intact verdict — all value-checked.
 
-    Each edge is one broadcast left-anti probe against the DISTINCT
-    parent key set (operators/expectations.py:fk_audit): dimension
-    parents (region/nation/customer/part/supplier) broadcast outright;
-    the one fact-fact edge (lineitem→orders) broadcasts its key set at
-    test SF and falls back to a shuffled anti join under AQE at 100 TB.
+    Each edge is one left-anti probe against the DISTINCT parent key
+    set (operators/expectations.py:fk_audit): only the FIXED-size
+    dimension parents (region, nation) carry an explicit broadcast
+    hint; every SF-scaled parent is left to size estimation + AQE,
+    which broadcasts it at fixture scale and plans a shuffled anti
+    join at 100 TB — an unconditional hint would force Spark to try
+    broadcasting billions of orders keys into the 8 GB limit.
     NULL FKs report separately from orphans, so optional relationships
     don't read as corruption."""
     frames = []
-    for child, fk, parent, pk in _FK_EDGES:
+    for child, fk, parent, pk, bc in _FK_EDGES:
         frames.append(X.fk_audit(table(spark, sf_dir, child), child, fk,
-                                 table(spark, sf_dir, parent), pk))
+                                 table(spark, sf_dir, parent), pk,
+                                 broadcast_parent=bc))
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)

@@ -1252,7 +1252,7 @@ _HT_RATES = {"click": 10, "error": 20, "purchase": 50, "signup": 10,
                CAST(SUM(CASE WHEN sampled
                              THEN y * (100 // rate_pct) ELSE 0 END)
                     AS BIGINT) AS ht_estimate_cents,
-               SUM(CAST(y AS DOUBLE) * y) AS sum_y2
+               CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS sum_y2
         FROM base GROUP BY 1, 2)
     SELECT event_type, n_pop, n_sampled, rate_pct, exact_cents,
            ht_estimate_cents,
@@ -1279,7 +1279,8 @@ def ht_sampled_total_estimate(spark: SparkSession,
 
     Every HT weight is an integer (rates divide 100), so the estimate
     is an exact BIGINT sum; the variance needs one extra exact moment
-    (Σy², accumulated in DOUBLE from exact integer products) and sqrt
+    (Σy², accumulated as DECIMAL(38,0)/HUGEINT — order-independent —
+    and cast to DOUBLE once after the sum) and sqrt
     is IEEE-exact, so the whole report value-hash-checks.  At 100 TB
     the sample-side audit touches rate% of the data; THIS query's
     exact twin exists to certify the estimator once per pipeline
@@ -1306,7 +1307,13 @@ def ht_sampled_total_estimate(spark: SparkSession,
         F.sum(F.when(F.col("sampled"),
                      F.col("y") * F.expr("100 DIV rate_pct"))
               .otherwise(0)).cast("bigint").alias("ht_estimate_cents"),
-        F.sum(F.col("y").cast("double") * F.col("y")).alias("sum_y2"))
+        # second moment accumulated EXACTLY (DECIMAL(38,0) ≡ DuckDB's
+        # HUGEINT), cast to DOUBLE once after the sum: a DOUBLE
+        # accumulator is addition-order-dependent past 2^53, and Spark
+        # and DuckDB aggregate in different orders, so the hash check
+        # would flake at larger scale factors
+        F.sum(F.col("y").cast("decimal(19,0)") * F.col("y"))
+        .cast("double").alias("sum_y2"))
     se = F.sqrt(F.col("sum_y2") * (F.lit(100.0) - F.col("rate_pct"))
                 / F.col("rate_pct"))
     return (agg.select(
@@ -1384,11 +1391,12 @@ def _boot_u_sql(h32: str, r: int) -> str:
         SELECT event_type,
                CAST(COUNT(*) AS BIGINT) AS m,
                CAST(SUM(t) AS BIGINT) AS st,
-               SUM(CAST(t AS DOUBLE) * t) AS st2
+               CAST(SUM(CAST(t AS HUGEINT) * t) AS DOUBLE) AS st2
         FROM totals GROUP BY 1),
     an AS (
-        SELECT event_type, SUM(CAST(ROUND(value * 100) AS BIGINT)
-                               * CAST(ROUND(value * 100) AS DOUBLE))
+        SELECT event_type,
+               CAST(SUM(CAST(ROUND(value * 100) AS HUGEINT)
+                        * CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE)
                    AS sum_y2
         FROM events GROUP BY 1)
     SELECT m.event_type, m.m AS n_replicas,
@@ -1445,14 +1453,19 @@ def bootstrap_se_poisson_replicas(spark: SparkSession,
     totals = (w.groupBy("event_type", "rep")
               .agg(F.sum(F.col("wt") * F.col("y")).cast("bigint")
                    .alias("t")))
+    # both second moments accumulate EXACTLY as DECIMAL(38,0) (DuckDB:
+    # HUGEINT) and cast to DOUBLE once after the sum — a DOUBLE
+    # accumulator past 2^53 is addition-order-dependent, and the two
+    # engines aggregate in different orders
     mom = totals.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("m"),
         F.sum("t").cast("bigint").alias("st"),
-        F.sum(F.col("t").cast("double") * F.col("t")).alias("st2"))
+        F.sum(F.col("t").cast("decimal(19,0)") * F.col("t"))
+        .cast("double").alias("st2"))
     an = ev.groupBy("event_type").agg(
-        F.sum(F.round(F.col("value") * 100).cast("bigint")
-              * F.round(F.col("value") * 100).cast("bigint")
-              .cast("double")).alias("sum_y2"))
+        F.sum(F.round(F.col("value") * 100).cast("decimal(19,0)")
+              * F.round(F.col("value") * 100).cast("bigint"))
+        .cast("double").alias("sum_y2"))
     boot_var = ((F.col("st2") - F.col("st").cast("double") * F.col("st")
                  / F.col("m")) / (F.col("m") - 1))
     boot_se = F.sqrt(boot_var)
