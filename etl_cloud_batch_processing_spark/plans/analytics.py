@@ -2120,6 +2120,82 @@ def scd2_user_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
                       vt.alias("valid_to"), vt.isNull().alias("is_current"))
 
 
+#: Batch boundary for the incremental SCD2 replay: events before the
+#: cutoff are run 1's observation window, the rest run 2's.
+_SCD2_CUTOFF = "2024-01-16 00:00:00"
+
+
+@query(
+    "scd2_incremental_merge",
+    oracle=f"""
+    WITH obs AS (
+        SELECT user_id, event_type, ts,
+               ts >= TIMESTAMP '{_SCD2_CUTOFF}' AS in_b2,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id, ts >= TIMESTAMP '{_SCD2_CUTOFF}'
+                   ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events),
+    b1 AS (SELECT user_id, event_type, ts FROM obs
+           WHERE rn = 1 AND NOT in_b2),
+    b2 AS (SELECT user_id, event_type, ts FROM obs
+           WHERE rn = 1 AND in_b2),
+    j AS (SELECT COALESCE(b1.user_id, b2.user_id) AS user_id,
+                 b1.event_type AS t1, b1.ts AS ts1,
+                 b2.event_type AS t2, b2.ts AS ts2
+          FROM b1 FULL JOIN b2 ON b1.user_id = b2.user_id)
+    SELECT user_id, t1 AS event_type, ts1 AS valid_from,
+           ts2 AS valid_to, FALSE AS is_current
+    FROM j WHERE t1 IS NOT NULL AND t2 IS NOT NULL AND t1 <> t2
+    UNION ALL
+    SELECT user_id, t1, ts1, NULL, TRUE
+    FROM j WHERE t1 IS NOT NULL AND (t2 IS NULL OR t1 = t2)
+    UNION ALL
+    SELECT user_id, t2, ts2, NULL, TRUE
+    FROM j WHERE t2 IS NOT NULL AND (t1 IS NULL OR t1 <> t2)
+    ORDER BY user_id, valid_from
+    """,
+)
+def scd2_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 dimension MAINTENANCE, value-checked — the
+    across-runs counterpart of ``scd2_user_type_history``'s one-shot
+    derivation: seed an empty user dimension, run
+    :func:`operators.merge.merge_scd2` for batch 1 (each user's latest
+    observation before the cutoff), then AGAIN for batch 2 (latest
+    observation after) — unchanged users keep their original
+    ``valid_from``, changed users get their current version CLOSED at
+    the batch-2 observation time plus a new open version, and
+    batch-2-only users insert fresh.  The oracle replays both runs'
+    outcome declaratively, so the merge's close/insert/keep arithmetic
+    is hash-checked, not just exercised.
+
+    Each run is ONE full-outer join of the dimension's CURRENT slice
+    against the batch on the key plus a pass-through union of history
+    — at 100 TB the history partition is never joined, bucketing both
+    sides on the key removes the shuffle, and the same frame composes
+    with ``publish_manifested`` for reader-atomic publication
+    (tests/test_merge_scd2.py drives that composition plus the
+    rerun-idempotency guarantee)."""
+    from etl_cloud_batch_processing_spark.operators.merge import (
+        merge_scd2, scd2_schema_from)
+
+    events = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "in_b2").orderBy(
+        F.desc("ts"), F.desc("event_id"))
+    obs = (events
+           .withColumn("in_b2", F.col("ts") >= F.lit(_SCD2_CUTOFF)
+                       .cast(dict(events.dtypes)["ts"]))
+           .withColumn("rn", F.row_number().over(w))
+           .filter(F.col("rn") == 1)
+           .select("user_id", "event_type",
+                   F.col("ts").alias("obs_ts"), "in_b2"))
+    b1 = obs.filter(~F.col("in_b2")).drop("in_b2")
+    b2 = obs.filter(F.col("in_b2")).drop("in_b2")
+    dim = scd2_schema_from(b1, ["user_id"], "obs_ts")
+    dim = merge_scd2(dim, b1, ["user_id"], "obs_ts")
+    dim = merge_scd2(dim, b2, ["user_id"], "obs_ts")
+    return dim.orderBy("user_id", "valid_from")
+
+
 @query("hll_user_rollup")  # rows-only: sketch estimates are engine-specific
 def hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch rollup — the ONLY way distinct counts compose

@@ -847,6 +847,37 @@ def test_incremental_band_index_probe_equals_batch(spark, tmp_path):
     assert spark.read.parquet(idx).count() == n_rows
 
 
+def test_band_index_steady_probe_matches_from_scratch(spark, sf_dir):
+    """The registered steady-state query (memoized base index + O(batch)
+    append + probe) must produce exactly the collision pairs+counts the
+    from-scratch band join over the whole corpus produces for the same
+    batch split — and re-running it must be idempotent (the b1 append
+    overwrites its own ingest partition, so counts don't inflate)."""
+    from etl_cloud_batch_processing_spark.operators import dedup as D
+
+    got = {(r["new_doc"], r["indexed_doc"]): r["n_band_collisions"]
+           for r in D.band_index_steady_probe(spark, sf_dir).collect()}
+
+    full = D.band_table(D._par_docs(spark, sf_dir))
+    a, b = full.alias("a"), full.alias("b")
+    want = {(r["na"], r["ia"]): r["n"] for r in
+            (a.join(b, (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.band_key") == F.col("b.band_key"))
+                    & (F.col("a.doc_id") != F.col("b.doc_id"))
+                    & (F.col("a.doc_id") % D.BAND_BATCH_MOD
+                       == D.BAND_BATCH_REM))
+             .groupBy(F.col("a.doc_id").alias("na"),
+                      F.col("b.doc_id").alias("ia"))
+             .agg(F.count(F.lit(1)).alias("n")).collect())}
+    assert got == want
+
+    # idempotency: a second run re-appends b1 into the same ingest
+    # partition — identical result, no doubled collision counts.
+    again = {(r["new_doc"], r["indexed_doc"]): r["n_band_collisions"]
+             for r in D.band_index_steady_probe(spark, sf_dir).collect()}
+    assert again == got
+
+
 def test_budget_allocation_waterfilling_invariants(spark):
     """The waterfilling plan must (1) spend exactly the budget,
     (2) never allocate beyond a source's availability, (3) give every
