@@ -22,11 +22,15 @@ idea at its minimum honest size:
   isolation); ``read_manifest(version=N)`` exposes the same property
   as explicit time travel.
 
-Concurrency: rename-to-a-fresh-name doubles as optimistic locking —
-two racing committers both target ``v<N+1>``, the filesystem lets
-exactly one rename succeed, and the loser gets an ``IOError`` to
-re-read and retry (single-writer is the expected deployment, same as
-Delta on a filesystem without a lock service).
+Concurrency: the commit write is EXCLUSIVE (``writers.
+_fs_write_exclusive``: POSIX ``link(2)`` on local FS — atomic, fails
+EEXIST — and no-overwrite rename on HDFS, the Delta LogStore split),
+so two racing committers both targeting ``v<N+1>`` resolve to exactly
+one winner; the loser gets ``IOError`` and ``retries=`` re-enters the
+read-modify-write loop against the winner's manifest (proven by the
+barrier-raced test in tests/test_manifest.py).  Writer-facing commits
+(publish/compact/delete) retry 3 times; single-writer remains the
+expected steady deployment.
 
 Reference scope: the reference pipeline publishes via BigQuery load
 jobs, which are transactional on the service side
@@ -147,33 +151,52 @@ def init_manifest(spark: SparkSession, path: str) -> int:
 
 def commit_manifest(spark: SparkSession, path: str,
                     add: list[dict] = (),
-                    remove: list[str] = ()) -> int:
+                    remove: list[str] = (),
+                    retries: int = 0) -> int:
     """Atomically publish the next manifest version = current entries
     minus ``remove`` (relative paths) plus ``add`` (entry dicts).
-    Returns the new version number.  The rename-into-place either
-    fully succeeds or fully fails — there is no observable
-    intermediate — and a concurrent committer racing to the same
-    version number loses the rename and gets an IOError to retry."""
+    Returns the new version number.
+
+    Optimistic concurrency, proven by tests/test_manifest.py's
+    barrier-raced committers: each attempt re-reads the CURRENT
+    manifest, rebuilds its entry list, and publishes ``v<N+1>``
+    through ``writers._fs_write_exclusive`` — an exactly-one-wins
+    primitive (POSIX ``link(2)`` on local FS, no-overwrite rename on
+    HDFS), so of two racers exactly one lands ``v<N+1>`` and the
+    other gets ``IOError``.  With ``retries > 0`` the loser re-enters
+    the read-modify-write loop against the winner's manifest (its
+    adds are fresh files no other committer references, so replaying
+    them against v<N+1> is correct) and lands ``v<N+2>`` — bounded,
+    never spinning past ``retries`` attempts."""
     from etl_cloud_batch_processing_spark.sources.writers import (
-        _fs_write_atomic,
+        _fs_write_exclusive,
     )
 
     jvm, hpath, fs = _fs(spark, path)
     base = path.rstrip("/")
-    versions = _versions(hpath, fs, base)
-    cur = versions[-1] if versions else 0
-    entries = current_manifest(spark, base, cur)[1] if versions else []
-    drop = set(remove)
-    new_entries = ([e for e in entries if e["file"] not in drop]
-                   + [{"file": e["file"], "dt": e.get("dt")} for e in add])
-    names = [e["file"] for e in new_entries]
-    if len(names) != len(set(names)):
-        raise ValueError("manifest commit would list a file twice")
-    _fs_write_atomic(
-        jvm, fs, f"{base}/{_mf_name(cur + 1)}",
-        json.dumps({"version": cur + 1, "entries": new_entries},
-                   indent=1, sort_keys=True))
-    return cur + 1
+    last_err: Exception | None = None
+    for _attempt in range(retries + 1):
+        versions = _versions(hpath, fs, base)
+        cur = versions[-1] if versions else 0
+        entries = current_manifest(spark, base, cur)[1] if versions else []
+        drop = set(remove)
+        new_entries = ([e for e in entries if e["file"] not in drop]
+                       + [{"file": e["file"], "dt": e.get("dt")}
+                          for e in add])
+        names = [e["file"] for e in new_entries]
+        if len(names) != len(set(names)):
+            raise ValueError("manifest commit would list a file twice")
+        try:
+            _fs_write_exclusive(
+                jvm, fs, f"{base}/{_mf_name(cur + 1)}",
+                json.dumps({"version": cur + 1, "entries": new_entries},
+                           indent=1, sort_keys=True))
+            return cur + 1
+        except IOError as exc:
+            last_err = exc
+    raise IOError(
+        f"manifest commit at {base} lost the race {retries + 1} "
+        f"time(s); giving up") from last_err
 
 
 def vacuum(spark: SparkSession, path: str) -> dict:
@@ -248,7 +271,8 @@ def compact_manifested(spark: SparkSession, path: str,
     new_files = _rel_parquet(hpath, fs, base, rel_dir)
     v = commit_manifest(spark, base,
                         add=[{"file": f, "dt": None} for f in new_files],
-                        remove=[e["file"] for e in entries])
+                        remove=[e["file"] for e in entries],
+                        retries=3)
     return {"files_before": len(entries), "files_after": len(new_files),
             "version": v}
 
@@ -298,7 +322,7 @@ def publish_manifested(df: DataFrame, path: str, run_date: str,
                if e.get("dt") == run_date]
     commit_manifest(spark, base,
                     add=[{"file": f, "dt": run_date} for f in new_files],
-                    remove=old)
+                    remove=old, retries=3)
     return report
 
 
@@ -359,7 +383,7 @@ def delete_where_manifested(spark: SparkSession, path: str,
     new_files = _rel_parquet(hpath, fs, base, rel_dir)
     commit_manifest(spark, base,
                     add=[{"file": f, "dt": None} for f in new_files],
-                    remove=affected_rel)
+                    remove=affected_rel, retries=3)
     return {"files_affected": len(affected_rel),
             "files_total": files_total,
             "rows_deleted": rows_deleted,

@@ -281,6 +281,54 @@ def _fs_write_atomic(jvm, fs, path_str: str, text: str) -> None:
                       f"{path_str} failed")
 
 
+def _fs_write_exclusive(jvm, fs, path_str: str, text: str) -> None:
+    """Write a small text file with EXACTLY-ONE-WINS semantics: when
+    two writers race the same destination, one succeeds and the other
+    raises ``IOError`` — the optimistic-lock primitive a manifest
+    commit needs (``_fs_write_atomic`` is NOT enough there: Hadoop's
+    local filesystem maps rename to POSIX ``rename(2)``, which silently
+    REPLACES an existing destination, so on local FS the second racer
+    would clobber the first's committed manifest).
+
+    * local (``file:``) scheme — stage the bytes under a per-attempt
+      unique tmp name, then ``link(2)`` it into place:
+      ``Files.createLink`` is atomic and fails ``FileAlreadyExists``
+      if a racing winner got there first;
+    * any other scheme — existence pre-check + rename, which on HDFS
+      proper is atomic-no-overwrite (rename onto an existing file
+      returns false).  This is the same per-scheme split Delta Lake's
+      LogStore makes.
+    """
+    import uuid as _uuid
+
+    hpath = jvm.org.apache.hadoop.fs.Path
+    tmp_str = f"{path_str}.tmp.{_uuid.uuid4().hex[:8]}"
+    if fs.getUri().getScheme() == "file":
+        jf = jvm.java.io.File
+        dest_local = fs.makeQualified(hpath(path_str)).toUri().getPath()
+        tmp_local = fs.makeQualified(hpath(tmp_str)).toUri().getPath()
+        jvm.org.apache.commons.io.FileUtils.writeStringToFile(
+            jf(tmp_local), text, "UTF-8")
+        try:
+            jvm.java.nio.file.Files.createLink(
+                jf(dest_local).toPath(), jf(tmp_local).toPath())
+        except Exception as exc:
+            raise IOError(
+                f"exclusive write lost the race: {path_str} already "
+                f"exists ({exc.__class__.__name__})") from exc
+        finally:
+            jf(tmp_local).delete()
+        return
+    tmp = hpath(tmp_str)
+    out = fs.create(tmp, True)
+    out.write(bytearray(text.encode("utf-8")))
+    out.close()
+    if fs.exists(hpath(path_str)) or not fs.rename(tmp, hpath(path_str)):
+        fs.delete(tmp, False)
+        raise IOError(f"exclusive write lost the race: {path_str} "
+                      "already exists")
+
+
 def _fs_read_text(jvm, fs, path_str: str) -> str:
     """Read a small text file through the Hadoop FS API (scheme-
     agnostic — works wherever the table lives, not just local paths)."""

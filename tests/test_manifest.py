@@ -268,3 +268,132 @@ def test_manifest_commit_rejects_duplicate_files(spark, tmp_path):
     _, entries = M.current_manifest(spark, out)
     with pytest.raises(ValueError, match="twice"):
         M.commit_manifest(spark, out, add=[entries[0]])
+
+
+# ---------------------------------------------------------------------------
+# Round-9 verdict item 3: RACE two committers — exactly one wins, the
+# loser's bounded retry lands a correct v(N+2).
+# ---------------------------------------------------------------------------
+
+def _seed_manifested(spark, path):
+    df = spark.range(10).select(F.col("id").alias("k"))
+    M.publish_manifested(df, path, "2024-01-01")
+    return M.current_manifest(spark, path)[0]
+
+
+def test_manifest_commit_race_exactly_one_wins(spark, tmp_path):
+    """Two barrier-synchronized committers both read version N and
+    both attempt v(N+1) with retries=0: exactly one must win, the
+    other must raise IOError, and the committed manifest must carry
+    exactly the winner's entry — never a clobber, never two winners.
+    (Hadoop local-FS rename REPLACES an existing destination, so this
+    test is what forced the link(2)-based exclusive commit.)"""
+    import threading
+
+    path = str(tmp_path / "t")
+    v0 = _seed_manifested(spark, path)
+
+    barrier = threading.Barrier(2)
+    results: dict = {}
+
+    def committer(tag):
+        barrier.wait()
+        try:
+            results[tag] = M.commit_manifest(
+                spark, path, add=[{"file": f"{tag}.parquet", "dt": None}])
+        except IOError as exc:
+            results[tag] = exc
+
+    ts = [threading.Thread(target=committer, args=(t,))
+          for t in ("racer_a", "racer_b")]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+
+    wins = {t: r for t, r in results.items() if isinstance(r, int)}
+    losses = {t: r for t, r in results.items() if isinstance(r, IOError)}
+    assert len(wins) == 1 and len(losses) == 1, results
+    assert next(iter(wins.values())) == v0 + 1
+    files = {e["file"] for e in M.current_manifest(spark, path)[1]}
+    winner = next(iter(wins))
+    loser = next(iter(losses))
+    assert f"{winner}.parquet" in files
+    assert f"{loser}.parquet" not in files
+
+    # loser retry: re-enters read-modify-write, lands v(N+2), and the
+    # final manifest carries BOTH committers' files
+    v2 = M.commit_manifest(
+        spark, path, add=[{"file": f"{loser}.parquet", "dt": None}],
+        retries=3)
+    assert v2 == v0 + 2
+    files = {e["file"] for e in M.current_manifest(spark, path)[1]}
+    assert {f"{winner}.parquet", f"{loser}.parquet"} <= files
+
+
+def test_manifest_commit_retry_is_bounded(spark, tmp_path, monkeypatch):
+    """retries=K means at most K+1 attempts, then the IOError
+    propagates — the loop can never spin unbounded."""
+    from etl_cloud_batch_processing_spark.sources import writers as W
+
+    path = str(tmp_path / "t")
+    _seed_manifested(spark, path)
+
+    calls = {"n": 0}
+
+    def always_lose(jvm, fs, path_str, text):
+        calls["n"] += 1
+        raise IOError("exclusive write lost the race (simulated)")
+
+    monkeypatch.setattr(W, "_fs_write_exclusive", always_lose)
+    with pytest.raises(IOError, match="lost the race 3 time"):
+        M.commit_manifest(spark, path,
+                          add=[{"file": "x.parquet", "dt": None}],
+                          retries=2)
+    assert calls["n"] == 3
+
+
+def test_publish_manifested_retries_past_a_racing_commit(spark, tmp_path):
+    """publish_manifested's commit carries retries=3: a manifest
+    version landed by a concurrent committer between the staging write
+    and the publish commit must not fail the publish — the loser
+    replays onto the racer's version and BOTH changes survive."""
+    path = str(tmp_path / "t")
+    _seed_manifested(spark, path)
+    # give the simulated racer a REAL data file (read_manifest scans
+    # every listed file)
+    live0 = M.read_manifest_files(spark, path)[0]
+    shutil.copyfile(live0, f"{path}/racer.parquet")
+
+    real_exclusive = {}
+    from etl_cloud_batch_processing_spark.sources import writers as W
+    real_exclusive["fn"] = W._fs_write_exclusive
+
+    steals = {"left": 1}
+
+    def steal_first_attempt(jvm, fs, path_str, text):
+        if steals["left"] > 0:
+            steals["left"] -= 1
+            # a concurrent committer lands this exact version first
+            real_exclusive["fn"](
+                jvm, fs, path_str,
+                json.dumps({"version": 999,
+                            "entries": M.current_manifest(spark, path)[1]
+                            + [{"file": "racer.parquet", "dt": None}]}))
+            raise IOError("lost the race (simulated steal)")
+        return real_exclusive["fn"](jvm, fs, path_str, text)
+
+    import unittest.mock as mock
+    with mock.patch.object(W, "_fs_write_exclusive",
+                           side_effect=steal_first_attempt):
+        df = spark.range(5).select(F.col("id").alias("k"))
+        M.publish_manifested(df, path, "2024-01-02")
+
+    files = {e["file"] for e in M.current_manifest(spark, path)[1]}
+    assert "racer.parquet" in files          # the racer's commit survives
+    assert any(e.get("dt") == "2024-01-02"
+               for e in M.current_manifest(spark, path)[1])  # ours too
+    # and the data reads back complete (the racer's dt=None file is
+    # conservatively included by manifest pruning, so filter the column)
+    assert (M.read_manifest(spark, path, dts=["2024-01-02"])
+            .filter("dt = '2024-01-02'").count() == 5)
