@@ -255,3 +255,117 @@ def zorder_vs_linear_pruning(spark: SparkSession,
                     (F.round(F.col("rows_scanned") * 1.0
                              / F.col("rows_matched"), 6) + F.lit(0.0))
                     .alias("read_amplification")))
+
+
+#: Real-rewrite parameters for the manifested OPTIMIZE ZORDER query:
+#: the seed table is repartition(8) (exactly 8 files on every master),
+#: the rewrite cuts 32 range partitions (~300+ rows each at sf0.01, so
+#: none is empty and the file count is deterministic).
+ZM_FILES_BEFORE = 8
+ZM_FILES_AFTER = 32
+
+
+@query(
+    "zorder_manifested_optimize",
+    oracle=f"""
+    SELECT CAST({ZM_FILES_BEFORE} AS BIGINT) AS files_before,
+           CAST({ZM_FILES_AFTER} AS BIGINT) AS files_after,
+           CAST(1 AS BIGINT) AS v_before,
+           CAST(2 AS BIGINT) AS v_after,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS v1_snapshot_rows,
+           CAST(SUM(CASE WHEN (user_id & {(1 << Z_BITS) - 1})
+                              BETWEEN {X_LO} AND {X_HI}
+                         AND date_diff('day', DATE '{_EPOCH}',
+                                       CAST(ts AS DATE))
+                              BETWEEN {Y_LO} AND {Y_HI}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS rows_pred,
+           CAST(SUM(CASE WHEN (user_id & {(1 << Z_BITS) - 1})
+                              BETWEEN {X_LO} AND {X_HI}
+                         AND date_diff('day', DATE '{_EPOCH}',
+                                       CAST(ts AS DATE))
+                              BETWEEN {Y_LO} AND {Y_HI}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS rows_pred_after,
+           TRUE AS zone_maps_prune
+    FROM events
+    """,
+)
+def zorder_manifested_optimize(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER as a manifest transaction, END-TO-END on real
+    files — the executed counterpart of the two simulation queries
+    above: publish an 8-file events projection as a manifest-committed
+    table (v1), run ``sources.manifest.optimize_zorder_manifested``
+    (Morton rewrite of the live set + ONE atomic version flip to v2),
+    and report the invariants the transaction must preserve — exact
+    row counts before/after, the reference predicate's row count
+    before/after (a lost or doubled row anywhere reds the hash), the
+    version pair, the v1 TIME-TRAVEL row count (snapshot isolation
+    survives the rewrite), and an EXECUTED pruning audit: per real
+    output file, min/max zone maps of both clustering dimensions via
+    ``input_file_name``, with ``zone_maps_prune`` pinned TRUE in the
+    oracle — if the rewrite ever stopped producing files that the
+    reference predicate can skip, the driver reds the row.
+
+    At 100 TB this is exactly Delta's ``OPTIMIZE ZORDER BY``: the
+    rewrite is a range exchange + in-partition sort (one pass over
+    the live set, embarrassingly parallel), old snapshots stay
+    readable until vacuum, and the commit is one rename regardless of
+    table size."""
+    import tempfile
+
+    from etl_cloud_batch_processing_spark.sources import manifest as M
+
+    ev = (table(spark, sf_dir, "events")
+          .select("event_id",
+                  F.col("user_id").bitwiseAND(
+                      F.lit((1 << Z_BITS) - 1)).alias("x"),
+                  F.datediff(F.to_date("ts"), F.lit(_EPOCH).cast("date"))
+                  .cast("bigint").alias("y")))
+    root = tempfile.mkdtemp(prefix="spark_graft_zorder_manifest_")
+    base = f"{root}/t"
+    ev.repartition(ZM_FILES_BEFORE).write.mode("overwrite").parquet(base)
+    v1 = M.init_manifest(spark, base)
+    pred = (F.col("x").between(X_LO, X_HI)
+            & F.col("y").between(Y_LO, Y_HI))
+    before = M.read_manifest(spark, base).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(pred, 1).otherwise(0)).cast("bigint")
+        .alias("rows_pred"))
+
+    stats = M.optimize_zorder_manifested(spark, base, ["x", "y"],
+                                         ZM_FILES_AFTER, bits=Z_BITS)
+
+    after = M.read_manifest(spark, base).agg(
+        F.count(F.lit(1)).alias("n_rows_after"),
+        F.sum(F.when(pred, 1).otherwise(0)).cast("bigint")
+        .alias("rows_pred_after"))
+    snap = (M.read_manifest(spark, base, version=v1)
+            .agg(F.count(F.lit(1)).alias("v1_snapshot_rows")))
+    # executed pruning audit over the REAL post-rewrite zone maps
+    zm = (M.read_manifest(spark, base)
+          .withColumn("f", F.input_file_name())
+          .groupBy("f").agg(F.min("x").alias("min_x"),
+                            F.max("x").alias("max_x"),
+                            F.min("y").alias("min_y"),
+                            F.max("y").alias("max_y")))
+    overlaps = ((F.col("max_x") >= X_LO) & (F.col("min_x") <= X_HI)
+                & (F.col("max_y") >= Y_LO) & (F.col("min_y") <= Y_HI))
+    pruned = zm.agg(
+        F.sum(F.when(~overlaps, 1).otherwise(0)).cast("bigint")
+        .alias("n_pruned"))
+    return (before.crossJoin(after).crossJoin(snap).crossJoin(pruned)
+            .select(F.lit(stats["files_before"]).cast("bigint")
+                    .alias("files_before"),
+                    F.lit(stats["files_after"]).cast("bigint")
+                    .alias("files_after"),
+                    F.lit(v1).cast("bigint").alias("v_before"),
+                    F.lit(stats["version"]).cast("bigint")
+                    .alias("v_after"),
+                    F.col("n_rows"),
+                    F.col("v1_snapshot_rows"),
+                    "rows_pred",
+                    F.when(F.col("n_rows_after") == F.col("n_rows"),
+                           F.col("rows_pred_after"))
+                    .otherwise(F.lit(-1)).alias("rows_pred_after"),
+                    (F.col("n_pruned") > 0).alias("zone_maps_prune")))

@@ -277,6 +277,42 @@ def compact_manifested(spark: SparkSession, path: str,
             "version": v}
 
 
+def optimize_zorder_manifested(spark: SparkSession, path: str,
+                               cols: list[str], num_files: int,
+                               bits: int = 16) -> dict:
+    """OPTIMIZE ZORDER as ONE manifest commit — the composition of
+    ``writers.write_zordered`` (Morton-key range-partition + sort) and
+    the manifest flip: the z-ordered rewrite lands under a fresh
+    ``.data/zorder-<uid>/`` directory no manifest references, then one
+    atomic commit swaps the ENTIRE live file set for the clustered
+    one.  Readers pinned to the old version keep their snapshot
+    (retired files persist until :func:`vacuum`); a crash before the
+    commit leaves the table exactly as it was.  This is Delta's
+    ``OPTIMIZE ... ZORDER BY`` shape: layout maintenance as a
+    transaction, not an in-place shuffle of live files.
+
+    Rewrites carry ``dt=None`` (multi-dimensional clustering merges
+    partitions by design — z-order per dt via read/commit filtering
+    when dt pruning must survive).  Returns ``{"files_before",
+    "files_after", "version"}``."""
+    from etl_cloud_batch_processing_spark.sources.writers import (
+        write_zordered,
+    )
+
+    _, hpath, fs = _fs(spark, path)
+    base = path.rstrip("/")
+    _, entries = current_manifest(spark, base)
+    rel_dir = f".data/zorder-{uuid.uuid4().hex[:8]}"
+    write_zordered(read_manifest(spark, base), f"{base}/{rel_dir}",
+                   cols, num_files, bits)
+    new_files = _rel_parquet(hpath, fs, base, rel_dir)
+    v = commit_manifest(spark, base,
+                        add=[{"file": f, "dt": None} for f in new_files],
+                        remove=[e["file"] for e in entries], retries=3)
+    return {"files_before": len(entries), "files_after": len(new_files),
+            "version": v}
+
+
 def publish_manifested(df: DataFrame, path: str, run_date: str,
                        rules: list = ()) -> list:
     """Write-audit-publish with a manifest commit as the publish step —

@@ -397,3 +397,56 @@ def test_publish_manifested_retries_past_a_racing_commit(spark, tmp_path):
     # conservatively included by manifest pruning, so filter the column)
     assert (M.read_manifest(spark, path, dts=["2024-01-02"])
             .filter("dt = '2024-01-02'").count() == 5)
+
+
+# ---------------------------------------------------------------------------
+# Round-9 verdict item 6: OPTIMIZE ZORDER as ONE manifest commit.
+# ---------------------------------------------------------------------------
+
+def test_optimize_zorder_manifested_snapshot_isolated(spark, tmp_path):
+    """The z-order rewrite must be a transaction: same rows before and
+    after, one version flip, a reader pinned to the pre-rewrite
+    version keeps its snapshot even after the flip, and vacuum only
+    then retires the old layout's files."""
+    path = str(tmp_path / "t")
+    df = (spark.range(2000)
+          .select((F.col("id") % 97).alias("x"),
+                  (F.col("id") % 31).alias("y"),
+                  F.col("id").alias("payload")))
+    df.repartition(4).write.mode("overwrite").parquet(path)
+    v1 = M.init_manifest(spark, path)
+    before = sorted(r["payload"] for r in
+                    M.read_manifest(spark, path).collect())
+    old_files = set(M.read_manifest_files(spark, path))
+
+    stats = M.optimize_zorder_manifested(spark, path, ["x", "y"], 6,
+                                         bits=8)
+    assert stats == {"files_before": 4, "files_after": 6,
+                     "version": v1 + 1}
+
+    after = sorted(r["payload"] for r in
+                   M.read_manifest(spark, path).collect())
+    assert after == before                      # zero row loss/dup
+    assert set(M.read_manifest_files(spark, path)).isdisjoint(old_files)
+
+    # snapshot isolation: v1 still reads the OLD files, completely
+    snap = sorted(r["payload"] for r in
+                  M.read_manifest(spark, path, version=v1).collect())
+    assert snap == before
+    assert set(M.read_manifest_files(spark, path, version=v1)) \
+        == old_files
+
+    # the rewrite actually clustered: per-file x/y extents must be
+    # narrower than the table-wide range for at least one file
+    zm = (M.read_manifest(spark, path)
+          .withColumn("f", F.input_file_name())
+          .groupBy("f").agg(F.min("x").alias("lo"), F.max("x").alias("hi")))
+    assert any(r["hi"] - r["lo"] < 96 for r in zm.collect())
+
+    # vacuum retires the old layout + superseded manifest
+    gone = M.vacuum(spark, path)
+    assert gone["files_removed"] >= 4 and gone["manifests_removed"] == 1
+    for f in old_files:
+        assert not os.path.exists(f)
+    assert sorted(r["payload"] for r in
+                  M.read_manifest(spark, path).collect()) == before
