@@ -445,13 +445,37 @@ def mllib_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = lsh.fit(feats)
     joined = model.approxSimilarityJoin(feats, feats, 0.8,
                                         distCol="jaccard_dist")
-    return (joined
-            .filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
-            .select(F.col("datasetA.doc_id").alias("doc_a"),
-                    F.col("datasetB.doc_id").alias("doc_b"),
-                    F.round("jaccard_dist", 6).alias("jaccard_dist"))
-            .orderBy(F.asc("jaccard_dist"), F.asc("doc_a"), F.asc("doc_b"))
-            .limit(50))
+    pairs = (joined
+             .filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+             .select(F.col("datasetA.doc_id").alias("doc_a"),
+                     F.col("datasetB.doc_id").alias("doc_b"),
+                     F.round("jaccard_dist", 6).alias("jaccard_dist"))
+             .orderBy(F.asc("jaccard_dist"), F.asc("doc_a"),
+                      F.asc("doc_b"))
+             .limit(50))
+    # EXECUTED audit (rows-only self-audit pattern): recompute every
+    # reported pair's Jaccard EXACTLY from the md5-hashed shingle sets
+    # (the deterministic pipeline MLlib is deployed alongside) —
+    # within_bound allows only the HashingTF index-collision slack.
+    # O(reported pairs), two equi-joins against the doc-grain set
+    # frame; never an extra pair scan.
+    hs = hashed_shingles(_par_docs(spark, sf_dir))
+    sets = hs.groupBy("doc_id").agg(F.collect_set("h").alias("hset"))
+    sa = sets.select(F.col("doc_id").alias("doc_a"),
+                     F.col("hset").alias("hs_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"),
+                     F.col("hset").alias("hs_b"))
+    inter = F.size(F.array_intersect("hs_a", "hs_b")).cast("double")
+    union = (F.size("hs_a") + F.size("hs_b")
+             - F.size(F.array_intersect("hs_a", "hs_b")))
+    jac = inter / union
+    return (pairs.join(sa, "doc_a").join(sb, "doc_b")
+            .select("doc_a", "doc_b", "jaccard_dist",
+                    F.round(1.0 - jac, 6).alias("exact_jaccard_dist"),
+                    (F.abs(F.col("jaccard_dist") - (1.0 - jac)) <= 0.05)
+                    .alias("within_bound"))
+            .orderBy(F.asc("jaccard_dist"), F.asc("doc_a"),
+                     F.asc("doc_b")))
 
 
 _D_EST_EQ = " + ".join(

@@ -156,7 +156,15 @@ def pca_top_components_gram(spark: SparkSession,
     ``computePrincipalComponents`` architecture.  Sign is fixed
     deterministically (largest-|component| entry positive).  Output:
     (pc, dim, component, explained_var_ratio) — 2·d rows, returned as
-    a DataFrame so downstream projection joins it back distributed."""
+    a DataFrame so downstream projection joins it back distributed.
+
+    Rows-only (eigenvectors aren't SQL-expressible), so the query
+    carries its own EXECUTED audit: per pc, the eigen-equation
+    residual ‖Cv − λv‖∞ against the DISTRIBUTED covariance (did eigh
+    solve the matrix the cluster actually produced?) and an
+    orthonormality check ‖v‖=1 ∧ v₀⊥v₁ — both emitted as columns and
+    pytest-pinned, alongside the numpy.linalg.eigh fixture
+    cross-check in tests/test_linalg.py."""
     cov_rows = (covariance_frame(spark, sf_dir)
                 .collect())  # O(dims²) driver fetch, MAX_GRAM_DIM-guarded
     d = max(r["j"] for r in cov_rows) + 1
@@ -166,17 +174,29 @@ def pca_top_components_gram(spark: SparkSession,
         c[r["j"], r["i"]] = r["cov"]
     vals, vecs = np.linalg.eigh(c)     # ascending eigenvalues
     total = float(vals.sum())
-    out = []
+    top = []
     for pc in range(2):
         idx = d - 1 - pc
         v = vecs[:, idx]
         if v[int(np.argmax(np.abs(v)))] < 0:
             v = -v
-        ratio = float(vals[idx]) / total
-        out.extend((pc, dim, round(float(v[dim]), 6), round(ratio, 6))
+        top.append((v, float(vals[idx])))
+    ortho_ok = bool(
+        abs(float(top[0][0] @ top[0][0]) - 1.0) < 1e-9
+        and abs(float(top[1][0] @ top[1][0]) - 1.0) < 1e-9
+        and abs(float(top[0][0] @ top[1][0])) < 1e-9)
+    out = []
+    for pc, (v, lam) in enumerate(top):
+        resid = float(np.max(np.abs(c @ v - lam * v)))
+        resid_ok = resid < 1e-6 * max(1.0, abs(lam))
+        out.extend((pc, dim, round(float(v[dim]), 6),
+                    round(lam / total, 6), round(resid, 9),
+                    bool(resid_ok and ortho_ok))
                    for dim in range(d))
     return spark.createDataFrame(
-        out, "pc int, dim int, component double, explained_var_ratio double")
+        out, "pc int, dim int, component double, "
+             "explained_var_ratio double, eigen_residual double, "
+             "audit_ok boolean")
 
 
 # rows-only: depends on the eigh components (not SQL-expressible).  The
@@ -194,7 +214,14 @@ def embedding_pca_projection(spark: SparkSession,
     projection is one map-side multiply plus one partial-aggregated
     reduce on (vec_id, pc) — the corpus never re-collects; this is the
     "returned as a DataFrame so downstream projection joins it back
-    distributed" path promised by pca_top_components_gram."""
+    distributed" path promised by pca_top_components_gram.
+
+    Rows-only (depends on the eigh components), so the query carries
+    its own EXECUTED audit as two constant columns: centered data must
+    project to (numerically) zero mean per pc, and the projection
+    variance must rank pc0 ≥ pc1 — exactly the eigenvalue order.  A
+    wrong centering, a transposed component join, or swapped PCs flips
+    one of them; pytest pins both true."""
     comps = F.broadcast(pca_top_components_gram(spark, sf_dir)
                         .select("pc", F.col("dim").cast("int").alias("pos"),
                                 "component"))
@@ -204,8 +231,18 @@ def embedding_pca_projection(spark: SparkSession,
               .select("vec_id", "pos",
                       F.col("f").cast("double").alias("v"))
     mu = F.broadcast(flat.groupBy("pos").agg(F.avg("v").alias("mu")))
-    return (flat.join(mu, "pos").join(comps, "pos")
+    proj = (flat.join(mu, "pos").join(comps, "pos")
             .groupBy("vec_id", "pc")
             .agg(F.round(F.sum((F.col("v") - F.col("mu"))
                                * F.col("component")), 6)
                  .alias("projection")))
+    stats = proj.groupBy("pc").agg(
+        F.avg("projection").alias("m"),
+        F.var_pop("projection").alias("s2"))
+    audit = F.broadcast(stats.agg(
+        F.max(F.abs(F.col("m"))).alias("max_abs_mean"),
+        F.max(F.when(F.col("pc") == 0, F.col("s2"))).alias("v0"),
+        F.max(F.when(F.col("pc") == 1, F.col("s2"))).alias("v1"))
+        .select((F.col("max_abs_mean") <= 1e-3).alias("mean_centered_ok"),
+                (F.col("v0") >= F.col("v1")).alias("var_rank_ok")))
+    return proj.crossJoin(audit)

@@ -265,18 +265,36 @@ def multimodal_byte_features(spark: SparkSession,                 # pandas
                              sf_dir: str) -> DataFrame:           # path
     """Feature extraction through the real mapInPandas decode path with
     the deterministic fake decoder.  The histogram is exploded to scalar
-    columns so downstream joins/filters stay columnar."""
+    columns so downstream joins/filters stay columnar.
+
+    Rows-only (the point is exercising the Arrow batch path), so the
+    row carries its own EXECUTED audit: the decoder's byte count must
+    equal the payload length the METADATA struct recorded (the decode
+    read the right payload, whole), the four histogram bins must sum
+    to it (no byte dropped or double-counted), and min ≤ mean ≤ max —
+    any truncated Arrow batch, row misalignment, or dtype overflow in
+    the Python worker flips ``audit_ok``; pytest pins it all-true."""
     media = attach_media(table(spark, sf_dir, "documents"))
     feats = extract_features(media)
-    return feats.select(
+    meta_len = F.broadcast(
+        media.select("media_id", F.col("meta.n_bytes").alias("meta_bytes")))
+    hist_sum = (F.col("h0") + F.col("h1") + F.col("h2") + F.col("h3"))
+    return (feats.select(
         "media_id", "n_bytes",
         F.round("byte_mean", 6).alias("byte_mean"),
         "byte_min", "byte_max",
         F.element_at("histogram4", 1).alias("h0"),
         F.element_at("histogram4", 2).alias("h1"),
         F.element_at("histogram4", 3).alias("h2"),
-        F.element_at("histogram4", 4).alias("h3"),
-    )
+        F.element_at("histogram4", 4).alias("h3"))
+        .join(meta_len, "media_id")
+        .select("media_id", "n_bytes", "byte_mean", "byte_min",
+                "byte_max", "h0", "h1", "h2", "h3",
+                ((F.col("n_bytes") == F.col("meta_bytes"))
+                 & (hist_sum == F.col("n_bytes"))
+                 & (F.col("byte_min") <= F.col("byte_mean"))
+                 & (F.col("byte_mean") <= F.col("byte_max")))
+                .alias("audit_ok")))
 
 
 # --------------------------------------------------------------------------

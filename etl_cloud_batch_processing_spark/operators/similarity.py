@@ -147,7 +147,17 @@ def mllib_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stock-MLlib ANN: unit-normalize embeddings, then
     BucketedRandomProjectionLSH approxSimilarityJoin on euclidean
     distance (on unit vectors ‖a-b‖² = 2-2·cos, so the 1.14 threshold
-    ≈ cosine > 0.35), fixed seed."""
+    ≈ cosine > 0.35), fixed seed.
+
+    Rows-only (MLlib's hash family is engine-specific), so the query
+    carries its own EXECUTED audits: ``dist_ok`` recomputes each
+    reported pair's distance from the raw embeddings through OUR
+    normalization (sqrt(2−2·cos) — a broken normalize or a mislabeled
+    pair diverges immediately), and ``query_recall_top5`` joins the
+    UNTRUNCATED candidate set against the deterministic exact top-5
+    of the 5 standard query vectors (``knn_cosine_topk``'s answer) —
+    the LSH false-negative rate, measured on every run and
+    pytest-pinned ≥ 0.6 at fixture scale."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
@@ -162,13 +172,53 @@ def mllib_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       numHashTables=4, seed=42)
     model = lsh.fit(unit)
     joined = model.approxSimilarityJoin(unit, unit, 1.14, distCol="dist")
-    return (joined
-            .filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
-            .select(F.col("datasetA.vec_id").alias("vec_a"),
-                    F.col("datasetB.vec_id").alias("vec_b"),
-                    F.round("dist", 6).alias("dist"))
-            .orderBy(F.asc("dist"), F.asc("vec_a"), F.asc("vec_b"))
-            .limit(50))
+    pairs = (joined
+             .filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
+             .select(F.col("datasetA.vec_id").alias("vec_a"),
+                     F.col("datasetB.vec_id").alias("vec_b"),
+                     F.round("dist", 6).alias("dist")))
+    # audit 1: recompute each reported distance from the raw arrays
+    ea = emb.select(F.col("vec_id").alias("vec_a"),
+                    F.col("embedding").alias("emb_a"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"),
+                    F.col("embedding").alias("emb_b"))
+    cos = (V.dot("emb_a", "emb_b")
+           / (F.sqrt(V.dot("emb_a", "emb_a"))
+              * F.sqrt(V.dot("emb_b", "emb_b"))))
+    top = (pairs.orderBy(F.asc("dist"), F.asc("vec_a"), F.asc("vec_b"))
+           .limit(50)
+           .join(ea, "vec_a").join(eb, "vec_b")
+           .select("vec_a", "vec_b", "dist",
+                   (F.abs(F.col("dist")
+                          - F.sqrt(F.greatest(2.0 - 2.0 * cos,
+                                              F.lit(0.0)))) <= 1e-5)
+                   .alias("dist_ok")))
+    # audit 2: recall of the exact per-query top-5 (queries vec_id<5,
+    # the knn_cosine_topk contract) among the UNTRUNCATED candidates.
+    # Only exact neighbours INSIDE the join threshold count (cos >=
+    # 1 - 1.14²/2: a neighbour beyond it is out of contract, not a
+    # false negative).  Lazy import: plans must not be touched at
+    # operators import time (DRIVER_NOTES #5).
+    from etl_cloud_batch_processing_spark.plans.llm import (
+        knn_cosine_topk,
+    )
+
+    exact5 = (knn_cosine_topk(spark, sf_dir)
+              .filter((F.col("rnk") <= 5)
+                      & (F.col("cos_sim") >= 1.0 - 1.14 ** 2 / 2))
+              .select(F.least("query_id", "vec_id").alias("vec_a"),
+                      F.greatest("query_id", "vec_id").alias("vec_b"))
+              .distinct())
+    found = (exact5.join(pairs.select("vec_a", "vec_b").distinct(),
+                         ["vec_a", "vec_b"], "left_semi"))
+    recall = F.broadcast(
+        exact5.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(found.agg(F.count(F.lit(1)).alias("n_found")))
+        .select(F.when(F.col("n_exact") == 0, F.lit(1.0))
+                .otherwise(F.round(F.col("n_found") / F.col("n_exact"), 4))
+                .alias("query_recall_top5")))
+    return (top.crossJoin(recall)
+            .orderBy(F.asc("dist"), F.asc("vec_a"), F.asc("vec_b")))
 
 
 # --------------------------------------------------------------------------

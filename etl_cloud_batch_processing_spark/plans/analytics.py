@@ -2205,16 +2205,26 @@ def hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     summable); re-scanning raw data for every grain is the O(history)
     cost this avoids.  At 100 TB the daily sketch table is a few KB per
     group and yesterday's sketches never recompute — estimate error
-    ~1.6% at lgK=12.  Convergence against exact distinct is asserted in
-    tests; estimates are engine-specific, hence rows-only."""
+    ~1.6% at lgK=12.  Estimates are engine-specific, hence rows-only —
+    but the query carries its own EXECUTED audit (the r9 self-audit
+    pattern): an exact countDistinct twin at the rolled-up day grain
+    joins back and ``within_bound`` asserts the union estimate inside
+    ±5% (≈3σ at lgK=12) per day, pytest-pinned all-true."""
     events = table(spark, sf_dir, "events")
     day = F.to_date("ts").alias("day")
     daily_type = (events.groupBy(day, "event_type")
                   .agg(F.hll_sketch_agg("user_id").alias("sk")))
-    return (daily_type.groupBy("day")
-            .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
-                 .alias("approx_users"),
-                 F.count(F.lit(1)).alias("n_types"))
+    rolled = (daily_type.groupBy("day")
+              .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
+                   .alias("approx_users"),
+                   F.count(F.lit(1)).alias("n_types")))
+    exact = (events.groupBy(F.to_date("ts").alias("day"))
+             .agg(F.countDistinct("user_id").alias("exact_users")))
+    return (rolled.join(exact, "day")
+            .select("day", "approx_users", "n_types", "exact_users",
+                    ((F.abs(F.col("approx_users") - F.col("exact_users"))
+                      / F.col("exact_users")) <= 0.05)
+                    .alias("within_bound"))
             .orderBy("day"))
 
 
