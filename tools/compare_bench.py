@@ -17,7 +17,16 @@ side).  A shared query is REGRESSED only when BOTH hold:
 Everything that trips the ratio gate but sits inside the measured
 spread prints as NOISE instead — the shared-microVM reality
 (DRIVER_NOTES #7/#16: same query 7 s and 51 s minutes apart) that made
-raw ratio flags un-actionable.  Exit 1 only on true REGRESSED rows.
+raw ratio flags un-actionable.
+
+Round-10 upgrade (round-9 verdict item 5): ``--remeasure N`` re-prices
+every would-be REGRESSED row IN THIS PROCESS — a fresh best-of-N,
+cache-cleared execution of just that query at the NEW side's scale
+factor — and keeps the flag only if the fresh measurement still trips
+both gates.  A row whose regression was box load at bench time clears
+mechanically (the fresh min replaces the stale one and is reported as
+REMEASURED); a genuine plan regression reproduces and stays REGRESSED.
+Exit 1 only on rows that survive.
 """
 
 from __future__ import annotations
@@ -35,11 +44,46 @@ def _load(path: str) -> tuple[dict, dict]:
     return doc.get("queries", {}), doc.get("spread", {})
 
 
+def _remeasure(names: list[str], n_runs: int) -> dict[str, float]:
+    """Fresh best-of-N of just the flagged queries, same discipline as
+    bench.py (clock spans the builder call, noop-format write forces
+    full execution, clearCache between runs)."""
+    import os
+    import time
+
+    sys.path.insert(0, os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+    from etl_cloud_batch_processing_spark import plans
+    from etl_cloud_batch_processing_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("compare-remeasure")
+    spark.sparkContext.setLogLevel("ERROR")
+    out: dict[str, float] = {}
+    for name in names:
+        spec = plans.REGISTRY.get(name)
+        if spec is None:
+            continue
+        runs = []
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            df = spec.builder(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        out[name] = round(min(runs), 3)
+    spark.stop()
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("old")
     ap.add_argument("new")
     ap.add_argument("--threshold", type=float, default=2.0)
+    ap.add_argument("--remeasure", type=int, default=0, metavar="N",
+                    help="re-run would-be REGRESSED rows best-of-N "
+                         "fresh and flag only survivors")
     args = ap.parse_args()
     old, old_spread = _load(args.old)
     new, new_spread = _load(args.new)
@@ -64,6 +108,21 @@ def main() -> None:
         allowance = max(old_spread.get(q, 0.0), new_spread.get(q, 0.0))
         row = (q, old[q], new[q], allowance)
         (regressed if new[q] - old[q] > allowance else noise).append(row)
+
+    if regressed and args.remeasure > 0:
+        fresh = _remeasure([q for q, *_ in regressed], args.remeasure)
+        still, cleared = [], []
+        for q, o, n, a in regressed:
+            best = min(n, fresh.get(q, n))
+            if (best > args.threshold * max(o, 0.05)
+                    and best - o > a):
+                still.append((q, o, best, a))
+            else:
+                cleared.append((q, o, n, best))
+        for q, o, n, b in cleared:
+            print(f"REMEASURED {q}: {o:.3f}s -> {n:.3f}s was box load; "
+                  f"fresh best-of-{args.remeasure} = {b:.3f}s — cleared")
+        regressed = still
     for q, o, n, a in sorted(noise, key=lambda t: -(t[2] - t[1])):
         print(f"NOISE {q}: {o:.3f}s -> {n:.3f}s "
               f"(delta {n - o:+.3f}s within measured spread {a:.3f}s)")
