@@ -157,18 +157,35 @@ def _streaming_user_stats_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     API is where timers/TTL/list/map state live at 100 TB (state
     eviction without hand-rolled timeouts).
 
-    Registered only when ``protobuf`` is importable: the v2 operator's
-    driver↔worker state protocol runs over protobuf and fails at plan
-    time without it (this container ships pyspark without the optional
-    dep, and installs are off-limits — the operator itself is fully
-    implemented in streaming/stateful.py and tested where the dep
-    exists)."""
+    Registered only when ``google.protobuf`` resolves — natively or
+    through the vendored-runtime fallback (streaming/stateful.py
+    ensure_protobuf: the container carries protobuf 6.32 inside the
+    public google-cloud-sdk; pyspark's gencode is 6.33, bridged by
+    protobuf's own documented version-check escape hatch).  The v2
+    operator additionally needs a multi-column-family state store, so
+    the drain runs under RocksDBStateStoreProvider (bundled with
+    Spark 4), restored afterwards so every other streaming query keeps
+    the session default."""
     from etl_cloud_batch_processing_spark.streaming import stateful as S
 
+    if not S.ensure_protobuf():  # pragma: no cover - env guard
+        raise RuntimeError("google.protobuf unavailable (no site "
+                           "package, no vendored runtime)")
+    S.push_protobuf_env_to_workers(spark)
     out = tempfile.mkdtemp(prefix="tws_sink_")
     ckpt = tempfile.mkdtemp(prefix="tws_ckpt_")
     result = S.user_stats_tws_stream(W.events_stream(spark, sf_dir))
-    S.drain_running_totals(result, out, ckpt)
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(provider_key, "org.apache.spark.sql.execution."
+                   "streaming.state.RocksDBStateStoreProvider")
+    try:
+        S.drain_running_totals(result, out, ckpt)
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
     log = spark.read.parquet(out)
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
     return (log.withColumn("rn", F.row_number().over(w))
@@ -244,14 +261,15 @@ def streaming_pysource_event_counts(spark: SparkSession,
     return spark.read.parquet(out)
 
 
-try:  # pragma: no cover - environment probe
-    import google.protobuf  # noqa: F401
+def _has_protobuf() -> bool:  # pragma: no cover - environment probe
+    from etl_cloud_batch_processing_spark.streaming.stateful import (
+        ensure_protobuf,
+    )
 
-    _HAS_PROTOBUF = True
-except ImportError:
-    _HAS_PROTOBUF = False
+    return ensure_protobuf()
 
-if _HAS_PROTOBUF:
+
+if _has_protobuf():
     query(
         "streaming_user_stats_tws",
         oracle="""

@@ -35,6 +35,81 @@ if TYPE_CHECKING:
 
     import pandas as pd
 
+#: A publicly-distributed protobuf runtime this container happens to
+#: carry (the google-cloud-sdk's appengine platform vendors protobuf
+#: 6.32.0).  pip has no network here (DRIVER_NOTES #13), so when
+#: ``google.protobuf`` isn't installed as a site package, this is the
+#: only runtime available for transformWithStateInPandas's
+#: driver↔worker state protocol.
+VENDORED_PROTOBUF_DIR = "/usr/lib/google-cloud-sdk/platform/google_appengine"
+
+
+def ensure_protobuf() -> bool:
+    """Make ``google.protobuf`` importable in THIS process, falling
+    back to the vendored runtime above.  pyspark's generated
+    StateMessage gencode is protobuf 6.33; the vendored runtime is
+    6.32 — one minor older — so the fallback also sets protobuf's OWN
+    documented escape hatch for exactly this window
+    (``TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK``, runtime_version.py).
+    Returns False when neither a site-package nor the vendored runtime
+    exists (the operator then stays unregistered, CI-visibly)."""
+    import importlib
+    import os
+    import sys
+
+    # Probe a REAL runtime module, not the package: spark-core.jar sits
+    # on worker sys.path (zipimport) and carries google/protobuf/*.proto
+    # RESOURCES, which Python happily resolves as an EMPTY namespace
+    # package — `import google.protobuf` succeeds while the runtime is
+    # entirely absent ("unknown location" ImportErrors downstream).
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        pass
+    if not os.path.isdir(os.path.join(VENDORED_PROTOBUF_DIR,
+                                      "google", "protobuf")):
+        return False
+    os.environ["TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"] = "true"
+    if VENDORED_PROTOBUF_DIR not in sys.path:
+        # append, not prepend: only the google.* namespace lives there
+        # and nothing else may shadow site-packages
+        sys.path.append(VENDORED_PROTOBUF_DIR)
+    os.environ["PYTHONPATH"] = (
+        VENDORED_PROTOBUF_DIR + os.pathsep
+        + os.environ.get("PYTHONPATH", "")).rstrip(os.pathsep)
+    # drop any cached empty-namespace google modules so the re-import
+    # resolves the vendored regular package instead
+    for mod in [m for m in sys.modules
+                if m == "google" or m.startswith("google.")]:
+        del sys.modules[mod]
+    importlib.invalidate_caches()
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def push_protobuf_env_to_workers(spark) -> None:
+    """Python workers import the protobuf runtime too (the state
+    client runs worker-side): propagate the vendored path + version
+    escape hatch through ``sc.environment``, which pyspark ships with
+    every pickled command (core/rdd.py _prepare_for_python_RDD) — a
+    distinct env set spawns a fresh worker daemon, so this works even
+    after other UDFs already ran."""
+    import os
+
+    env = spark.sparkContext.environment
+    env["TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"] = "true"
+    base = env.get("PYTHONPATH", os.environ.get("PYTHONPATH", ""))
+    if VENDORED_PROTOBUF_DIR not in base.split(os.pathsep):
+        env["PYTHONPATH"] = (VENDORED_PROTOBUF_DIR + os.pathsep
+                             + base).rstrip(os.pathsep)
+
+
 RUNNING_SCHEMA = StructType([
     StructField("user_id", LongType()),
     StructField("n_events", LongType()),
@@ -112,6 +187,50 @@ def make_user_stats_processor() -> StatefulProcessor:
     by value — only the pyspark base needs importing on the worker."""
 
     class UserStatsProcessor(StatefulProcessor):
+        # The state protocol (StateMessage_pb2) imports lazily INSIDE
+        # every process this object lands in — driver, the pre-init
+        # runner, executor workers.  The pre-init runner sees neither
+        # addPyFile packages nor env vars set after the JVM launched,
+        # so the vendored-protobuf bootstrap (streaming/stateful.py
+        # ensure_protobuf, inlined here because a <locals> class may
+        # reference nothing importable) rides the pickle itself:
+        # unpickling runs it before pyspark can touch protobuf.
+        @staticmethod
+        def _bootstrap_protobuf() -> None:
+            import importlib
+            import os
+            import sys
+
+            try:
+                # probe a REAL module: spark-core.jar on worker paths
+                # makes bare `google.protobuf` resolve as an empty
+                # namespace package (its .proto RESOURCES)
+                from google.protobuf import descriptor  # noqa: F401
+
+                return
+            except ImportError:
+                pass
+            vendor = ("/usr/lib/google-cloud-sdk/platform/"
+                      "google_appengine")
+            if not os.path.isdir(os.path.join(vendor, "google",
+                                              "protobuf")):
+                return
+            os.environ["TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"] \
+                = "true"
+            if vendor not in sys.path:
+                sys.path.append(vendor)
+            for mod in [m for m in sys.modules
+                        if m == "google" or m.startswith("google.")]:
+                del sys.modules[mod]
+            importlib.invalidate_caches()
+
+        def __getstate__(self):
+            return dict(self.__dict__)
+
+        def __setstate__(self, state):
+            self._bootstrap_protobuf()
+            self.__dict__.update(state)
+
         def init(self, handle) -> None:
             self._state = handle.getValueState(
                 "stats", "n BIGINT, total DOUBLE, mn DOUBLE, mx DOUBLE")

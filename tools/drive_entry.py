@@ -48,11 +48,11 @@ def dclass(dtype):
 qs, os_ = e.queries(), e.oracle_sql()
 # CI-visible env-gated skips (round-2 verdict item 8): name every query
 # that exists in the codebase but could not register in this container.
-try:
-    import google.protobuf  # noqa: F401
-except ImportError:
+from etl_cloud_batch_processing_spark.streaming.stateful import ensure_protobuf
+if not ensure_protobuf():
     print("SKIPPED streaming_user_stats_tws: env-gated — "
-          "transformWithStateInPandas needs protobuf, absent here "
+          "transformWithStateInPandas needs protobuf: neither the site "
+          "package nor the vendored google-cloud-sdk runtime resolves "
           "(operator + plan tests live in streaming/stateful.py, "
           "tests/test_tws.py)")
 if len(sys.argv) > 1:  # optional name filters: substring match, OR'd

@@ -102,8 +102,25 @@ def build_8x(spark, out_dir: str) -> None:
                  F.col("o_orderkey") + F.col("rep") * F.lit(n_ord))
      .drop("rep")
      .write.mode("overwrite").parquet(f"{out_dir}/orders.parquet"))
-    for t in ("region", "nation", "customer", "supplier",
-              "part", "lineitem"):
+    passthrough = ["region", "nation", "supplier", "part", "lineitem"]
+    if os.environ.get("SPARK_GRAFT_SOAK_CUSTOMERS") == "replicate":
+        # BLOCKING-KEY skew stress (round-9 verdict item 7): replicate
+        # customers with re-strided keys but UNCHANGED names/balances —
+        # every replica shares its original's name-suffix-4 and
+        # floor(balance) blocking keys, so entity-resolution blocks
+        # grow FACTORx and candidate pairs ~FACTOR²x: the Σ|block|²
+        # regime multi-pass blocking must survive.  rep 0 keeps the
+        # original keys, so FK edges from orders stay intact.
+        cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+        n_cust = cust.agg(F.max("c_custkey")).collect()[0][0] + 1
+        (cust.crossJoin(reps)
+         .withColumn("c_custkey",
+                     F.col("c_custkey") + F.col("rep") * F.lit(n_cust))
+         .drop("rep")
+         .write.mode("overwrite").parquet(f"{out_dir}/customer.parquet"))
+    else:
+        passthrough.append("customer")
+    for t in passthrough:
         src = f"{SF_DIR}/{t}.parquet"
         if os.path.exists(src):
             os.symlink(src, f"{out_dir}/{t}.parquet")
