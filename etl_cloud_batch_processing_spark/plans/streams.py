@@ -172,21 +172,8 @@ def _streaming_user_stats_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError("google.protobuf unavailable (no site "
                            "package, no vendored runtime)")
     S.push_protobuf_env_to_workers(spark)
-    out = tempfile.mkdtemp(prefix="tws_sink_")
-    ckpt = tempfile.mkdtemp(prefix="tws_ckpt_")
     result = S.user_stats_tws_stream(W.events_stream(spark, sf_dir))
-    provider_key = "spark.sql.streaming.stateStore.providerClass"
-    prev = spark.conf.get(provider_key, None)
-    spark.conf.set(provider_key, "org.apache.spark.sql.execution."
-                   "streaming.state.RocksDBStateStoreProvider")
-    try:
-        S.drain_running_totals(result, out, ckpt)
-    finally:
-        if prev is None:
-            spark.conf.unset(provider_key)
-        else:
-            spark.conf.set(provider_key, prev)
-    log = spark.read.parquet(out)
+    log = _drain_tws(spark, result, "tws")
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
     return (log.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
@@ -261,6 +248,86 @@ def streaming_pysource_event_counts(spark: SparkSession,
     return spark.read.parquet(out)
 
 
+def _drain_tws(spark: SparkSession, result: DataFrame,
+               prefix: str) -> DataFrame:
+    """AvailableNow drain of a transformWithStateInPandas stream under
+    RocksDBStateStoreProvider (the v2 operator needs multi-column-
+    family state; the HDFS-backed default refuses), restoring the
+    session's provider afterwards so every other streaming query keeps
+    its default.  Returns the emission-log frame."""
+    from etl_cloud_batch_processing_spark.streaming import stateful as S
+
+    out = tempfile.mkdtemp(prefix=f"{prefix}_sink_")
+    ckpt = tempfile.mkdtemp(prefix=f"{prefix}_ckpt_")
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(provider_key, "org.apache.spark.sql.execution."
+                   "streaming.state.RocksDBStateStoreProvider")
+    try:
+        S.drain_running_totals(result, out, ckpt)
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+    return spark.read.parquet(out)
+
+
+def _streaming_tws_recent_events(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Per-user LAST-5 event buffer via the v2 API's typed LISTSTATE
+    (plus a ValueState counter) — with ``streaming_user_stats_tws``
+    (ValueState) and ``streaming_tws_type_counts`` (MapState) this
+    completes the v2 state-type surface, each one value-hash-checked.
+
+    The buffer merge is commutative (each batch merges into the stored
+    list and keeps the global top-5 by (ts, event_id)), so the final
+    emission per user equals the batch window top-5 no matter how the
+    files arrive; the emission log's per-user LAST snapshot (max
+    ``n_seen``) is selected exactly like the ValueState twin.  At
+    100 TB: state is 5 fixed-width tuples per user, and ListState
+    reads/writes move only this key's list — never a whole-map
+    serialize."""
+    from etl_cloud_batch_processing_spark.streaming import stateful as S
+
+    if not S.ensure_protobuf():  # pragma: no cover - env guard
+        raise RuntimeError("google.protobuf unavailable")
+    S.push_protobuf_env_to_workers(spark)
+    result = S.recent_events_tws_stream(W.events_stream(spark, sf_dir))
+    log = _drain_tws(spark, result, "tws_recent")
+    mx = F.max("n_seen").over(Window.partitionBy("user_id"))
+    return (log.withColumn("mx", mx)
+            .filter(F.col("n_seen") == F.col("mx"))
+            .select("user_id", "rnk", "event_id", "ts_micros",
+                    "cents", "n_seen")
+            .orderBy("user_id", "rnk"))
+
+
+def _streaming_tws_type_counts(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Per-(user, event_type) exact counts + integer-cents sums via the
+    v2 API's typed MAPSTATE — the keyed sub-aggregation shape
+    (user → {type → stats}) where MapState touches only the sub-keys a
+    batch contains instead of rewriting one serialized blob per user.
+    Addition commutes, so the drained final map equals the batch
+    GROUP BY (user, type) exactly; cents are projected to BIGINT
+    before the processor so the fold is integer-exact on both
+    engines."""
+    from etl_cloud_batch_processing_spark.streaming import stateful as S
+
+    if not S.ensure_protobuf():  # pragma: no cover - env guard
+        raise RuntimeError("google.protobuf unavailable")
+    S.push_protobuf_env_to_workers(spark)
+    result = S.type_counts_tws_stream(W.events_stream(spark, sf_dir))
+    log = _drain_tws(spark, result, "tws_types")
+    mx = F.max("n_total").over(Window.partitionBy("user_id"))
+    return (log.withColumn("mx", mx)
+            .filter(F.col("n_total") == F.col("mx"))
+            .select("user_id", "event_type", "n_events", "sum_cents",
+                    "n_total")
+            .orderBy("user_id", "event_type"))
+
+
 def _has_protobuf() -> bool:  # pragma: no cover - environment probe
     from etl_cloud_batch_processing_spark.streaming.stateful import (
         ensure_protobuf,
@@ -281,6 +348,40 @@ if _has_protobuf():
         GROUP BY user_id
         """,
     )(_streaming_user_stats_tws)
+    query(
+        "streaming_tws_recent_events",
+        oracle="""
+        WITH r AS (
+            SELECT user_id, event_id, epoch_us(ts) AS ts_micros,
+                   CAST(ROUND(value * 100) AS BIGINT) AS cents,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS BIGINT) AS rnk,
+                   CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT)
+                       AS n_seen
+            FROM events)
+        SELECT user_id, rnk, event_id, ts_micros, cents, n_seen
+        FROM r WHERE rnk <= 5
+        ORDER BY user_id, rnk
+        """,
+    )(_streaming_tws_recent_events)
+    query(
+        "streaming_tws_type_counts",
+        oracle="""
+        WITH t AS (
+            SELECT user_id, event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                        AS BIGINT) AS sum_cents
+            FROM events GROUP BY 1, 2),
+        u AS (SELECT user_id, CAST(SUM(n_events) AS BIGINT) AS n_total
+              FROM t GROUP BY 1)
+        SELECT t.user_id, t.event_type, t.n_events, t.sum_cents,
+               u.n_total
+        FROM t JOIN u USING (user_id)
+        ORDER BY user_id, event_type
+        """,
+    )(_streaming_tws_type_counts)
 
 
 @query(

@@ -26,6 +26,7 @@ from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 from pyspark.sql.types import (
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -168,33 +169,16 @@ STATS_SCHEMA = StructType([
 ])
 
 
-def make_user_stats_processor() -> StatefulProcessor:
-    """Per-user (count, sum, min, max) accumulator as a typed
-    ValueState.
+def _bootstrapped_base():
+    """Common base class for every v2 stateful processor here, defined
+    in a FUNCTION BODY on purpose (serialize-by-value — DRIVER_NOTES
+    #5: the pre-init runner resolves no import path to this package),
+    carrying the pickle-borne protobuf bootstrap every process needs
+    (see ensure_protobuf; the pre-init runner sees neither addPyFile
+    packages nor env vars set after the JVM launched, but it unpickles
+    the processor before touching protobuf)."""
 
-    Every fold is commutative/associative over batches, so the LAST
-    emission per key after a full drain equals the batch GROUP BY
-    exactly, independent of arrival order — that convergence is the
-    oracle contract (plans/streams.py streaming_user_stats_tws).
-    State is one fixed-width tuple per user: the state store holds
-    O(live keys), the 100 TB bound.
-
-    The class is defined inside this factory ON PURPOSE: the v2
-    operator's schema-validation phase spawns a pre-init Python runner
-    that does NOT see ``addPyFile``-shipped packages, so a module-level
-    class (cloudpickle: serialize-by-reference) dies with
-    ModuleNotFoundError there.  A ``<locals>`` class serializes fully
-    by value — only the pyspark base needs importing on the worker."""
-
-    class UserStatsProcessor(StatefulProcessor):
-        # The state protocol (StateMessage_pb2) imports lazily INSIDE
-        # every process this object lands in — driver, the pre-init
-        # runner, executor workers.  The pre-init runner sees neither
-        # addPyFile packages nor env vars set after the JVM launched,
-        # so the vendored-protobuf bootstrap (streaming/stateful.py
-        # ensure_protobuf, inlined here because a <locals> class may
-        # reference nothing importable) rides the pickle itself:
-        # unpickling runs it before pyspark can touch protobuf.
+    class BootstrappedProcessor(StatefulProcessor):
         @staticmethod
         def _bootstrap_protobuf() -> None:
             import importlib
@@ -231,6 +215,34 @@ def make_user_stats_processor() -> StatefulProcessor:
             self._bootstrap_protobuf()
             self.__dict__.update(state)
 
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            return iter(())
+
+        def close(self) -> None:
+            pass
+
+    return BootstrappedProcessor
+
+
+def make_user_stats_processor() -> StatefulProcessor:
+    """Per-user (count, sum, min, max) accumulator as a typed
+    ValueState.
+
+    Every fold is commutative/associative over batches, so the LAST
+    emission per key after a full drain equals the batch GROUP BY
+    exactly, independent of arrival order — that convergence is the
+    oracle contract (plans/streams.py streaming_user_stats_tws).
+    State is one fixed-width tuple per user: the state store holds
+    O(live keys), the 100 TB bound.
+
+    The class is defined inside this factory ON PURPOSE: the v2
+    operator's schema-validation phase spawns a pre-init Python runner
+    that does NOT see ``addPyFile``-shipped packages, so a module-level
+    class (cloudpickle: serialize-by-reference) dies with
+    ModuleNotFoundError there.  A ``<locals>`` class serializes fully
+    by value — only the pyspark base needs importing on the worker."""
+
+    class UserStatsProcessor(_bootstrapped_base()):
         def init(self, handle) -> None:
             self._state = handle.getValueState(
                 "stats", "n BIGINT, total DOUBLE, mn DOUBLE, mx DOUBLE")
@@ -253,13 +265,152 @@ def make_user_stats_processor() -> StatefulProcessor:
                                 "total_value": [total], "min_value": [mn],
                                 "max_value": [mx]})
 
-        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
-            return iter(())
-
-        def close(self) -> None:
-            pass
-
     return UserStatsProcessor()
+
+
+RECENT_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("rnk", LongType()),
+    StructField("event_id", LongType()),
+    StructField("ts_micros", LongType()),
+    StructField("cents", LongType()),
+    StructField("n_seen", LongType()),
+])
+
+
+def make_recent_events_processor(keep: int = 5) -> StatefulProcessor:
+    """Per-user LAST-K event buffer as a typed ListState (+ a ValueState
+    event counter) — the v2 state type a feature store's "most recent
+    interactions" panel runs on.  The buffer invariant is maintained
+    COMMUTATIVELY: each batch merges its rows into the stored list and
+    keeps the global top-``keep`` by (ts, event_id) — so after a full
+    drain the final emission per user equals the batch window top-K
+    regardless of arrival order, which is what lets a DuckDB
+    row_number oracle hash-check a stateful stream."""
+
+    class RecentEventsProcessor(_bootstrapped_base()):
+        def init(self, handle) -> None:
+            self._recent = handle.getListState(
+                "recent",
+                "event_id BIGINT, ts_micros BIGINT, cents BIGINT")
+            self._n = handle.getValueState("n_seen", "n BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            buf = list(self._recent.get()) if self._recent.exists() \
+                else []
+            n = self._n.get()[0] if self._n.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+                buf.extend(zip(pdf["event_id"].astype("int64"),
+                               pdf["ts_micros"].astype("int64"),
+                               pdf["cents"].astype("int64")))
+            buf.sort(key=lambda t: (-t[1], -t[0]))
+            buf = [(int(e), int(t), int(c)) for e, t, c in buf[:keep]]
+            self._recent.put(buf)
+            self._n.update((n,))
+            yield pd.DataFrame({
+                "user_id": [key[0]] * len(buf),
+                "rnk": list(range(1, len(buf) + 1)),
+                "event_id": [e for e, _, _ in buf],
+                "ts_micros": [t for _, t, _ in buf],
+                "cents": [c for _, _, c in buf],
+                "n_seen": [n] * len(buf)})
+
+    return RecentEventsProcessor()
+
+
+def recent_events_tws_stream(events: DataFrame, keep: int = 5) -> DataFrame:
+    """events stream → per-user last-K buffer via ListState.  The
+    timestamp is projected to epoch micros and the value to exact
+    cents BEFORE the processor, so the worker handles only longs."""
+    from pyspark.sql import functions as F
+
+    return (events.select(
+        "user_id", "event_id",
+        F.unix_micros("ts").alias("ts_micros"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"))
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=make_recent_events_processor(keep),
+            outputStructType=RECENT_SCHEMA,
+            outputMode="Update",
+            timeMode="None"))
+
+
+TYPE_COUNTS_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("event_type", StringType()),
+    StructField("n_events", LongType()),
+    StructField("sum_cents", LongType()),
+    StructField("n_total", LongType()),
+])
+
+
+def make_type_counts_processor() -> StatefulProcessor:
+    """Per-user per-event-type (count, exact cents) as a typed MapState
+    (+ a ValueState total counter) — the keyed sub-aggregation shape
+    (user → {type → stats}) that a flat keyed state cannot express
+    without serializing the whole map per touch; MapState reads and
+    writes only the sub-keys a batch touches.  Addition is commutative,
+    so the final emission per user equals the batch GROUP BY
+    (user, type) exactly — DuckDB-oracle-checkable."""
+
+    class TypeCountsProcessor(_bootstrapped_base()):
+        def init(self, handle) -> None:
+            self._by_type = handle.getMapState(
+                "by_type", "event_type STRING",
+                "n BIGINT, cents BIGINT")
+            self._n = handle.getValueState("n_total", "n BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            n_total = self._n.get()[0] if self._n.exists() else 0
+            touched: dict[str, tuple[int, int]] = {}
+            for pdf in rows:
+                n_total += len(pdf)
+                g = pdf.groupby("event_type")["cents"].agg(
+                    ["count", "sum"])
+                for etype, row in g.iterrows():
+                    dn, dc = int(row["count"]), int(row["sum"])
+                    if etype in touched:
+                        pn, pc = touched[etype]
+                    else:
+                        prev = self._by_type.getValue((etype,))
+                        pn, pc = (int(prev[0]), int(prev[1])) \
+                            if prev is not None else (0, 0)
+                    touched[etype] = (pn + dn, pc + dc)
+            for etype, (tn, tc) in touched.items():
+                self._by_type.updateValue((etype,), (tn, tc))
+            self._n.update((n_total,))
+            # emit the user's FULL current map (bounded: ≤ distinct
+            # event types), stamped with n_total to pick the final
+            # emission after the drain
+            out = [(key[0], k[0], int(v[0]), int(v[1]), n_total)
+                   for k, v in self._by_type.iterator()]
+            yield pd.DataFrame(
+                out, columns=["user_id", "event_type", "n_events",
+                              "sum_cents", "n_total"])
+
+    return TypeCountsProcessor()
+
+
+def type_counts_tws_stream(events: DataFrame) -> DataFrame:
+    """events stream → per-(user, type) exact counts/cents via
+    MapState."""
+    from pyspark.sql import functions as F
+
+    return (events.select(
+        "user_id", "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"))
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=make_type_counts_processor(),
+            outputStructType=TYPE_COUNTS_SCHEMA,
+            outputMode="Update",
+            timeMode="None"))
 
 
 def user_stats_tws_stream(events: DataFrame) -> DataFrame:

@@ -34,14 +34,23 @@ def events_stream(spark: SparkSession, sf_dir: str,
                   max_files_per_trigger: int = 10) -> DataFrame:
     """Incremental scan of the events table.  ``maxFilesPerTrigger``
     bounds micro-batch size — the backpressure knob for backlog drains."""
-    # FileStreamSource wants a directory to watch; the fixture table is a
-    # single file, so watch its parent with a glob filter (a real
-    # deployment points at the table root and new files stream in).
-    df = (spark.readStream
-          .schema(events_schema(spark, sf_dir))
-          .option("maxFilesPerTrigger", str(max_files_per_trigger))
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(sf_dir))
+    # FileStreamSource wants a directory to watch.  The fixture table
+    # is a single FILE, so watch its parent with a glob filter; a
+    # Spark-written table (the soak harness, any real deployment) is a
+    # DIRECTORY of part files — watch it directly (the glob filter
+    # matches leaf file NAMES, so "events.parquet" would match zero
+    # part-*.parquet files and silently stream nothing).
+    import os
+
+    reader = (spark.readStream
+              .schema(events_schema(spark, sf_dir))
+              .option("maxFilesPerTrigger", str(max_files_per_trigger)))
+    table_path = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(table_path):
+        df = reader.parquet(table_path)
+    else:
+        df = (reader.option("pathGlobFilter", "events.parquet")
+              .parquet(sf_dir))
     # Fixture ts variants seen across driver generations: TIMESTAMP(NANOS)
     # read as int64 nanos (legacy.parquet.nanosAsLong), or naive
     # timestamp[us] read as TIMESTAMP_NTZ.  Watermarks require TIMESTAMP

@@ -60,3 +60,74 @@ def test_tws_converges_to_batch_aggregate(spark, tmp_path):
         g = got[uid]
         assert (g.n_events, g.total_value, g.min_value, g.max_value) == \
             (e.n_events, e.total_value, e.min_value, e.max_value)
+
+
+def test_tws_liststate_plan_constructs(spark):
+    from etl_cloud_batch_processing_spark.streaming import stateful as S
+    from etl_cloud_batch_processing_spark.streaming import windows as W
+
+    result = S.recent_events_tws_stream(
+        W.events_stream(spark, "/root/testdata/sf0.001"))
+    assert result.isStreaming
+    assert [f.name for f in result.schema.fields] == [
+        "user_id", "rnk", "event_id", "ts_micros", "cents", "n_seen"]
+
+
+def test_tws_mapstate_plan_constructs(spark):
+    from etl_cloud_batch_processing_spark.streaming import stateful as S
+    from etl_cloud_batch_processing_spark.streaming import windows as W
+
+    result = S.type_counts_tws_stream(
+        W.events_stream(spark, "/root/testdata/sf0.001"))
+    assert result.isStreaming
+    assert [f.name for f in result.schema.fields] == [
+        "user_id", "event_type", "n_events", "sum_cents", "n_total"]
+
+
+@pytest.mark.skipif(not HAS_PROTOBUF, reason="protobuf not installed")
+def test_tws_liststate_converges_to_batch_topk(spark):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as Wnd
+
+    from etl_cloud_batch_processing_spark.plans.streams import (
+        _streaming_tws_recent_events,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {(r.user_id, r.rnk): (r.event_id, r.ts_micros, r.cents)
+           for r in _streaming_tws_recent_events(spark, sf).collect()}
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    if dict(ev.dtypes)["ts"] == "bigint":
+        ev = ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    w = Wnd.partitionBy("user_id").orderBy(F.desc("ts"),
+                                           F.desc("event_id"))
+    exact = {(r.user_id, r.rnk): (r.event_id, r.ts_micros, r.cents)
+             for r in
+             (ev.withColumn("rnk", F.row_number().over(w))
+              .filter("rnk <= 5")
+              .select("user_id", "rnk", "event_id",
+                      F.unix_micros(F.col("ts").cast("timestamp"))
+                      .alias("ts_micros"),
+                      F.round(F.col("value") * 100).cast("bigint")
+                      .alias("cents")).collect())}
+    assert got == exact and got
+
+
+@pytest.mark.skipif(not HAS_PROTOBUF, reason="protobuf not installed")
+def test_tws_mapstate_converges_to_batch_groupby(spark):
+    from pyspark.sql import functions as F
+
+    from etl_cloud_batch_processing_spark.plans.streams import (
+        _streaming_tws_type_counts,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {(r.user_id, r.event_type): (r.n_events, r.sum_cents)
+           for r in _streaming_tws_type_counts(spark, sf).collect()}
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    exact = {(r.user_id, r.event_type): (r.n, r.c) for r in
+             (ev.groupBy("user_id", "event_type")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                   .alias("c")).collect())}
+    assert got == exact and got
