@@ -233,3 +233,152 @@ def manifest_time_travel_diff(spark: SparkSession,
             .select("event_type", "n_before", "n_after",
                     (F.col("n_before") - F.col("n_after"))
                     .alias("n_deleted")))
+
+
+@query(
+    "manifest_change_data_feed",
+    oracle="""
+    WITH base AS (
+        SELECT event_id, CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_id % 5 <> 0)
+    SELECT event_id, 'delete' AS change_type,
+           cents AS old_cents, CAST(NULL AS BIGINT) AS new_cents
+    FROM base WHERE event_id % 11 = 0
+    UNION ALL
+    SELECT event_id, 'update', cents, cents + 7
+    FROM base WHERE event_id % 11 <> 0 AND event_id % 3 = 0
+    UNION ALL
+    SELECT event_id + 1000000000, 'insert', NULL, cents
+    FROM base WHERE event_id % 13 = 0
+    ORDER BY change_type, event_id
+    """,
+)
+def manifest_change_data_feed(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Row-level CHANGE DATA FEED between two manifest versions — the
+    Delta CDF / Iceberg changelog capability, derived from retained
+    snapshots alone (no write-path hooks): publish two partitions of
+    an events projection (v1, v2), republish partition r1 with
+    deterministic row edits — every ``%11`` key deleted, every
+    surviving ``%3`` key's cents bumped, a ``%13``-derived set of
+    brand-new keys inserted — then read version 2 AND the latest
+    version of the same table in ONE plan and emit the keyed diff:
+    (event_id, insert/update/delete, old_cents, new_cents).  The
+    oracle derives the same feed arithmetically from the source, so a
+    version-pinning leak, a row lost in the republish, or a
+    misclassified change hash-mismatches.
+
+    Scale shape: one full-outer join of two snapshot reads on the key
+    — each file set read once, unchanged rows dropped before the
+    report; downstream consumers (the SCD2 merge, an IVM refresh, a
+    search-index delta feed) apply exactly this diff instead of
+    re-reading the table.  At 100 TB bucketing both snapshots on the
+    key makes the diff exchange-free."""
+    import shutil
+    import tempfile as _tf
+
+    from etl_cloud_batch_processing_spark.sources import manifest as M
+
+    ev = table(spark, sf_dir, "events")
+    base = (ev.filter(F.col("event_id") % 5 != 0)
+            .select("event_id",
+                    F.round(F.col("value") * 100).cast("bigint")
+                    .alias("cents")))
+    r2 = (ev.filter(F.col("event_id") % 5 == 0)
+          .select("event_id",
+                  F.round(F.col("value") * 100).cast("bigint")
+                  .alias("cents")))
+    path = _tf.mkdtemp(prefix="spark_graft_cdf_") + "/t"
+    shutil.rmtree(path, ignore_errors=True)
+    M.publish_manifested(base, path, "r1")        # v1
+    M.publish_manifested(r2, path, "r2")          # v2
+    edited = (base.filter(F.col("event_id") % 11 != 0)
+              .select("event_id",
+                      F.when(F.col("event_id") % 3 == 0,
+                             F.col("cents") + 7)
+                      .otherwise(F.col("cents")).alias("cents"))
+              .unionByName(
+                  base.filter(F.col("event_id") % 13 == 0)
+                  .select((F.col("event_id") + 1000000000)
+                          .alias("event_id"), "cents")))
+    M.publish_manifested(edited, path, "r1")      # v3 replaces r1
+    old = (M.read_manifest(spark, path, version=2)
+           .select("event_id", F.col("cents").alias("old_cents")))
+    new = (M.read_manifest(spark, path)
+           .select("event_id", F.col("cents").alias("new_cents")))
+    j = old.join(new, "event_id", "full_outer")
+    return (j.select(
+        "event_id",
+        F.when(F.col("new_cents").isNull(), "delete")
+        .when(F.col("old_cents").isNull(), "insert")
+        .when(F.col("old_cents") != F.col("new_cents"), "update")
+        .otherwise("unchanged").alias("change_type"),
+        "old_cents", "new_cents")
+        .filter(F.col("change_type") != "unchanged")
+        .withColumn("new_cents",
+                    F.when(F.col("change_type") == "delete",
+                           F.lit(None).cast("bigint"))
+                    .otherwise(F.col("new_cents")))
+        .orderBy("change_type", "event_id"))
+
+
+@query(
+    "ivm_incremental_daily_revenue",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY day, event_type
+    """,
+)
+def ivm_incremental_daily_revenue(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """INCREMENTAL VIEW MAINTENANCE of a daily revenue aggregate —
+    the classic delta rule for distributive aggregates (COUNT/SUM
+    fold: new_state = old_state ⊕ agg(delta)): batch 1 (events before
+    the month's 16th) aggregates to a per-(day, type) state table
+    MATERIALIZED to parquet, batch 2's delta aggregates separately,
+    and one full-outer merge of state + delta produces the refreshed
+    view.  The oracle recomputes the aggregate from ALL events
+    directly, so the incremental path is hash-checked equal to full
+    recomputation — the equivalence IVM's correctness rests on,
+    graded, not assumed.
+
+    At 100 TB this is the only affordable refresh: the delta pass
+    touches one ingest batch, the merge touches the day×type-grain
+    state (thousands of rows, not billions), and full recompute —
+    what the oracle deliberately pays — would re-scan the entire
+    history.  Exact integer cents keep ⊕ associative and the hash
+    stable; non-distributive aggregates (distinct users) take the
+    sketch-rollup path (``hll_user_rollup``) instead."""
+    import tempfile as _tf
+
+    ev = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    day = F.col("ts").cast("date").alias("day")
+    cut = F.lit("2024-01-16 00:00:00").cast(dict(ev.dtypes)["ts"])
+
+    state_dir = _tf.mkdtemp(prefix="spark_graft_ivm_") + "/state"
+    (ev.filter(F.col("ts") < cut)
+     .groupBy(day, "event_type")
+     .agg(F.count(F.lit(1)).alias("n_events"),
+          F.sum(cents).alias("sum_cents"))
+     .write.mode("overwrite").parquet(state_dir))
+
+    state = spark.read.parquet(state_dir)
+    delta = (ev.filter(F.col("ts") >= cut)
+             .groupBy(day, "event_type")
+             .agg(F.count(F.lit(1)).alias("d_n"),
+                  F.sum(cents).alias("d_cents")))
+    merged = (state.join(delta, ["day", "event_type"], "full_outer")
+              .select("day", "event_type",
+                      (F.coalesce("n_events", F.lit(0))
+                       + F.coalesce("d_n", F.lit(0))).cast("bigint")
+                      .alias("n_events"),
+                      (F.coalesce("sum_cents", F.lit(0))
+                       + F.coalesce("d_cents", F.lit(0))).cast("bigint")
+                      .alias("sum_cents")))
+    return merged.orderBy("day", "event_type")

@@ -1,0 +1,78 @@
+"""Round-10 operator pins: change-data-feed classification arithmetic,
+IVM-equals-recompute, and the registered zorder-manifest transaction's
+invariants (the oracle hash is the primary gate; these pin the
+properties the hash alone doesn't name)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def test_cdf_classification_counts(spark):
+    from etl_cloud_batch_processing_spark.plans.evolution import (
+        manifest_change_data_feed,
+    )
+
+    feed = manifest_change_data_feed(spark, SF).collect()
+    ev = spark.read.parquet(f"{SF}/events.parquet").select("event_id")
+    base_ids = {r.event_id for r in
+                ev.filter("event_id % 5 <> 0").collect()}
+    by_type: dict = {"insert": set(), "update": set(), "delete": set()}
+    for r in feed:
+        by_type[r.change_type].add(r.event_id)
+        if r.change_type == "delete":
+            assert r.new_cents is None and r.old_cents is not None
+        elif r.change_type == "insert":
+            assert r.old_cents is None and r.new_cents is not None
+        else:
+            assert r.new_cents == r.old_cents + 7
+    assert by_type["delete"] == {i for i in base_ids if i % 11 == 0}
+    assert by_type["update"] == {i for i in base_ids
+                                 if i % 11 != 0 and i % 3 == 0}
+    assert by_type["insert"] == {i + 1000000000 for i in base_ids
+                                 if i % 13 == 0}
+
+
+def test_ivm_equals_full_recompute(spark):
+    from etl_cloud_batch_processing_spark.plans.evolution import (
+        ivm_incremental_daily_revenue,
+    )
+
+    inc = {(r.day, r.event_type): (r.n_events, r.sum_cents)
+           for r in ivm_incremental_daily_revenue(spark, SF).collect()}
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    if dict(ev.dtypes)["ts"] == "bigint":
+        ev = ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    full = {(r.day, r.event_type): (r.n, r.c) for r in
+            (ev.groupBy(F.col("ts").cast("date").alias("day"),
+                        "event_type")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                  .alias("c")).collect())}
+    assert inc == full and inc
+    # both batches genuinely contribute (the cutoff splits the month)
+    days = sorted(d for d, _ in inc)
+    assert days[0].day < 16 <= days[-1].day
+
+
+def test_zorder_manifested_query_invariants(spark):
+    from etl_cloud_batch_processing_spark.plans.layout import (
+        zorder_manifested_optimize,
+    )
+
+    row = zorder_manifested_optimize(spark, SF).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert (r.v_before, r.v_after) == (1, 2)
+    assert r.n_rows == r.v1_snapshot_rows
+    assert r.rows_pred == r.rows_pred_after  # -1 sentinel never fires
+    assert r.zone_maps_prune
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q"])
