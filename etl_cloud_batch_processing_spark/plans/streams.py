@@ -15,6 +15,7 @@ from pyspark.sql.window import Window
 from etl_cloud_batch_processing_spark.plans.registry import query, table
 from etl_cloud_batch_processing_spark.plans import sketches as SK
 from etl_cloud_batch_processing_spark.streaming import windows as W
+from etl_cloud_batch_processing_spark.streaming.stateful import SESSION_GAP_MS
 
 
 def _ntz(df: DataFrame) -> DataFrame:
@@ -328,6 +329,39 @@ def _streaming_tws_type_counts(spark: SparkSession,
             .orderBy("user_id", "event_type"))
 
 
+def _streaming_tws_session_timers(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Per-user sessions closed by EVENT-TIME TIMERS — the last v2
+    capability (with ValueState/ListState/MapState already graded,
+    this puts the TIMER surface under the driver's value hash): gaps
+    over 6 h close a session on the next event; a session with NO
+    next event closes only when the WATERMARK crosses its
+    ``last_event + gap`` timer (``handleExpiredTimer`` emits it as
+    ``closed_by='timer'`` and clears state — the idle-timeout
+    eviction that bounds streaming state at 100 TB).  Sessions still
+    inside the gap at end of stream remain open and are absent from
+    the output, exactly as a live pipeline would leave them.
+
+    Deterministic because timers are EVENT-time: with watermark delay
+    0 the final watermark is the corpus max event-ms, so whether each
+    user's last session fired is a pure function of the data
+    (``end_ms + gap <= max_ms``; verified tie-free at every fixture
+    SF) — the oracle replays the whole thing with gaps-and-islands
+    SQL.  Probed live before registration: 570 event-closed + 9
+    timer-closed + 6 left open at sf0.001, matching the oracle's
+    arithmetic exactly."""
+    from etl_cloud_batch_processing_spark.streaming import stateful as S
+
+    if not S.ensure_protobuf():  # pragma: no cover - env guard
+        raise RuntimeError("google.protobuf unavailable")
+    S.push_protobuf_env_to_workers(spark)
+    result = S.session_timer_tws_stream(W.events_stream(spark, sf_dir))
+    log = _drain_tws(spark, result, "tws_sess")
+    return (log.select("user_id", "start_ms", "end_ms", "n_events",
+                       "closed_by")
+            .orderBy("user_id", "start_ms"))
+
+
 def _has_protobuf() -> bool:  # pragma: no cover - environment probe
     from etl_cloud_batch_processing_spark.streaming.stateful import (
         ensure_protobuf,
@@ -382,6 +416,41 @@ if _has_protobuf():
         ORDER BY user_id, event_type
         """,
     )(_streaming_tws_type_counts)
+    query(
+        "streaming_tws_session_timers",
+        oracle=f"""
+        WITH e AS (
+            SELECT user_id, epoch_us(ts) // 1000 AS ms FROM events),
+        s AS (
+            SELECT user_id, ms,
+                   CASE WHEN ms - lag(ms) OVER (
+                            PARTITION BY user_id ORDER BY ms)
+                        > {SESSION_GAP_MS} THEN 1 ELSE 0 END
+                       AS brk
+            FROM e),
+        g AS (
+            SELECT user_id, ms,
+                   SUM(brk) OVER (PARTITION BY user_id ORDER BY ms
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+            FROM s),
+        sess AS (
+            SELECT user_id, sid,
+                   CAST(MIN(ms) AS BIGINT) AS start_ms,
+                   CAST(MAX(ms) AS BIGINT) AS end_ms,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM g GROUP BY 1, 2),
+        lastsid AS (
+            SELECT user_id, MAX(sid) AS last_sid FROM sess GROUP BY 1),
+        mx AS (SELECT MAX(ms) AS mx FROM e)
+        SELECT s.user_id, s.start_ms, s.end_ms, s.n_events,
+               CASE WHEN s.sid < l.last_sid THEN 'event'
+                    ELSE 'timer' END AS closed_by
+        FROM sess s JOIN lastsid l USING (user_id), mx
+        WHERE s.sid < l.last_sid
+           OR s.end_ms + {SESSION_GAP_MS} <= mx.mx
+        ORDER BY user_id, start_ms
+        """,
+    )(_streaming_tws_session_timers)
 
 
 @query(

@@ -443,3 +443,104 @@ def drain_running_totals(result: DataFrame, out_dir: str,
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
+
+
+SESSION_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("start_ms", LongType()),
+    StructField("end_ms", LongType()),
+    StructField("n_events", LongType()),
+    StructField("closed_by", StringType()),
+])
+
+#: Session gap for the timer demo: 6 h in ms (the fixture's per-user
+#: event cadence makes 30 min collapse to singleton sessions).
+SESSION_GAP_MS = 6 * 3600 * 1000
+
+
+def make_session_timer_processor(gap_ms: int = SESSION_GAP_MS,
+                                 ) -> StatefulProcessor:
+    """Per-user session tracking closed by EVENT-TIME TIMERS — the v2
+    feature the flat aggregation surface cannot express: a session with
+    no successor event ends only because TIME passes, and the timer is
+    how state learns that without a poll.  Each batch folds its rows
+    into the open session (gap > ``gap_ms`` closes it and emits
+    ``closed_by='event'``); the processor keeps exactly ONE registered
+    timer per key (delete-then-register on every touch) at
+    ``last_event + gap``; when the WATERMARK crosses it,
+    ``handleExpiredTimer`` emits the session as ``closed_by='timer'``
+    and clears state — the idle-timeout eviction that bounds state at
+    100 TB.
+
+    Determinism contract (what makes a DuckDB oracle possible): event
+    time only, watermark delay 0, in-order arrival (the fixture is one
+    file = one batch; late data under a real delay is the documented
+    watermark trade, same as every windowed query here).  Whether each
+    user's LAST session emits is then a pure function of the corpus:
+    it fires iff ``last_ms + gap <= max event ms`` (the final
+    watermark) — globally deterministic, not wall-clock."""
+
+    class SessionTimerProcessor(_bootstrapped_base()):
+        def init(self, handle) -> None:
+            self._handle = handle
+            self._sess = handle.getValueState(
+                "sess", "start_ms BIGINT, last_ms BIGINT, n BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            ts = []
+            for pdf in rows:
+                ts.extend(int(x) for x in pdf["ts_ms"])
+            ts.sort()
+            out = []
+            start = last = n = None
+            if self._sess.exists():
+                start, last, n = (int(v) for v in self._sess.get())
+                self._handle.deleteTimer(last + gap_ms)
+            for t in ts:
+                if start is None:
+                    start, last, n = t, t, 1
+                elif t - last <= gap_ms:
+                    last, n = t, n + 1
+                else:
+                    out.append((key[0], start, last, n, "event"))
+                    start, last, n = t, t, 1
+            self._sess.update((start, last, n))
+            self._handle.registerTimer(last + gap_ms)
+            yield pd.DataFrame(
+                out, columns=["user_id", "start_ms", "end_ms",
+                              "n_events", "closed_by"])
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            import pandas as pd
+
+            if not self._sess.exists():
+                return
+            start, last, n = (int(v) for v in self._sess.get())
+            if expiredTimerInfo.getExpiryTimeInMs() != last + gap_ms:
+                return  # stale timer beaten by a newer registration
+            self._sess.clear()
+            yield pd.DataFrame(
+                [(key[0], start, last, n, "timer")],
+                columns=["user_id", "start_ms", "end_ms",
+                         "n_events", "closed_by"])
+
+    return SessionTimerProcessor()
+
+
+def session_timer_tws_stream(events: DataFrame,
+                             gap_ms: int = SESSION_GAP_MS) -> DataFrame:
+    """events stream → timer-closed sessions.  EventTime mode needs a
+    watermark on the input; the processor reads epoch-ms longs."""
+    from pyspark.sql import functions as F
+
+    return (events.withWatermark("ts", "0 seconds")
+            .select("user_id", "ts",
+                    F.expr("unix_micros(ts) div 1000").alias("ts_ms"))
+            .groupBy("user_id")
+            .transformWithStateInPandas(
+                statefulProcessor=make_session_timer_processor(gap_ms),
+                outputStructType=SESSION_SCHEMA,
+                outputMode="Update",
+                timeMode="EventTime"))

@@ -131,3 +131,50 @@ def test_tws_mapstate_converges_to_batch_groupby(spark):
                    F.sum(F.round(F.col("value") * 100).cast("bigint"))
                    .alias("c")).collect())}
     assert got == exact and got
+
+
+@pytest.mark.skipif(not HAS_PROTOBUF, reason="protobuf not installed")
+def test_tws_timers_close_sessions_deterministically(spark):
+    """Event-time timers: sessions with a successor event close as
+    'event'; each user's last session closes as 'timer' iff the final
+    watermark (corpus max ms) crossed its gap — and open sessions are
+    absent.  Replays the oracle's arithmetic in python."""
+    from etl_cloud_batch_processing_spark.plans.streams import (
+        _streaming_tws_session_timers,
+    )
+    from etl_cloud_batch_processing_spark.streaming.stateful import (
+        SESSION_GAP_MS,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = _streaming_tws_session_timers(spark, sf).collect()
+    assert rows
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    from pyspark.sql import functions as F
+    if dict(ev.dtypes)["ts"] == "bigint":
+        ev = ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    per_user: dict = {}
+    for r in (ev.select("user_id",
+                        F.expr("unix_micros(cast(ts as timestamp))"
+                               " div 1000").alias("ms")).collect()):
+        per_user.setdefault(r.user_id, []).append(r.ms)
+    mx = max(m for ms in per_user.values() for m in ms)
+    expected = []
+    for uid, ms in per_user.items():
+        ms.sort()
+        sess = [[ms[0], ms[0], 1]]
+        for t in ms[1:]:
+            if t - sess[-1][1] <= SESSION_GAP_MS:
+                sess[-1][1] = t
+                sess[-1][2] += 1
+            else:
+                sess.append([t, t, 1])
+        for i, (s, e, n) in enumerate(sess):
+            if i < len(sess) - 1:
+                expected.append((uid, s, e, n, "event"))
+            elif e + SESSION_GAP_MS <= mx:
+                expected.append((uid, s, e, n, "timer"))
+    got = sorted((r.user_id, r.start_ms, r.end_ms, r.n_events,
+                  r.closed_by) for r in rows)
+    assert got == sorted(expected)
+    assert any(c == "timer" for *_, c in got)   # timers genuinely fired
