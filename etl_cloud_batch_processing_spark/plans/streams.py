@@ -362,6 +362,54 @@ def _streaming_tws_session_timers(spark: SparkSession,
             .orderBy("user_id", "start_ms"))
 
 
+def _streaming_tws_warm_start(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Stateful stream WARM-STARTED from batch history via the v2
+    ``handleInitialState`` hook — the streaming half of incremental
+    view maintenance (``ivm_incremental_daily_revenue`` is the batch
+    half): per-user (count, exact cents) state is SEEDED from a batch
+    aggregate of everything before the cutoff, the stream processes
+    ONLY the post-cutoff delta, and every touched user's final
+    emission must equal the full-history GROUP BY — backfill once,
+    stream forever, no replay.  The oracle computes full-history
+    totals for users with post-cutoff activity (Update mode emits
+    touched keys; untouched history-only keys correctly stay silent).
+
+    At 100 TB this is how a stateful job ships: the initial-state scan
+    runs once at deploy (batch speeds, no micro-batch machinery), and
+    the stream starts with state already populated instead of
+    reprocessing months of history through the state store."""
+    from etl_cloud_batch_processing_spark.streaming import stateful as S
+
+    if not S.ensure_protobuf():  # pragma: no cover - env guard
+        raise RuntimeError("google.protobuf unavailable")
+    S.push_protobuf_env_to_workers(spark)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    hist = table(spark, sf_dir, "events")
+    cut_b = F.lit(_TWS_WARM_CUTOFF).cast(dict(hist.dtypes)["ts"])
+    init = (hist.filter(F.col("ts") < cut_b)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(cents).alias("cents"))
+            .groupBy("user_id"))
+    ev = W.events_stream(spark, sf_dir)
+    delta = (ev.filter(F.col("ts") >= F.lit(_TWS_WARM_CUTOFF)
+                       .cast(dict(ev.dtypes)["ts"]))
+             .select("user_id", cents.alias("cents")))
+    result = S.warm_start_tws_stream(delta, init)
+    log = _drain_tws(spark, result, "tws_warm")
+    mx = F.max("n_events").over(Window.partitionBy("user_id"))
+    return (log.withColumn("mx", mx)
+            .filter(F.col("n_events") == F.col("mx"))
+            .select("user_id", "n_events", "sum_cents")
+            .orderBy("user_id"))
+
+
+#: Batch/stream boundary for the warm-start query (same split as the
+#: SCD2 replay and the batch IVM query).
+_TWS_WARM_CUTOFF = "2024-01-16 00:00:00"
+
+
 def _has_protobuf() -> bool:  # pragma: no cover - environment probe
     from etl_cloud_batch_processing_spark.streaming.stateful import (
         ensure_protobuf,
@@ -451,6 +499,22 @@ if _has_protobuf():
         ORDER BY user_id, start_ms
         """,
     )(_streaming_tws_session_timers)
+    query(
+        "streaming_tws_warm_start",
+        oracle=f"""
+        WITH tot AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                        AS BIGINT) AS sum_cents
+            FROM events GROUP BY 1),
+        touched AS (
+            SELECT DISTINCT user_id FROM events
+            WHERE ts >= TIMESTAMP '{_TWS_WARM_CUTOFF}')
+        SELECT t.user_id, t.n_events, t.sum_cents
+        FROM tot t JOIN touched USING (user_id)
+        ORDER BY user_id
+        """,
+    )(_streaming_tws_warm_start)
 
 
 @query(

@@ -544,3 +544,57 @@ def session_timer_tws_stream(events: DataFrame,
                 outputStructType=SESSION_SCHEMA,
                 outputMode="Update",
                 timeMode="EventTime"))
+
+
+WARM_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("n_events", LongType()),
+    StructField("sum_cents", LongType()),
+])
+
+
+def make_warm_start_processor() -> StatefulProcessor:
+    """Per-user (count, exact cents) fold whose state is SEEDED from a
+    batch-computed initial frame via ``handleInitialState`` — the v2
+    hook that lets a streaming job take over from history without
+    replaying it (the streaming half of incremental view maintenance:
+    backfill once in batch, stream the delta forever after).  The
+    initial state arrives as one pandas row per key in the FIRST
+    batch; subsequent folds are the plain commutative ⊕."""
+
+    class WarmStartProcessor(_bootstrapped_base()):
+        def init(self, handle) -> None:
+            self._state = handle.getValueState(
+                "totals", "n BIGINT, cents BIGINT")
+
+        def handleInitialState(self, key, initialState, timerValues):
+            self._state.update((int(initialState["n"].iloc[0]),
+                                int(initialState["cents"].iloc[0])))
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            n, cents = ((0, 0) if not self._state.exists()
+                        else tuple(int(v) for v in self._state.get()))
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(pdf["cents"].sum())
+            self._state.update((n, cents))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                                "sum_cents": [cents]})
+
+    return WarmStartProcessor()
+
+
+def warm_start_tws_stream(delta_events: DataFrame,
+                          initial_state) -> DataFrame:
+    """delta stream + batch-aggregated GroupedData initial state →
+    running per-user totals over the FULL history."""
+    return (delta_events
+            .groupBy("user_id")
+            .transformWithStateInPandas(
+                statefulProcessor=make_warm_start_processor(),
+                outputStructType=WARM_SCHEMA,
+                outputMode="Update",
+                timeMode="None",
+                initialState=initial_state))

@@ -178,3 +178,40 @@ def test_tws_timers_close_sessions_deterministically(spark):
                   r.closed_by) for r in rows)
     assert got == sorted(expected)
     assert any(c == "timer" for *_, c in got)   # timers genuinely fired
+
+
+@pytest.mark.skipif(not HAS_PROTOBUF, reason="protobuf not installed")
+def test_tws_warm_start_seeds_state_from_batch(spark):
+    """handleInitialState must genuinely seed: every touched user's
+    final total equals the FULL history (batch GROUP BY over all
+    events), strictly exceeding what the post-cutoff delta alone could
+    produce for users with pre-cutoff activity."""
+    from pyspark.sql import functions as F
+
+    from etl_cloud_batch_processing_spark.plans.streams import (
+        _TWS_WARM_CUTOFF,
+        _streaming_tws_warm_start,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.user_id: (r.n_events, r.sum_cents)
+           for r in _streaming_tws_warm_start(spark, sf).collect()}
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    if dict(ev.dtypes)["ts"] == "bigint":
+        ev = ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    cut = F.lit(_TWS_WARM_CUTOFF).cast(dict(ev.dtypes)["ts"])
+    full = {r.user_id: (r.n, r.c) for r in
+            (ev.groupBy("user_id")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                  .alias("c")).collect())}
+    touched = {r.user_id for r in
+               ev.filter(F.col("ts") >= cut)
+               .select("user_id").distinct().collect()}
+    assert got == {u: full[u] for u in touched} and got
+    # the seed contributed: some touched user has pre-cutoff history,
+    # so their reported n exceeds their delta-only count
+    delta_n = {r.user_id: r.n for r in
+               (ev.filter(F.col("ts") >= cut).groupBy("user_id")
+                .agg(F.count(F.lit(1)).alias("n")).collect())}
+    assert any(got[u][0] > delta_n.get(u, 0) for u in got)
