@@ -1202,6 +1202,62 @@ def sql_frontend_weekly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "recursive_cte_ancestor_rollup",
+    oracle="""
+    WITH RECURSIVE walk(node, anc, depth) AS (
+        SELECT c_custkey, c_custkey, 0 FROM customer
+        UNION ALL
+        SELECT w.node, w.anc // 2, w.depth + 1
+        FROM walk w WHERE w.anc > 1)
+    SELECT w.node AS c_custkey,
+           CAST(MAX(w.depth) AS BIGINT) AS chain_len,
+           CAST(COUNT(*) AS BIGINT) AS n_ancestors,
+           CAST(SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS chain_bal_cents
+    FROM walk w JOIN customer c ON c.c_custkey = w.anc
+    GROUP BY w.node
+    ORDER BY c_custkey
+    """,
+)
+def recursive_cte_ancestor_rollup(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """RECURSIVE CTE in pure Spark SQL (new in Spark 4.1) — the
+    hierarchy-walk surface (bill-of-materials, org charts, referral
+    trees) that previously forced either the driver-loop fixpoint
+    runner (operators/iterative.py) or a client-side rewrite: every
+    customer walks its binary-encoded ancestor chain
+    (``parent = custkey DIV 2``, root 1) and rolls up chain length,
+    ancestor count, and the exact integer-cents balance sum along the
+    chain.  DuckDB runs the IDENTICAL recursive SQL, so Spark's
+    recursion semantics — iteration-until-empty over UNION ALL, depth
+    ≈ log₂(max key) — are value-hash-checked, not just exercised.
+
+    Scale shape: each recursion step is one self-join of the frontier
+    (shrinking by construction: ``anc > 1`` halves the key), the
+    ancestor-balance join is key-equi, and the rollup is one
+    partial-aggregated groupBy.  Depth is log₂(keys) — 24 iterations
+    at 100 TB scale, each a bounded incremental step, with Spark's
+    ``cteRecursionLevelLimit`` (default 100) as the runaway guard."""
+    cust = table(spark, sf_dir, "customer")
+    cust.createOrReplaceTempView("_sql_customer")
+    return spark.sql("""
+        WITH RECURSIVE walk(node, anc, depth) AS (
+            SELECT c_custkey, c_custkey, 0 FROM _sql_customer
+            UNION ALL
+            SELECT w.node, w.anc DIV 2, w.depth + 1
+            FROM walk w WHERE w.anc > 1)
+        SELECT w.node AS c_custkey,
+               CAST(MAX(w.depth) AS BIGINT) AS chain_len,
+               CAST(COUNT(*) AS BIGINT) AS n_ancestors,
+               CAST(SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT))
+                    AS BIGINT) AS chain_bal_cents
+        FROM walk w JOIN _sql_customer c ON c.c_custkey = w.anc
+        GROUP BY w.node
+        ORDER BY c_custkey
+    """)
+
+
+@query(
     "user_event_sequences",
     oracle="""
     SELECT user_id,

@@ -76,3 +76,32 @@ def test_zorder_manifested_query_invariants(spark):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+def test_recursive_cte_closed_form(spark):
+    """The recursive walk has a closed form: chain_len(k) =
+    floor(log2(k)), n_ancestors = chain_len + 1, and chain_bal is the
+    python-computed sum along k, k//2, ..., 1."""
+    import math
+
+    from etl_cloud_batch_processing_spark.plans.analytics import (
+        recursive_cte_ancestor_rollup,
+    )
+
+    rows = {r.c_custkey: r for r in
+            recursive_cte_ancestor_rollup(spark, SF).collect()}
+    bal = {r.c_custkey: round(float(r.c_acctbal) * 100) for r in
+           spark.read.parquet(f"{SF}/customer.parquet")
+           .select("c_custkey", "c_acctbal").collect()}
+    assert set(rows) == set(bal)
+    for k, r in rows.items():
+        # custkey 0 exists in the fixtures: its chain is just itself
+        assert r.chain_len == (int(math.log2(k)) if k >= 1 else 0)
+        assert r.n_ancestors == r.chain_len + 1
+        want, a = 0, k
+        while True:
+            want += bal[a]
+            if a <= 1:
+                break
+            a //= 2
+        assert r.chain_bal_cents == want
