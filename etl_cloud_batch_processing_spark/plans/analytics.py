@@ -1258,6 +1258,52 @@ def recursive_cte_ancestor_rollup(spark: SparkSession,
 
 
 @query(
+    "lateral_topk_orders_per_customer",
+    oracle="""
+    SELECT c.c_custkey, l.o_orderkey,
+           CAST(l.rnk AS BIGINT) AS rnk,
+           CAST(ROUND(l.o_totalprice * 100) AS BIGINT) AS price_cents
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice,
+                    ROW_NUMBER() OVER (ORDER BY o_totalprice DESC,
+                                       o_orderkey) AS rnk
+             FROM orders WHERE o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) AS l
+    WHERE c.c_acctbal > 9000
+    ORDER BY c_custkey, rnk
+    """,
+)
+def lateral_topk_orders_per_customer(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-entity ORDER BY + LIMIT —
+    the "top-3 orders for each rich customer" idiom SQL users write as
+    a lateral instead of a window, run through ``spark.sql`` and
+    value-checked against DuckDB executing the IDENTICAL lateral SQL.
+    What's graded is the DECORRELATION: Catalyst rewrites the
+    correlated limit into a key-equi join + per-key window (the plan
+    shows BroadcastHashJoin + Window, no nested loop, no cartesian —
+    asserted by the global no-cartesian test), so the lateral FORM
+    costs the same as the hand-written window top-k at any scale."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    cust.createOrReplaceTempView("_sql_lat_customer")
+    orders.createOrReplaceTempView("_sql_lat_orders")
+    return spark.sql("""
+        SELECT c.c_custkey, l.o_orderkey,
+               CAST(l.rnk AS BIGINT) AS rnk,
+               CAST(ROUND(l.o_totalprice * 100) AS BIGINT) AS price_cents
+        FROM _sql_lat_customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice,
+                        ROW_NUMBER() OVER (ORDER BY o_totalprice DESC,
+                                           o_orderkey) AS rnk
+                 FROM _sql_lat_orders WHERE o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) AS l
+        WHERE c.c_acctbal > 9000
+        ORDER BY c_custkey, rnk
+    """)
+
+
+@query(
     "user_event_sequences",
     oracle="""
     SELECT user_id,

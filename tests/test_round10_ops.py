@@ -105,3 +105,44 @@ def test_recursive_cte_closed_form(spark):
                 break
             a //= 2
         assert r.chain_bal_cents == want
+
+
+def test_lateral_topk_decorrelates_to_hash_join(spark):
+    """The correlated LATERAL LIMIT must decorrelate: the executed plan
+    carries a hash join + window, never a nested loop or cartesian, and
+    the rows equal the window-function top-3 computed directly."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as Wnd
+
+    from etl_cloud_batch_processing_spark.plans.analytics import (
+        lateral_topk_orders_per_customer,
+    )
+
+    df = lateral_topk_orders_per_customer(spark, SF)
+    rows = {(r.c_custkey, r.rnk): (r.o_orderkey, r.price_cents)
+            for r in df.collect()}
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert re.search(r"\(\d+\) Window", p)
+
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    w = Wnd.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    want = {(r.c_custkey, r.rnk): (r.o_orderkey, r.cents) for r in
+            (cust.filter("c_acctbal > 9000")
+             .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+             .withColumn("rnk", F.row_number().over(w))
+             .filter("rnk <= 3")
+             .select("c_custkey", "rnk", "o_orderkey",
+                     F.round(F.col("o_totalprice") * 100).cast("bigint")
+                     .alias("cents")).collect())}
+    assert rows == want and rows
