@@ -1304,6 +1304,116 @@ def lateral_topk_orders_per_customer(spark: SparkSession,
 
 
 @query(
+    "sql_udf_typed_revenue",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    WHERE event_type IN ('purchase', 'signup')
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def sql_udf_typed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-language UDFs (Spark 4.1 ``CREATE FUNCTION ... RETURN``):
+    a scalar function (exact-cents conversion) and a parameterized
+    TABLE function (type-filtered event slice) declared in pure SQL
+    and composed in a regular aggregation — the reusable-view-logic
+    surface SQL-first teams standardize on, with none of the Python
+    UDF serialization tax: both functions INLINE into the plan, so
+    the scan keeps pushdown and whole-stage codegen.  The oracle
+    computes the same report with the logic inlined by hand — if
+    Spark's UDF inlining changed semantics (rounding, filter
+    placement), the hash would red."""
+    ev = table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("_sql_udf_events")
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION ev_cents(x DOUBLE)
+        RETURNS BIGINT RETURN CAST(ROUND(x * 100) AS BIGINT)
+    """)
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION typed_events(t STRING)
+        RETURNS TABLE(user_id BIGINT, event_type STRING, value DOUBLE)
+        RETURN SELECT user_id, event_type, value
+               FROM _sql_udf_events WHERE event_type = t
+    """)
+    return spark.sql("""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               SUM(ev_cents(value)) AS sum_cents,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM (SELECT * FROM typed_events('purchase')
+              UNION ALL
+              SELECT * FROM typed_events('signup'))
+        GROUP BY event_type
+        ORDER BY event_type
+    """)
+
+
+@query(
+    "sql_scripting_threshold_search",
+    oracle="""
+    WITH t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM events),
+    p AS (SELECT CAST(power(2, g.range) AS BIGINT) AS thr
+          FROM range(0, 40) g),
+    c AS (SELECT p.thr, CAST(COUNT(e.value) AS BIGINT) AS n_above
+          FROM p LEFT JOIN events e ON e.value > p.thr
+          GROUP BY p.thr)
+    SELECT c.thr, c.n_above, t.total
+    FROM c, t
+    WHERE c.n_above * 100 <= t.total
+    ORDER BY c.thr LIMIT 1
+    """,
+)
+def sql_scripting_threshold_search(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """SQL SCRIPTING (Spark 4 ``BEGIN … END`` with DECLARE / SET /
+    WHILE): a procedural threshold search — double a candidate cut
+    until at most 1% of events exceed it — written entirely in SQL
+    control flow, the migration target for warehouse stored
+    procedures.  Each loop iteration is ONE aggregated scan whose
+    result feeds the driver-side loop variable, exactly the bounded
+    driver-fetch discipline the fixpoint runner uses; the oracle
+    finds the same smallest power-of-2 threshold declaratively
+    (thresholds × events left join), so the script's terminating
+    state is value-hash-checked."""
+    ev = table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("_sql_script_events")
+    prev = spark.conf.get("spark.sql.scripting.enabled", None)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    try:
+        out = spark.sql("""
+            BEGIN
+              DECLARE thr BIGINT DEFAULT 1;
+              DECLARE total BIGINT DEFAULT 0;
+              DECLARE n BIGINT DEFAULT 0;
+              -- DECLARE DEFAULTs must be literal; subqueries go
+              -- through SET
+              SET total = (SELECT COUNT(*) FROM _sql_script_events);
+              SET n = (SELECT COUNT(*) FROM _sql_script_events
+                       WHERE value > 1);
+              WHILE n * 100 > total DO
+                SET thr = thr * 2;
+                SET n = (SELECT COUNT(*) FROM _sql_script_events
+                         WHERE value > thr);
+              END WHILE;
+              SELECT thr, n AS n_above, total;
+            END
+        """)
+        # scripts evaluate eagerly at the END of the block; pin the
+        # result so the returned frame is stable
+        return out
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.scripting.enabled")
+        else:
+            spark.conf.set("spark.sql.scripting.enabled", prev)
+
+
+@query(
     "user_event_sequences",
     oracle="""
     SELECT user_id,

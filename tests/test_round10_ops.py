@@ -146,3 +146,57 @@ def test_lateral_topk_decorrelates_to_hash_join(spark):
                      F.round(F.col("o_totalprice") * 100).cast("bigint")
                      .alias("cents")).collect())}
     assert rows == want and rows
+
+
+def test_sql_udf_inlines_into_plan(spark):
+    """The SQL-language UDFs must INLINE (no python eval nodes), keep
+    scan pushdown, and agree with the hand-inlined computation."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from etl_cloud_batch_processing_spark.plans.analytics import (
+        sql_udf_typed_revenue,
+    )
+
+    df = sql_udf_typed_revenue(spark, SF)
+    rows = {r.event_type: (r.n_events, r.sum_cents, r.n_users)
+            for r in df.collect()}
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "EvalPython" not in p          # pure SQL, no python workers
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    want = {r.event_type: (r.n, r.c, r.u) for r in
+            (ev.filter(F.col("event_type").isin("purchase", "signup"))
+             .groupBy("event_type")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                  .alias("c"),
+                  F.countDistinct("user_id").alias("u")).collect())}
+    assert rows == want and rows
+
+
+def test_sql_scripting_threshold_is_minimal_power_of_two(spark):
+    """The script's terminating threshold must be the SMALLEST power
+    of two with at most 1% of events above it — replayed in python."""
+    from etl_cloud_batch_processing_spark.plans.analytics import (
+        sql_scripting_threshold_search,
+    )
+
+    r = sql_scripting_threshold_search(spark, SF).collect()[0]
+    vals = [row.value for row in
+            spark.read.parquet(f"{SF}/events.parquet")
+            .select("value").collect()]
+    total = len(vals)
+    thr = 1
+    while sum(1 for v in vals if v > thr) * 100 > total:
+        thr *= 2
+    assert r.thr == thr
+    assert r.n_above == sum(1 for v in vals if v > thr)
+    assert r.total == total
+    # minimality: half the threshold fails the bound (unless thr == 1)
+    if thr > 1:
+        assert sum(1 for v in vals if v > thr // 2) * 100 > total
