@@ -366,3 +366,64 @@ def test_hdr_bucket_quantile_envelope_property(spark, values, p):
     est = by_bucket[rank - 1]
     assert est <= exact
     assert exact * 4 <= est * 5
+
+
+# ---------------------------------------------------------------------------
+# Round-10: incremental SCD2 MERGE equals a sequential python reference
+# for ANY batch sequence (operators/merge.py merge_scd2).
+# ---------------------------------------------------------------------------
+
+_SCD2_KEYS = st.integers(1, 4)
+_SCD2_VALS = st.sampled_from(["a", "b", "c", None])
+#: a run = per-key at most one observation; 1-3 runs with increasing ts
+_SCD2_RUNS = st.lists(
+    st.dictionaries(_SCD2_KEYS, _SCD2_VALS, min_size=1, max_size=4),
+    min_size=1, max_size=3)
+
+
+def _scd2_reference(runs):
+    """Sequential python SCD2: dict key -> list of
+    [val, valid_from, valid_to, is_current]."""
+    hist: dict = {}
+    for t, batch in enumerate(runs, start=1):
+        for k, v in batch.items():
+            versions = hist.setdefault(k, [])
+            cur = versions[-1] if versions else None
+            if cur is None or not cur[3]:
+                versions.append([v, t, None, True])
+            elif cur[0] == v or t <= cur[1]:
+                continue                      # unchanged / stale
+            else:
+                cur[2], cur[3] = t, False     # close
+                versions.append([v, t, None, True])
+    out = []
+    for k, versions in hist.items():
+        for v, vf, vt, cur in versions:
+            out.append((k, v, vf, vt, cur))
+    return sorted(out, key=lambda r: (r[0], r[2]))
+
+
+@given(runs=_SCD2_RUNS)
+@_slow
+def test_merge_scd2_matches_sequential_reference(spark, runs):
+    import datetime as dt
+
+    from etl_cloud_batch_processing_spark.operators.merge import (
+        merge_scd2, scd2_schema_from)
+
+    def ts(t):
+        return dt.datetime(2024, 1, t)
+
+    def batch(d, t):
+        return spark.createDataFrame(
+            [(k, v, ts(t)) for k, v in d.items()],
+            "k bigint, val string, obs_ts timestamp_ntz")
+
+    dim = scd2_schema_from(batch(runs[0], 1), ["k"], "obs_ts")
+    for t, d in enumerate(runs, start=1):
+        dim = merge_scd2(dim, batch(d, t), ["k"], "obs_ts")
+    got = sorted(((r.k, r.val, r.valid_from.day,
+                   r.valid_to.day if r.valid_to else None,
+                   r.is_current) for r in dim.collect()),
+                 key=lambda r: (r[0], r[2]))
+    assert got == _scd2_reference(runs)
