@@ -789,13 +789,23 @@ BAND_BATCH_REM = 9
 _BAND_STEADY_MEMO: dict[str, tuple[SparkSession, str]] = {}
 
 
+#: Per-PROCESS token in the band-index path: two concurrent sessions on
+#: the same sf tag would otherwise race one's full-path rebuild against
+#: the other's probe/append (the same cross-run interleaving class
+#: formats.py fixed by switching to unique tempdir roots).  Stale
+#: tokens' dirs are scratch under spark-warehouse, vacuum-able garbage.
+_BAND_PROC_TOKEN = __import__("uuid").uuid4().hex[:8]
+
+
 def _band_index_root() -> str:
     """Repo-anchored warehouse dir (absolute, so the external driver's
-    cwd doesn't matter — the _ivf_index_root rationale)."""
+    cwd doesn't matter — the _ivf_index_root rationale), made unique
+    per process so concurrent sessions never share an index root."""
     import pathlib
 
     return str(pathlib.Path(__file__).resolve().parents[2]
-               / "spark-warehouse" / "band_index_steady")
+               / "spark-warehouse"
+               / f"band_index_steady-{_BAND_PROC_TOKEN}")
 
 
 def _steady_band_index(spark: SparkSession, sf_dir: str) -> str:

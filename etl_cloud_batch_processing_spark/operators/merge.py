@@ -118,6 +118,15 @@ def merge_scd2(target: DataFrame, updates: DataFrame, keys: list[str],
       version's ``valid_from`` never rewrites history — it is dropped
       for matched keys (late data belongs to a backfill rerun of the
       affected window, the L4 semantics, not to a forward merge).
+    * ``ts_col`` must be NON-NULL on every update row: a NULL
+      observation time would make ``changed`` evaluate NULL→false
+      (matched keys silently dropped) and a brand-new key would insert
+      with ``valid_from NULL``, breaking the ``valid_to IS NULL ⇔
+      is_current`` chain.  Rather than silently corrupting the
+      dimension, the merge raises at execution time (``raise_error``
+      folded into the batch projection — fail-fast like
+      ``quality.run_checks``, but without forcing an extra eager pass
+      over the batch).
 
     Shape: ONE full-outer join of the CURRENT slice against the batch
     on the key, then a union with the untouched history slice.  At
@@ -134,7 +143,13 @@ def merge_scd2(target: DataFrame, updates: DataFrame, keys: list[str],
     src = updates.select(
         *[F.col(c) for c in keys],
         *[F.col(c).alias(f"__src_{c}") for c in tracked],
-        F.col(ts_col).alias("__src_ts"),
+        # contract: every observation carries a real time — NULL would
+        # silently drop matched keys and break the is_current chain
+        F.when(F.col(ts_col).isNotNull(), F.col(ts_col))
+        .otherwise(F.raise_error(F.lit(
+            f"merge_scd2: NULL {ts_col} in updates — every observation "
+            "must carry a real observation time")))
+        .alias("__src_ts"),
         F.lit(1).alias(_SRC_FLAG))
     tgt = cur.withColumn(_TGT_FLAG, F.lit(1))
     j = tgt.join(src, keys, "full_outer")

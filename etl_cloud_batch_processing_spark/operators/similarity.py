@@ -1920,13 +1920,20 @@ def _ivf_probe_cells(vecs: DataFrame, cents_raw: DataFrame) -> DataFrame:
             .select("vec_id", F.col("ccid").alias("cell")))
 
 
+#: Per-PROCESS token in the index path: two concurrent sessions on the
+#: same sf tag would otherwise race one's full-path rebuild against the
+#: other's probe/append (same class as operators/dedup._BAND_PROC_TOKEN).
+_IVF_PROC_TOKEN = __import__("uuid").uuid4().hex[:8]
+
+
 def _ivf_index_root(spark: SparkSession) -> str:
     """Repo-anchored warehouse dir for the registered incremental-index
-    query (absolute, so the external driver's cwd doesn't matter)."""
+    query (absolute, so the external driver's cwd doesn't matter), made
+    unique per process so concurrent sessions never share a root."""
     import pathlib
 
     return str(pathlib.Path(__file__).resolve().parents[2]
-               / "spark-warehouse" / "ivf_index")
+               / "spark-warehouse" / f"ivf_index-{_IVF_PROC_TOKEN}")
 
 
 #: Shared oracle for BOTH incremental-index queries: the full

@@ -269,7 +269,7 @@ ZM_FILES_AFTER = 32
     "zorder_manifested_optimize",
     oracle=f"""
     SELECT CAST({ZM_FILES_BEFORE} AS BIGINT) AS files_before,
-           CAST({ZM_FILES_AFTER} AS BIGINT) AS files_after,
+           TRUE AS files_after_ok,
            CAST(1 AS BIGINT) AS v_before,
            CAST(2 AS BIGINT) AS v_after,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -300,7 +300,11 @@ def zorder_manifested_optimize(spark: SparkSession,
     and report the invariants the transaction must preserve — exact
     row counts before/after, the reference predicate's row count
     before/after (a lost or doubled row anywhere reds the hash), the
-    version pair, the v1 TIME-TRAVEL row count (snapshot isolation
+    output-file-count INVARIANT ``1 ≤ files_after ≤ requested`` (a
+    pinned count would red on the empty range partitions a smaller
+    fixture or a skewed Morton distribution legitimately produces —
+    round-10 advice), the version pair, the v1 TIME-TRAVEL row count
+    (snapshot isolation
     survives the rewrite), and an EXECUTED pruning audit: per real
     output file, min/max zone maps of both clustering dimensions via
     ``input_file_name``, with ``zone_maps_prune`` pinned TRUE in the
@@ -357,8 +361,13 @@ def zorder_manifested_optimize(spark: SparkSession,
     return (before.crossJoin(after).crossJoin(snap).crossJoin(pruned)
             .select(F.lit(stats["files_before"]).cast("bigint")
                     .alias("files_before"),
-                    F.lit(stats["files_after"]).cast("bigint")
-                    .alias("files_after"),
+                    # invariant, not a pinned count: repartitionByRange
+                    # emits ≤ num_files files (empty ranges write none
+                    # at small SF / skewed Morton keys), so the oracle
+                    # gates 1 ≤ files_after ≤ requested instead of
+                    # redding on layout-irrelevant emptiness
+                    F.lit(bool(1 <= stats["files_after"]
+                               <= ZM_FILES_AFTER)).alias("files_after_ok"),
                     F.lit(v1).cast("bigint").alias("v_before"),
                     F.lit(stats["version"]).cast("bigint")
                     .alias("v_after"),

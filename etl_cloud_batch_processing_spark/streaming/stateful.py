@@ -44,6 +44,51 @@ if TYPE_CHECKING:
 #: driver↔worker state protocol.
 VENDORED_PROTOBUF_DIR = "/usr/lib/google-cloud-sdk/platform/google_appengine"
 
+#: Fixed, cross-process shim root: a directory whose ONLY content is
+#: ``google/__init__.py`` (pkgutil extend_path — cooperates with any
+#: site ``google`` namespace) plus a ``google/protobuf`` symlink into
+#: the vendored runtime.  Putting THIS on sys.path/PYTHONPATH instead
+#: of the whole google_appengine platform dir means none of that dir's
+#: other packages (google.auth, google.oauth2, appengine, top-level
+#: api_server.py, …) can shadow real site-packages — the round-10
+#: advice.  Local-mode note: workers share the box, so one driver-side
+#: build serves every process; a real cluster would ship the subtree
+#: via ``--py-files`` instead.
+PROTOBUF_SHIM_DIR = "/tmp/spark_graft_protobuf_shim"
+
+_SHIM_INIT = ("__path__ = __import__('pkgutil')"
+              ".extend_path(__path__, __name__)\n")
+
+
+def build_protobuf_shim(vendor: str = VENDORED_PROTOBUF_DIR,
+                        shim: str = PROTOBUF_SHIM_DIR) -> str | None:
+    """Create (idempotently, race-safely) the google/protobuf-only shim
+    dir and return it, or None when the vendored runtime is absent.
+    Built in a private tempdir and renamed into place so two processes
+    racing the build both end up with a complete shim."""
+    import os
+    import tempfile
+
+    src = os.path.join(vendor, "google", "protobuf")
+    if not os.path.isdir(src):
+        return None
+    probe = os.path.join(shim, "google", "protobuf")
+    if os.path.isdir(probe):     # follows the symlink
+        return shim
+    stage = tempfile.mkdtemp(prefix=os.path.basename(shim) + ".build-",
+                             dir=os.path.dirname(shim) or None)
+    os.makedirs(os.path.join(stage, "google"), exist_ok=True)
+    with open(os.path.join(stage, "google", "__init__.py"), "w") as fh:
+        fh.write(_SHIM_INIT)
+    os.symlink(src, os.path.join(stage, "google", "protobuf"))
+    try:
+        os.rename(stage, shim)   # atomic; loser of a race gets EEXIST…
+    except OSError:
+        import shutil
+
+        shutil.rmtree(stage, ignore_errors=True)
+    return shim if os.path.isdir(probe) else None
+
 
 def ensure_protobuf() -> bool:
     """Make ``google.protobuf`` importable in THIS process, falling
@@ -69,16 +114,16 @@ def ensure_protobuf() -> bool:
         return True
     except ImportError:
         pass
-    if not os.path.isdir(os.path.join(VENDORED_PROTOBUF_DIR,
-                                      "google", "protobuf")):
+    shim = build_protobuf_shim()
+    if shim is None:
         return False
     os.environ["TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"] = "true"
-    if VENDORED_PROTOBUF_DIR not in sys.path:
-        # append, not prepend: only the google.* namespace lives there
+    if shim not in sys.path:
+        # append, not prepend: only google/protobuf lives in the shim,
         # and nothing else may shadow site-packages
-        sys.path.append(VENDORED_PROTOBUF_DIR)
+        sys.path.append(shim)
     os.environ["PYTHONPATH"] = (
-        VENDORED_PROTOBUF_DIR + os.pathsep
+        shim + os.pathsep
         + os.environ.get("PYTHONPATH", "")).rstrip(os.pathsep)
     # drop any cached empty-namespace google modules so the re-import
     # resolves the vendored regular package instead
@@ -103,12 +148,17 @@ def push_protobuf_env_to_workers(spark) -> None:
     after other UDFs already ran."""
     import os
 
+    shim = build_protobuf_shim()
+    if shim is None:
+        return
     env = spark.sparkContext.environment
     env["TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"] = "true"
     base = env.get("PYTHONPATH", os.environ.get("PYTHONPATH", ""))
-    if VENDORED_PROTOBUF_DIR not in base.split(os.pathsep):
-        env["PYTHONPATH"] = (VENDORED_PROTOBUF_DIR + os.pathsep
-                             + base).rstrip(os.pathsep)
+    if shim not in base.split(os.pathsep):
+        # prepending is safe: the shim contains ONLY google/protobuf
+        # (a pkgutil-extended google package), so no other worker-side
+        # import can be shadowed
+        env["PYTHONPATH"] = (shim + os.pathsep + base).rstrip(os.pathsep)
 
 
 RUNNING_SCHEMA = StructType([
@@ -194,15 +244,44 @@ def _bootstrapped_base():
                 return
             except ImportError:
                 pass
+            # self-contained twin of build_protobuf_shim (this class
+            # serializes by VALUE into a pre-init runner that can
+            # import nothing from this package): a shim dir holding
+            # ONLY google/protobuf, so no other vendored package can
+            # shadow site-packages
             vendor = ("/usr/lib/google-cloud-sdk/platform/"
                       "google_appengine")
-            if not os.path.isdir(os.path.join(vendor, "google",
+            shim = "/tmp/spark_graft_protobuf_shim"
+            src = os.path.join(vendor, "google", "protobuf")
+            if not os.path.isdir(src):
+                return
+            if not os.path.isdir(os.path.join(shim, "google",
+                                              "protobuf")):
+                import shutil
+                import tempfile
+
+                stage = tempfile.mkdtemp(
+                    prefix=os.path.basename(shim) + ".build-",
+                    dir=os.path.dirname(shim) or None)
+                os.makedirs(os.path.join(stage, "google"),
+                            exist_ok=True)
+                with open(os.path.join(stage, "google",
+                                       "__init__.py"), "w") as fh:
+                    fh.write("__path__ = __import__('pkgutil')"
+                             ".extend_path(__path__, __name__)\n")
+                os.symlink(src, os.path.join(stage, "google",
+                                             "protobuf"))
+                try:
+                    os.rename(stage, shim)
+                except OSError:
+                    shutil.rmtree(stage, ignore_errors=True)
+            if not os.path.isdir(os.path.join(shim, "google",
                                               "protobuf")):
                 return
             os.environ["TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"] \
                 = "true"
-            if vendor not in sys.path:
-                sys.path.append(vendor)
+            if shim not in sys.path:
+                sys.path.append(shim)
             for mod in [m for m in sys.modules
                         if m == "google" or m.startswith("google.")]:
                 del sys.modules[mod]

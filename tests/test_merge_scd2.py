@@ -177,5 +177,20 @@ def test_scd2_registered_query_matches_one_shot_on_batch_grain(spark):
     assert set(dim.columns) == {"user_id", "event_type", *SCD2_COLS}
 
 
+def test_scd2_null_observation_time_raises(spark):
+    """A NULL ts_col would silently drop matched keys (NULL compare →
+    changed=false) and insert valid_from-NULL rows that break the
+    valid_to IS NULL ⇔ is_current chain — the merge must fail fast
+    instead (round-10 advice)."""
+    b1 = _batch(spark, [(1, "view", _ts(1))])
+    dim = merge_scd2(scd2_schema_from(b1, KEY, "obs_ts"), b1, KEY, "obs_ts")
+    bad = _batch(spark, [(1, "purchase", None)])
+    with pytest.raises(Exception, match="merge_scd2"):
+        merge_scd2(dim, bad, KEY, "obs_ts").collect()
+    # a batch with every row carrying a real time still merges fine
+    ok = _batch(spark, [(1, "purchase", _ts(5))])
+    assert merge_scd2(dim, ok, KEY, "obs_ts").count() == 2
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])

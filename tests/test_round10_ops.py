@@ -69,6 +69,7 @@ def test_zorder_manifested_query_invariants(spark):
     assert len(row) == 1
     r = row[0]
     assert (r.v_before, r.v_after) == (1, 2)
+    assert r.files_after_ok
     assert r.n_rows == r.v1_snapshot_rows
     assert r.rows_pred == r.rows_pred_after  # -1 sentinel never fires
     assert r.zone_maps_prune

@@ -215,3 +215,31 @@ def test_tws_warm_start_seeds_state_from_batch(spark):
                (ev.filter(F.col("ts") >= cut).groupBy("user_id")
                 .agg(F.count(F.lit(1)).alias("n")).collect())}
     assert any(got[u][0] > delta_n.get(u, 0) for u in got)
+
+
+def test_protobuf_shim_ships_only_protobuf(tmp_path):
+    """The worker-facing sys.path entry must contain ONLY the
+    google/protobuf subtree: prepending the whole google_appengine
+    platform dir would let its other packages (google.auth,
+    google.oauth2, appengine, top-level api_server.py, …) shadow real
+    site-packages in workers (round-10 advice)."""
+    import os
+
+    from etl_cloud_batch_processing_spark.streaming.stateful import (
+        VENDORED_PROTOBUF_DIR,
+        build_protobuf_shim,
+    )
+
+    if not os.path.isdir(os.path.join(VENDORED_PROTOBUF_DIR,
+                                      "google", "protobuf")):
+        pytest.skip("no vendored protobuf on this box")
+    shim = build_protobuf_shim(shim=str(tmp_path / "shim"))
+    assert shim is not None
+    assert sorted(os.listdir(shim)) == ["google"]
+    assert sorted(os.listdir(os.path.join(shim, "google"))) == [
+        "__init__.py", "protobuf"]
+    # the google package must EXTEND, not shadow, any site namespace
+    init = open(os.path.join(shim, "google", "__init__.py")).read()
+    assert "extend_path" in init
+    # idempotent: a second build returns the same complete shim
+    assert build_protobuf_shim(shim=shim) == shim
