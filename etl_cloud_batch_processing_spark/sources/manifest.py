@@ -199,19 +199,34 @@ def commit_manifest(spark: SparkSession, path: str,
         f"time(s); giving up") from last_err
 
 
-def vacuum(spark: SparkSession, path: str) -> dict:
-    """Garbage-collect files no longer referenced by the LATEST
-    manifest, plus superseded manifest versions.  Run it only after
-    in-flight readers of older versions have drained (the grace-period
-    contract every snapshot store has); until then, retired files cost
-    only storage.  Returns ``{"files_removed", "manifests_removed"}``."""
+def vacuum(spark: SparkSession, path: str,
+           retain_versions: int = 1) -> dict:
+    """Garbage-collect files referenced by none of the last
+    ``retain_versions`` manifests, plus the superseded manifest
+    versions themselves.
+
+    ``retain_versions`` is the retention window every snapshot store
+    has (Delta's ``RETAIN .. HOURS``, expressed in versions rather than
+    time because commits here are explicit): a reader pinned at any of
+    the last N versions keeps working through the vacuum.  The default
+    (1) keeps only the LATEST version's files — the documented failure
+    mode, pinned by tests/test_manifest.py, is that a reader still
+    holding an OLDER version gets FileNotFoundException at execution
+    time, exactly like reading a Delta table past its retention; the
+    latest version is never affected.  Run the default only after
+    in-flight readers have drained; until then, retired files cost only
+    storage.  Returns ``{"files_removed", "manifests_removed"}``."""
+    if retain_versions < 1:
+        raise ValueError("retain_versions must be >= 1 (the latest "
+                         "version is always retained)")
     _, hpath, fs = _fs(spark, path)
     base = path.rstrip("/")
     versions = _versions(hpath, fs, base)
     if not versions:
         raise FileNotFoundError(f"no manifest under {base}")
-    latest = versions[-1]
-    live = {e["file"] for e in current_manifest(spark, base, latest)[1]}
+    retained = versions[-retain_versions:]
+    live = {e["file"] for v in retained
+            for e in current_manifest(spark, base, v)[1]}
     base_uri = fs.makeQualified(hpath(base)).toString().rstrip("/")
     files_removed = 0
     it = fs.listFiles(hpath(base), True)
@@ -232,10 +247,10 @@ def vacuum(spark: SparkSession, path: str) -> dict:
             rel_dir = f".data/{s.getPath().getName()}"
             if not any(f.startswith(rel_dir + "/") for f in live):
                 fs.delete(s.getPath(), True)
-    for v in versions[:-1]:
+    for v in versions[:-retain_versions]:
         fs.delete(hpath(f"{base}/{_mf_name(v)}"), False)
     return {"files_removed": files_removed,
-            "manifests_removed": len(versions) - 1}
+            "manifests_removed": len(versions) - len(retained)}
 
 
 def _rel_parquet(hpath, fs, base: str, rel_dir: str) -> list[str]:

@@ -450,3 +450,64 @@ def test_optimize_zorder_manifested_snapshot_isolated(spark, tmp_path):
         assert not os.path.exists(f)
     assert sorted(r["payload"] for r in
                   M.read_manifest(spark, path).collect()) == before
+
+
+# ---------------------------------------------------------------------------
+# Vacuum vs pinned reader: the retention window (round-10 verdict #3).
+# ---------------------------------------------------------------------------
+
+def _three_version_table(spark, tmp_path):
+    """v1 publishes d1 (files A), v2 republishes d1 (files B retire A),
+    v3 adds d2 (files C) — so v1 holds files no later version shares."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    out = str(tmp_path / "t")
+    M.publish_manifested(ev.limit(100), out, "d1")   # v1: A
+    M.publish_manifested(ev.limit(70), out, "d1")    # v2: B replaces A
+    M.publish_manifested(ev.limit(50), out, "d2")    # v3: B + C
+    return out
+
+
+def test_vacuum_retention_window_keeps_pinned_readers_alive(spark,
+                                                            tmp_path):
+    """retain_versions=N is the retention-window refusal: a reader
+    pinned at any of the last N versions survives the vacuum unharmed;
+    only versions past the window lose their files + manifest."""
+    out = _three_version_table(spark, tmp_path)
+    pinned_v2 = M.read_manifest(spark, out, version=2)   # pre-vacuum
+    rep = M.vacuum(spark, out, retain_versions=2)
+    assert rep["files_removed"] > 0                      # v1's A files
+    assert rep["manifests_removed"] == 1                 # v1's manifest
+    # both retained versions execute fine AFTER the vacuum
+    assert pinned_v2.count() == 70
+    assert M.read_manifest(spark, out, version=2).count() == 70
+    assert M.read_manifest(spark, out).count() == 120
+    # the expired version is gone as a version, not torn
+    with pytest.raises(FileNotFoundError):
+        M.read_manifest(spark, out, version=1)
+    with pytest.raises(ValueError):
+        M.vacuum(spark, out, retain_versions=0)
+
+
+def test_vacuum_default_fails_expired_pinned_reader_loudly(spark,
+                                                           tmp_path):
+    """The documented failure mode of the DEFAULT vacuum (retain only
+    the latest): a reader still holding an older version fails AT
+    EXECUTION with the missing-input error every snapshot store
+    documents past retention — never a silent partial read — and the
+    LATEST version is unaffected before and after."""
+    out = _three_version_table(spark, tmp_path)
+    pinned_v1 = M.read_manifest(spark, out, version=1)
+    assert pinned_v1.count() == 100                      # alive pre-vacuum
+    rep = M.vacuum(spark, out)                           # retain latest only
+    assert rep["files_removed"] > 0 and rep["manifests_removed"] == 2
+    assert M.read_manifest(spark, out).count() == 120    # latest unharmed
+    with pytest.raises(Exception) as ei:                 # loud, not partial
+        pinned_v1.count()
+    msg = str(ei.value)
+    assert ("FileNotFound" in msg or "does not exist" in msg
+            or "FILE_NOT_FOUND" in msg)
+    # re-resolving the expired version also fails loudly (manifest gone)
+    with pytest.raises(FileNotFoundError):
+        M.read_manifest(spark, out, version=1)
+    # and the latest keeps working after the failed old-reader attempt
+    assert M.read_manifest(spark, out).count() == 120
