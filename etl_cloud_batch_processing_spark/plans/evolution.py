@@ -235,6 +235,76 @@ def manifest_time_travel_diff(spark: SparkSession,
                     .alias("n_deleted")))
 
 
+def change_feed(spark: SparkSession, path: str, key: str,
+                tracked: list[str], v_old: int,
+                v_new: int | None = None) -> DataFrame:
+    """Row-level CHANGE DATA FEED between two manifest versions of the
+    same table, derived from retained snapshots alone: one full-outer
+    join on ``key`` of the two pinned reads, classified into
+    insert/update/delete (NULL-safe on the tracked columns; unchanged
+    rows dropped before the report).  Emits ``key, change_type,
+    old_<c>…, new_<c>…`` — the delta downstream maintenance (SCD2
+    merge, IVM refresh, search-index apply) consumes INSTEAD of
+    re-reading the table.  At 100 TB bucketing both snapshots on the
+    key makes the diff exchange-free."""
+    from etl_cloud_batch_processing_spark.sources import manifest as M
+
+    old = M.read_manifest(spark, path, version=v_old).select(
+        F.col(key), *[F.col(c).alias(f"old_{c}") for c in tracked],
+        F.lit(1).alias("__old"))
+    new = M.read_manifest(spark, path, version=v_new).select(
+        F.col(key), *[F.col(c).alias(f"new_{c}") for c in tracked],
+        F.lit(1).alias("__new"))
+    differs = F.lit(False)
+    for c in tracked:
+        differs = differs | ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    return (old.join(new, key, "full_outer")
+            .withColumn("change_type",
+                        F.when(F.col("__new").isNull(), "delete")
+                        .when(F.col("__old").isNull(), "insert")
+                        .when(differs, "update")
+                        .otherwise("unchanged"))
+            .filter(F.col("change_type") != "unchanged")
+            .select(key, "change_type",
+                    *[f"old_{c}" for c in tracked],
+                    *[f"new_{c}" for c in tracked]))
+
+
+def _publish_cdf_lifecycle(spark: SparkSession,
+                           sf_dir: str) -> tuple[str, int]:
+    """The deterministic three-commit lifecycle the CDF queries diff:
+    v1 publishes an events projection's ``%5 != 0`` slice (run r1), v2
+    adds the ``%5 == 0`` slice (run r2), v3 REPUBLISHES r1 with row
+    edits — every ``%11`` key deleted, every surviving ``%3`` key's
+    cents bumped by 7, a ``%13``-derived set of brand-new keys
+    (id + 1e9) inserted.  Returns ``(table_path, old_version=2)`` so
+    callers diff the pre-edit table against the latest."""
+    import shutil
+    import tempfile as _tf
+
+    from etl_cloud_batch_processing_spark.sources import manifest as M
+
+    ev = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint").alias("cents")
+    base = ev.filter(F.col("event_id") % 5 != 0).select("event_id", cents)
+    r2 = ev.filter(F.col("event_id") % 5 == 0).select("event_id", cents)
+    path = _tf.mkdtemp(prefix="spark_graft_cdf_") + "/t"
+    shutil.rmtree(path, ignore_errors=True)
+    M.publish_manifested(base, path, "r1")        # v1
+    M.publish_manifested(r2, path, "r2")          # v2
+    edited = (base.filter(F.col("event_id") % 11 != 0)
+              .select("event_id",
+                      F.when(F.col("event_id") % 3 == 0,
+                             F.col("cents") + 7)
+                      .otherwise(F.col("cents")).alias("cents"))
+              .unionByName(
+                  base.filter(F.col("event_id") % 13 == 0)
+                  .select((F.col("event_id") + 1000000000)
+                          .alias("event_id"), "cents")))
+    M.publish_manifested(edited, path, "r1")      # v3 replaces r1
+    return path, 2
+
+
 @query(
     "manifest_change_data_feed",
     oracle="""
@@ -272,54 +342,14 @@ def manifest_change_data_feed(spark: SparkSession,
     — each file set read once, unchanged rows dropped before the
     report; downstream consumers (the SCD2 merge, an IVM refresh, a
     search-index delta feed) apply exactly this diff instead of
-    re-reading the table.  At 100 TB bucketing both snapshots on the
-    key makes the diff exchange-free."""
-    import shutil
-    import tempfile as _tf
-
-    from etl_cloud_batch_processing_spark.sources import manifest as M
-
-    ev = table(spark, sf_dir, "events")
-    base = (ev.filter(F.col("event_id") % 5 != 0)
-            .select("event_id",
-                    F.round(F.col("value") * 100).cast("bigint")
-                    .alias("cents")))
-    r2 = (ev.filter(F.col("event_id") % 5 == 0)
-          .select("event_id",
-                  F.round(F.col("value") * 100).cast("bigint")
-                  .alias("cents")))
-    path = _tf.mkdtemp(prefix="spark_graft_cdf_") + "/t"
-    shutil.rmtree(path, ignore_errors=True)
-    M.publish_manifested(base, path, "r1")        # v1
-    M.publish_manifested(r2, path, "r2")          # v2
-    edited = (base.filter(F.col("event_id") % 11 != 0)
-              .select("event_id",
-                      F.when(F.col("event_id") % 3 == 0,
-                             F.col("cents") + 7)
-                      .otherwise(F.col("cents")).alias("cents"))
-              .unionByName(
-                  base.filter(F.col("event_id") % 13 == 0)
-                  .select((F.col("event_id") + 1000000000)
-                          .alias("event_id"), "cents")))
-    M.publish_manifested(edited, path, "r1")      # v3 replaces r1
-    old = (M.read_manifest(spark, path, version=2)
-           .select("event_id", F.col("cents").alias("old_cents")))
-    new = (M.read_manifest(spark, path)
-           .select("event_id", F.col("cents").alias("new_cents")))
-    j = old.join(new, "event_id", "full_outer")
-    return (j.select(
-        "event_id",
-        F.when(F.col("new_cents").isNull(), "delete")
-        .when(F.col("old_cents").isNull(), "insert")
-        .when(F.col("old_cents") != F.col("new_cents"), "update")
-        .otherwise("unchanged").alias("change_type"),
-        "old_cents", "new_cents")
-        .filter(F.col("change_type") != "unchanged")
-        .withColumn("new_cents",
-                    F.when(F.col("change_type") == "delete",
-                           F.lit(None).cast("bigint"))
-                    .otherwise(F.col("new_cents")))
-        .orderBy("change_type", "event_id"))
+    re-reading the table — ``cdf_applied_ivm_refresh`` and
+    ``cdf_applied_scd2_merge`` grade exactly those compositions.  At
+    100 TB bucketing both snapshots on the key makes the diff
+    exchange-free."""
+    path, v_old = _publish_cdf_lifecycle(spark, sf_dir)
+    return (change_feed(spark, path, "event_id", ["cents"], v_old)
+            .select("event_id", "change_type", "old_cents", "new_cents")
+            .orderBy("change_type", "event_id"))
 
 
 @query(
@@ -382,3 +412,206 @@ def ivm_incremental_daily_revenue(spark: SparkSession,
                        + F.coalesce("d_cents", F.lit(0))).cast("bigint")
                       .alias("sum_cents")))
     return merged.orderBy("day", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# CDF → consumer compositions (round-11): the incremental-warehouse
+# wiring — table change → change feed → downstream maintenance —
+# hash-checked equal to a full recompute from the new snapshot.
+# ---------------------------------------------------------------------------
+
+def apply_feed_to_grouped_sum(state: DataFrame, feed: DataFrame,
+                              feed_version: int,
+                              key: str = "event_id",
+                              val: str = "cents",
+                              grp_mod: int = 7) -> DataFrame:
+    """Apply a :func:`change_feed` delta to a distributive-aggregate
+    state table ``(grp, n_rows, sum_cents, __applied_v)`` EXACTLY ONCE.
+
+    The delta rule for COUNT/SUM under row-level changes: per group,
+    inserts contribute (+1, +new), deletes (−1, −old), updates
+    (0, new − old).  Idempotency is RELATIONAL, not driver-side: the
+    delta cross-joins the broadcast one-row ``max(__applied_v)``
+    watermark and is filtered to empty unless ``feed_version`` is
+    strictly newer, so re-applying an already-applied feed returns the
+    state unchanged (tests/test_round11_ops.py pins the no-op).  Rows
+    the feed touches advance their watermark to ``feed_version``;
+    ``max()`` over the state is therefore the applied high-water mark.
+
+    At 100 TB: the feed is O(changes), the delta aggregate is one
+    map-side-combined pass over it, and the merge touches the group
+    grain — never the base table."""
+    d_n = (F.when(F.col("change_type") == "insert", F.lit(1))
+           .when(F.col("change_type") == "delete", F.lit(-1))
+           .otherwise(F.lit(0)))
+    d_sum = (F.coalesce(F.col(f"new_{val}"), F.lit(0))
+             - F.coalesce(F.col(f"old_{val}"), F.lit(0)))
+    gate = F.broadcast(state.agg(F.max("__applied_v").alias("__av")))
+    delta = (feed.groupBy((F.col(key) % grp_mod).alias("grp"))
+             .agg(F.sum(d_n).alias("d_n"), F.sum(d_sum).alias("d_sum"))
+             .crossJoin(gate)
+             .filter(F.lit(feed_version) > F.col("__av"))
+             .withColumn("__dv", F.lit(feed_version).cast("bigint"))
+             .drop("__av"))
+    return (state.join(delta, "grp", "full_outer")
+            .select("grp",
+                    (F.coalesce("n_rows", F.lit(0))
+                     + F.coalesce("d_n", F.lit(0))).cast("bigint")
+                    .alias("n_rows"),
+                    (F.coalesce("sum_cents", F.lit(0))
+                     + F.coalesce("d_sum", F.lit(0))).cast("bigint")
+                    .alias("sum_cents"),
+                    F.greatest(F.coalesce(F.col("__applied_v"), F.lit(0)),
+                               F.coalesce(F.col("__dv"), F.lit(0)))
+                    .cast("bigint").alias("__applied_v"))
+            .filter(F.col("n_rows") > 0))
+
+
+_CDF_NEW_TABLE_SQL = """
+    WITH base AS (
+        SELECT event_id, CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_id % 5 <> 0),
+    r2 AS (
+        SELECT event_id, CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_id % 5 = 0),
+    new_tab AS (
+        SELECT event_id,
+               CASE WHEN event_id % 3 = 0 THEN cents + 7 ELSE cents END
+                   AS cents
+        FROM base WHERE event_id % 11 <> 0
+        UNION ALL
+        SELECT event_id + 1000000000, cents
+        FROM base WHERE event_id % 13 = 0
+        UNION ALL
+        SELECT event_id, cents FROM r2)
+"""
+
+
+@query(
+    "cdf_applied_ivm_refresh",
+    oracle=_CDF_NEW_TABLE_SQL + """
+    SELECT event_id % 7 AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM new_tab GROUP BY 1 ORDER BY grp
+    """,
+)
+def cdf_applied_ivm_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDF→IVM composition every incremental warehouse actually
+    runs, graded end-to-end: the standing per-group aggregate view is
+    materialized from the PRE-EDIT snapshot (version 2), the table then
+    changes (version 3's republish: deletes, cents bumps, inserts), and
+    the refresh applies :func:`change_feed`'s diff through
+    :func:`apply_feed_to_grouped_sum` — the delta aggregate computed
+    FROM THE FEED, not from a timestamp predicate (the round-10
+    verdict's distinction from ``ivm_incremental_daily_revenue``).
+
+    The oracle recomputes the aggregate from the NEW table derived
+    arithmetically from the source, so the incremental path is
+    hash-checked equal to full recomputation — a misclassified change,
+    a double-applied delta, or a version-pinning leak all red the row.
+    Exactly-once application (re-applying the same feed is a no-op via
+    the relational version watermark) is pinned in
+    tests/test_round11_ops.py.
+
+    At 100 TB: the feed is O(changed rows), the delta is one
+    map-side-combined pass over it, the merge touches the group grain —
+    while the oracle's full recompute deliberately pays the whole-table
+    re-scan this wiring exists to avoid."""
+    import tempfile as _tf
+
+    from etl_cloud_batch_processing_spark.sources import manifest as M
+
+    path, v_old = _publish_cdf_lifecycle(spark, sf_dir)
+    state_dir = _tf.mkdtemp(prefix="spark_graft_cdf_ivm_") + "/state"
+    (M.read_manifest(spark, path, version=v_old)
+     .groupBy((F.col("event_id") % 7).alias("grp"))
+     .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+          F.sum("cents").cast("bigint").alias("sum_cents"))
+     .withColumn("__applied_v", F.lit(v_old).cast("bigint"))
+     .write.mode("overwrite").parquet(state_dir))
+    state = spark.read.parquet(state_dir)
+    v_new = M.current_manifest(spark, path)[0]
+    feed = change_feed(spark, path, "event_id", ["cents"], v_old)
+    return (apply_feed_to_grouped_sum(state, feed, v_new)
+            .drop("__applied_v").orderBy("grp"))
+
+
+@query(
+    "cdf_applied_scd2_merge",
+    oracle="""
+    WITH base AS (
+        SELECT event_id, CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_id % 5 <> 0),
+    r2 AS (
+        SELECT event_id, CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_id % 5 = 0)
+    SELECT event_id, cents, CAST(1 AS BIGINT) AS valid_from,
+           CAST(NULL AS BIGINT) AS valid_to, TRUE AS is_current
+    FROM r2                                              -- untouched run
+    UNION ALL
+    SELECT event_id, cents, 1, NULL, TRUE                -- unchanged keys
+    FROM base WHERE event_id % 11 <> 0 AND event_id % 3 <> 0
+    UNION ALL
+    SELECT event_id, cents, 1, 2, FALSE                  -- closed version
+    FROM base WHERE event_id % 11 <> 0 AND event_id % 3 = 0
+    UNION ALL
+    SELECT event_id, cents + 7, 2, NULL, TRUE            -- new version
+    FROM base WHERE event_id % 11 <> 0 AND event_id % 3 = 0
+    UNION ALL
+    SELECT event_id, cents, 1, 2, FALSE                  -- deleted: closed
+    FROM base WHERE event_id % 11 = 0
+    UNION ALL
+    SELECT event_id + 1000000000, cents, 2, NULL, TRUE   -- inserted keys
+    FROM base WHERE event_id % 13 = 0
+    ORDER BY event_id, valid_from
+    """,
+)
+def cdf_applied_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDF→SCD2 composition: seed a type-2 dimension from the
+    PRE-EDIT snapshot (observation time 1), then maintain it from
+    :func:`change_feed`'s diff alone — insert/update rows become the
+    ``merge_scd2`` batch at observation time 2, and delete rows CLOSE
+    the key's current version at the feed time (``valid_to = 2``,
+    ``is_current = false``) — the soft-delete every dimension keeps so
+    history survives the key's disappearance.
+
+    The oracle derives the full expected version history arithmetically
+    from the source (unchanged / closed+reopened / deleted-closed /
+    inserted per the lifecycle's %11/%3/%13 rules), so the maintained
+    dimension is hash-checked row-for-row equal to what a from-scratch
+    derivation over both table states produces.  Idempotency — applying
+    the SAME feed twice changes nothing, including the delete close-out
+    — is pinned in tests/test_round11_ops.py.
+
+    At 100 TB: the merge joins the CURRENT slice against O(changed
+    keys); the delete close-out is one more broadcast-sized left join;
+    history rows are never read (merge_scd2's contract), and the whole
+    maintenance never re-scans the base table."""
+    from etl_cloud_batch_processing_spark.operators.merge import (
+        merge_scd2, scd2_schema_from,
+    )
+    from etl_cloud_batch_processing_spark.sources import manifest as M
+
+    path, v_old = _publish_cdf_lifecycle(spark, sf_dir)
+    seed = (M.read_manifest(spark, path, version=v_old)
+            .select("event_id", "cents",
+                    F.lit(1).cast("bigint").alias("obs")))
+    dim = merge_scd2(scd2_schema_from(seed, ["event_id"], "obs"),
+                     seed, ["event_id"], "obs")
+    feed = change_feed(spark, path, "event_id", ["cents"], v_old)
+    batch = (feed.filter(F.col("change_type") != "delete")
+             .select("event_id", F.col("new_cents").alias("cents"),
+                     F.lit(2).cast("bigint").alias("obs")))
+    dim = merge_scd2(dim, batch, ["event_id"], "obs")
+    deld = (feed.filter(F.col("change_type") == "delete")
+            .select("event_id", F.lit(1).alias("__del")))
+    return (dim.join(deld, "event_id", "left")
+            .select("event_id", "cents", "valid_from",
+                    F.when(F.col("__del").isNotNull()
+                           & F.col("is_current"),
+                           F.lit(2).cast("bigint"))
+                    .otherwise(F.col("valid_to")).alias("valid_to"),
+                    (F.col("is_current") & F.col("__del").isNull())
+                    .alias("is_current"))
+            .orderBy("event_id", "valid_from"))

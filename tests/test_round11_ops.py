@@ -1,0 +1,107 @@
+"""Round-11 operator pins: the CDF→consumer compositions must be
+IDEMPOTENT — applying the same change feed a second time is a no-op for
+both the SCD2 merge (incl. the delete close-out) and the grouped-sum
+IVM refresh (relational version watermark) — the exactly-once property
+an incremental warehouse rests on, which the oracle hash of a single
+application cannot see."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _lifecycle(spark):
+    from etl_cloud_batch_processing_spark.plans.evolution import (
+        _publish_cdf_lifecycle, change_feed,
+    )
+
+    path, v_old = _publish_cdf_lifecycle(spark, SF)
+    feed = change_feed(spark, path, "event_id", ["cents"], v_old)
+    return path, v_old, feed
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_cdf_scd2_second_application_is_noop(spark):
+    """Re-merging the same feed batch and re-closing the same deletes
+    must leave the dimension byte-identical — retries and at-least-once
+    feed delivery are safe for the SCD2 consumer."""
+    from etl_cloud_batch_processing_spark.operators.merge import (
+        merge_scd2, scd2_schema_from,
+    )
+    from etl_cloud_batch_processing_spark.sources import manifest as M
+
+    path, v_old, feed = _lifecycle(spark)
+    seed = (M.read_manifest(spark, path, version=v_old)
+            .select("event_id", "cents",
+                    F.lit(1).cast("bigint").alias("obs")))
+    dim = merge_scd2(scd2_schema_from(seed, ["event_id"], "obs"),
+                     seed, ["event_id"], "obs")
+    batch = (feed.filter(F.col("change_type") != "delete")
+             .select("event_id", F.col("new_cents").alias("cents"),
+                     F.lit(2).cast("bigint").alias("obs")))
+    deld = (feed.filter(F.col("change_type") == "delete")
+            .select("event_id", F.lit(1).alias("__del")))
+
+    def close_deleted(d):
+        return (d.join(deld, "event_id", "left")
+                .select("event_id", "cents", "valid_from",
+                        F.when(F.col("__del").isNotNull()
+                               & F.col("is_current"),
+                               F.lit(2).cast("bigint"))
+                        .otherwise(F.col("valid_to")).alias("valid_to"),
+                        (F.col("is_current") & F.col("__del").isNull())
+                        .alias("is_current")))
+
+    once = _rows(close_deleted(merge_scd2(dim, batch,
+                                          ["event_id"], "obs")))
+    assert once  # non-degenerate
+    twice = _rows(close_deleted(merge_scd2(
+        close_deleted(merge_scd2(dim, batch, ["event_id"], "obs")),
+        batch, ["event_id"], "obs")))
+    assert once == twice
+    # the SCD2 invariant survives both applications
+    assert all((vt is None) == cur for _, _, _, vt, cur in twice)
+
+
+def test_cdf_ivm_second_application_is_noop(spark):
+    """apply_feed_to_grouped_sum gates the delta on the state's version
+    watermark: applying feed v3 to a v2 state refreshes; re-applying v3
+    to the refreshed state changes nothing; and the refreshed state
+    equals a recompute from the new snapshot."""
+    from etl_cloud_batch_processing_spark.plans.evolution import (
+        apply_feed_to_grouped_sum,
+    )
+    from etl_cloud_batch_processing_spark.sources import manifest as M
+
+    path, v_old, feed = _lifecycle(spark)
+    v_new = M.current_manifest(spark, path)[0]
+    state = (M.read_manifest(spark, path, version=v_old)
+             .groupBy((F.col("event_id") % 7).alias("grp"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                  F.sum("cents").cast("bigint").alias("sum_cents"))
+             .withColumn("__applied_v", F.lit(v_old).cast("bigint")))
+    once = apply_feed_to_grouped_sum(state, feed, v_new)
+    twice = apply_feed_to_grouped_sum(once, feed, v_new)
+    assert _rows(once) == _rows(twice)
+    # and a stale feed (version == watermark) is a no-op from the start
+    stale = apply_feed_to_grouped_sum(state, feed, v_old)
+    assert _rows(stale) == _rows(state.filter(F.col("n_rows") > 0))
+    # the applied state equals full recompute from the new snapshot
+    full = (M.read_manifest(spark, path)
+            .groupBy((F.col("event_id") % 7).alias("grp"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                 F.sum("cents").cast("bigint").alias("sum_cents")))
+    assert (_rows(once.drop("__applied_v"))
+            == _rows(full.filter(F.col("n_rows") > 0)))
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q"])
