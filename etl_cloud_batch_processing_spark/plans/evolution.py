@@ -235,30 +235,25 @@ def manifest_time_travel_diff(spark: SparkSession,
                     .alias("n_deleted")))
 
 
-def change_feed(spark: SparkSession, path: str, key: str,
-                tracked: list[str], v_old: int,
-                v_new: int | None = None) -> DataFrame:
-    """Row-level CHANGE DATA FEED between two manifest versions of the
-    same table, derived from retained snapshots alone: one full-outer
-    join on ``key`` of the two pinned reads, classified into
-    insert/update/delete (NULL-safe on the tracked columns; unchanged
-    rows dropped before the report).  Emits ``key, change_type,
-    old_<c>…, new_<c>…`` — the delta downstream maintenance (SCD2
-    merge, IVM refresh, search-index apply) consumes INSTEAD of
-    re-reading the table.  At 100 TB bucketing both snapshots on the
-    key makes the diff exchange-free."""
-    from etl_cloud_batch_processing_spark.sources import manifest as M
-
-    old = M.read_manifest(spark, path, version=v_old).select(
+def snapshot_diff(old: DataFrame, new: DataFrame, key: str,
+                  tracked: list[str]) -> DataFrame:
+    """Row-level diff of two table states: one full-outer join on
+    ``key``, classified into insert/update/delete (NULL-safe on the
+    tracked columns; unchanged rows dropped before the report).  Emits
+    ``key, change_type, old_<c>…, new_<c>…`` — the storage-agnostic
+    core both change-feed flavors share (manifest versions via
+    :func:`change_feed`; dt-partition pre/post images via
+    ``dt_backfill_change_feed``)."""
+    o = old.select(
         F.col(key), *[F.col(c).alias(f"old_{c}") for c in tracked],
         F.lit(1).alias("__old"))
-    new = M.read_manifest(spark, path, version=v_new).select(
+    n = new.select(
         F.col(key), *[F.col(c).alias(f"new_{c}") for c in tracked],
         F.lit(1).alias("__new"))
     differs = F.lit(False)
     for c in tracked:
         differs = differs | ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
-    return (old.join(new, key, "full_outer")
+    return (o.join(n, key, "full_outer")
             .withColumn("change_type",
                         F.when(F.col("__new").isNull(), "delete")
                         .when(F.col("__old").isNull(), "insert")
@@ -268,6 +263,22 @@ def change_feed(spark: SparkSession, path: str, key: str,
             .select(key, "change_type",
                     *[f"old_{c}" for c in tracked],
                     *[f"new_{c}" for c in tracked]))
+
+
+def change_feed(spark: SparkSession, path: str, key: str,
+                tracked: list[str], v_old: int,
+                v_new: int | None = None) -> DataFrame:
+    """Row-level CHANGE DATA FEED between two manifest versions of the
+    same table, derived from retained snapshots alone:
+    :func:`snapshot_diff` of the two pinned reads — the delta
+    downstream maintenance (SCD2 merge, IVM refresh, search-index
+    apply) consumes INSTEAD of re-reading the table.  At 100 TB
+    bucketing both snapshots on the key makes the diff exchange-free."""
+    from etl_cloud_batch_processing_spark.sources import manifest as M
+
+    return snapshot_diff(M.read_manifest(spark, path, version=v_old),
+                         M.read_manifest(spark, path, version=v_new),
+                         key, tracked)
 
 
 def _publish_cdf_lifecycle(spark: SparkSession,
@@ -615,3 +626,91 @@ def cdf_applied_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("is_current") & F.col("__del").isNull())
                     .alias("is_current"))
             .orderBy("event_id", "valid_from"))
+
+
+@query(
+    "dt_backfill_change_feed",
+    oracle="""
+    WITH ev AS (SELECT *, CAST(ts AS DATE) AS day FROM events),
+    d0 AS (SELECT MIN(day) AS day FROM ev),
+    base AS (
+        SELECT event_id, CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM ev JOIN d0 USING (day))
+    SELECT event_id, 'delete' AS change_type,
+           cents AS old_cents, CAST(NULL AS BIGINT) AS new_cents
+    FROM base WHERE event_id % 11 = 0
+    UNION ALL
+    SELECT event_id, 'update', cents, cents + 7
+    FROM base WHERE event_id % 11 <> 0 AND event_id % 3 = 0
+    UNION ALL
+    SELECT event_id + 1000000000, 'insert', NULL, cents
+    FROM base WHERE event_id % 13 = 0
+    ORDER BY change_type, event_id
+    """,
+)
+def dt_backfill_change_feed(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Change data feed for the engine's OTHER storage layout — the
+    ``dt=`` dynamic-partition-overwrite tables of L7
+    (``writers.write_append_partition``), which retain no versions to
+    diff: capture the affected partition's PRE-IMAGE before the
+    backfill replaces it (the pre/post-image discipline Delta CDC
+    applies at row grain, here at the partition grain a dt overwrite
+    actually rewrites), re-run the backfill with deterministically
+    edited input (every ``%11`` key deleted, surviving ``%3`` keys'
+    cents bumped, ``%13``-derived inserts — the same arithmetic as the
+    manifest CDF, by design: both layouts now grade the SAME delta
+    story), and :func:`snapshot_diff` pre vs post.
+
+    The oracle derives the feed from the source directly, so a
+    backfill that leaks rows across partitions, a pre-image captured
+    after the overwrite, or a misclassified change all hash-mismatch.
+    Rerun-idempotency (same backfill again → EMPTY feed) and
+    partition isolation (the untouched day's partition is
+    byte-identical across the backfill) are pinned in
+    tests/test_round11_ops.py.
+
+    At 100 TB: the pre-image copy is one partition's worth of data —
+    the same bytes the overwrite rewrites anyway — and the diff joins
+    partition-sized inputs, never the table."""
+    import tempfile as _tf
+
+    from etl_cloud_batch_processing_spark.sources.writers import (
+        write_append_partition,
+    )
+
+    d0, d1 = first_two_days(spark, sf_dir)
+    ev = table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    cents = F.round(F.col("value") * 100).cast("bigint").alias("cents")
+    day0 = (ev.filter(F.col("day") == F.lit(d0).cast("date"))
+            .select("event_id", cents))
+    day1 = (ev.filter(F.col("day") == F.lit(d1).cast("date"))
+            .select("event_id", cents))
+    root = _tf.mkdtemp(prefix="spark_graft_dtcdf_") + "/t"
+    write_append_partition(day0, root, d0)
+    write_append_partition(day1, root, d1)
+
+    pre_dir = _tf.mkdtemp(prefix="spark_graft_dtcdf_") + "/pre"
+    (spark.read.parquet(root)
+     .filter(F.col("dt").cast("string") == d0)
+     .select("event_id", "cents")
+     .write.mode("overwrite").parquet(pre_dir))
+
+    edited = (day0.filter(F.col("event_id") % 11 != 0)
+              .select("event_id",
+                      F.when(F.col("event_id") % 3 == 0,
+                             F.col("cents") + 7)
+                      .otherwise(F.col("cents")).alias("cents"))
+              .unionByName(
+                  day0.filter(F.col("event_id") % 13 == 0)
+                  .select((F.col("event_id") + 1000000000)
+                          .alias("event_id"), "cents")))
+    write_append_partition(edited, root, d0)   # idempotent dt overwrite
+
+    post = (spark.read.parquet(root)
+            .filter(F.col("dt").cast("string") == d0)
+            .select("event_id", "cents"))
+    return (snapshot_diff(spark.read.parquet(pre_dir), post,
+                          "event_id", ["cents"])
+            .select("event_id", "change_type", "old_cents", "new_cents")
+            .orderBy("change_type", "event_id"))

@@ -103,5 +103,54 @@ def test_cdf_ivm_second_application_is_noop(spark):
             == _rows(full.filter(F.col("n_rows") > 0)))
 
 
+def test_dt_backfill_feed_rerun_is_empty_and_isolated(spark, tmp_path):
+    """The dt-layout feed's two contract properties the oracle hash
+    can't see: re-running the SAME backfill then diffing produces an
+    EMPTY feed (idempotent dt overwrite → no phantom changes), and the
+    other day's partition is byte-identical across the backfill
+    (partition isolation)."""
+    from etl_cloud_batch_processing_spark.plans.evolution import (
+        first_two_days, snapshot_diff,
+    )
+    from etl_cloud_batch_processing_spark.sources.writers import (
+        write_append_partition,
+    )
+
+    d0, d1 = first_two_days(spark, SF)
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    if dict(ev.dtypes)["ts"] == "bigint":   # nanos fixtures
+        ev = ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    ev = ev.withColumn("day", F.to_date("ts"))
+    cents = F.round(F.col("value") * 100).cast("bigint").alias("cents")
+    day0 = (ev.filter(F.col("day") == F.lit(d0).cast("date"))
+            .select("event_id", cents))
+    day1 = (ev.filter(F.col("day") == F.lit(d1).cast("date"))
+            .select("event_id", cents))
+    root = str(tmp_path / "t")
+    write_append_partition(day0, root, d0)
+    write_append_partition(day1, root, d1)
+
+    def part(d):
+        return (spark.read.parquet(root)
+                .filter(F.col("dt").cast("string") == d)
+                .select("event_id", "cents"))
+
+    pre0, pre1 = _rows(part(d0)), _rows(part(d1))
+    write_append_partition(day0, root, d0)     # SAME backfill again
+    assert snapshot_diff(
+        spark.createDataFrame(pre0, "event_id bigint, cents bigint"),
+        part(d0), "event_id", ["cents"]).count() == 0
+    assert _rows(part(d1)) == pre1             # partition isolation
+    # and an EDITED rerun feeds exactly its edits, nothing from day 1
+    edited = day0.filter(F.col("event_id") % 2 == 0)
+    write_append_partition(edited, root, d0)
+    feed = snapshot_diff(
+        spark.createDataFrame(pre0, "event_id bigint, cents bigint"),
+        part(d0), "event_id", ["cents"])
+    assert feed.filter("change_type <> 'delete'").count() == 0
+    assert feed.count() == len([r for r in pre0 if r[0] % 2 == 1])
+    assert _rows(part(d1)) == pre1
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
