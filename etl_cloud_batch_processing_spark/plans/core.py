@@ -402,3 +402,65 @@ def props_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ",", "NULL").alias("prop_vals_csv"),
         (F.element_at(m, "k") + 1).alias("k_plus_one"),
         F.size(merged).alias("n_entries"))
+
+
+@query(
+    "collated_lcase_group_join",
+    oracle="""
+    WITH fact AS (
+        SELECT CASE WHEN event_id % 3 = 0 THEN upper(event_type)
+                    ELSE event_type END AS k,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events)
+    SELECT lower(k) AS key,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           'type:' || lower(k) AS label
+    FROM fact GROUP BY lower(k) ORDER BY key
+    """,
+)
+def collated_lcase_group_join(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """String COLLATION surface (Spark 4 ``collate()`` /
+    ``UTF8_LCASE``): group a deterministically mixed-cased event-type
+    key (every ``%3`` event upper-cased) under a case-insensitive
+    collation and JOIN the grouped rows to a dimension whose keys
+    carry a THIRD casing (all-upper) on the collated key — the
+    grouping AND join semantics a SQL-Server/Postgres-citext migration
+    hits on day one.  The DuckDB oracle normalizes with ``lower()``
+    (binary semantics), so the hash checks UTF8_LCASE ≡
+    lower-normalization for these keys; if Spark's collated grouping
+    ever failed to merge case variants the row count itself would red.
+
+    Plan audit (PLANS.md): collated group keys FORCE the SortAggregate
+    fallback — no HashAggregate, no whole-stage codegen for the
+    aggregate — though partial aggregation (map-side combine) and
+    hash-partitioning still work because both operate on the derived
+    ``collationkey``; the join stays a BroadcastHashJoin keyed on
+    ``collationkey(k)``.  Two consequences worth designing around at
+    100 TB: (1) case variants of one key CO-PARTITION (the exchange
+    hashes the collation key, not the raw bytes) — collation changes
+    shuffle semantics, not just comparisons; (2) the codegen loss
+    prices every collated hot path, so a pipeline that filters or
+    groups the same collated column repeatedly should materialize a
+    binary-normalized key column once instead.  The grouped
+    representative key keeps an ARBITRARY input casing (first-seen per
+    partition), which is why the output projects ``lower(k)`` — any
+    consumer of a collated group key must treat its casing as
+    undefined."""
+    ev = table(spark, sf_dir, "events")
+    mixed = (F.when(F.col("event_id") % 3 == 0, F.upper("event_type"))
+             .otherwise(F.col("event_type")))
+    fact = ev.select(
+        F.collate(mixed, "UTF8_LCASE").alias("k"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"))
+    grouped = (fact.groupBy("k")
+               .agg(F.count(F.lit(1)).alias("n_events"),
+                    F.sum("cents").cast("bigint").alias("sum_cents")))
+    dim = (ev.select(F.collate(F.upper("event_type"), "UTF8_LCASE")
+                     .alias("k")).distinct()
+           .withColumn("label", F.concat(F.lit("type:"), F.lower("k"))))
+    return (grouped.join(F.broadcast(dim), "k")
+            .select(F.lower("k").alias("key"), "n_events", "sum_cents",
+                    "label")
+            .orderBy("key"))

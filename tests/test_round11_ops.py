@@ -152,5 +152,28 @@ def test_dt_backfill_feed_rerun_is_empty_and_isolated(spark, tmp_path):
     assert _rows(part(d1)) == pre1
 
 
+def test_collated_grouping_merges_case_variants(spark):
+    """UTF8_LCASE grouping must collapse exactly the lower()-equal
+    classes: collated group count == lower-distinct count < binary
+    distinct count (the mixed-casing derivation guarantees variants
+    exist), and every reported count equals the lower()-keyed binary
+    recompute."""
+    from etl_cloud_batch_processing_spark.plans.core import (
+        collated_lcase_group_join,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    mixed = (F.when(F.col("event_id") % 3 == 0, F.upper("event_type"))
+             .otherwise(F.col("event_type")))
+    n_binary = ev.select(mixed.alias("k")).distinct().count()
+    got = {r.key: r.n_events for r in
+           collated_lcase_group_join(spark, SF).collect()}
+    assert 0 < len(got) < n_binary
+    want = {r.k: r.n for r in
+            (ev.groupBy(F.lower(mixed).alias("k"))
+             .agg(F.count(F.lit(1)).alias("n")).collect())}
+    assert got == want
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
