@@ -27,6 +27,22 @@ both gates.  A row whose regression was box load at bench time clears
 mechanically (the fresh min replaces the stale one and is reported as
 REMEASURED); a genuine plan regression reproduces and stays REGRESSED.
 Exit 1 only on rows that survive.
+
+Round-11 upgrades (round-10 verdict item 2 + advice):
+
+* ``--drift-old OLDER.json`` (the round-(N−2) record) closes the
+  sub-2× blind spot: a query that never trips the 2×-vs-last-round
+  gate can still creep (the BPE pair went 2.39 → 4.60 s across two
+  quiet records without one flag).  Any shared query whose new price
+  exceeds ``--drift-threshold`` (default 1.5) × its round-(N−2) price
+  AND whose delta exceeds both sides' measured spread prints as DRIFT,
+  is remeasured like a REGRESSED row, and fails the gate if it
+  survives — slow creep now surfaces mechanically, exactly like box
+  load does.
+* ``--remeasure`` now derives its sf_dir FROM THE NEW BENCH DOC's
+  recorded ``sf`` and errors if ``SPARK_GRAFT_SF_DIR`` points
+  elsewhere — a fresh timing taken at a smaller scale factor would
+  otherwise silently clear a genuine regression.
 """
 
 from __future__ import annotations
@@ -36,15 +52,39 @@ import json
 import sys
 
 
-def _load(path: str) -> tuple[dict, dict]:
+def _load(path: str) -> tuple[dict, dict, object]:
     doc = json.load(open(path))
     # driver-recorded BENCH_r*.json wraps the stdout line under "parsed"
     if "queries" not in doc and isinstance(doc.get("parsed"), dict):
         doc = doc["parsed"]
-    return doc.get("queries", {}), doc.get("spread", {})
+    return doc.get("queries", {}), doc.get("spread", {}), doc.get("sf")
 
 
-def _remeasure(names: list[str], n_runs: int) -> dict[str, float]:
+def _resolve_sf_dir(new_sf: object) -> str:
+    """The sf_dir a remeasure must run at: derived from the NEW bench
+    doc's recorded ``sf``; SPARK_GRAFT_SF_DIR may confirm but never
+    silently override it (fresh numbers from a different scale would
+    clear genuine regressions)."""
+    import os
+
+    env = os.environ.get("SPARK_GRAFT_SF_DIR")
+    if new_sf is None:
+        if env:
+            return env
+        raise SystemExit("remeasure: the new bench doc records no 'sf' "
+                         "and SPARK_GRAFT_SF_DIR is unset — cannot "
+                         "pick a scale factor safely")
+    derived = f"/root/testdata/sf{new_sf}"
+    if env and os.path.basename(env.rstrip("/")) != f"sf{new_sf}":
+        raise SystemExit(
+            f"remeasure: SPARK_GRAFT_SF_DIR={env} does not match the "
+            f"new bench doc's sf={new_sf}; refusing to re-price at a "
+            "different scale (it would silently clear real regressions)")
+    return env or derived
+
+
+def _remeasure(names: list[str], n_runs: int,
+               new_sf: object) -> dict[str, float]:
     """Fresh best-of-N of just the flagged queries, same discipline as
     bench.py (clock spans the builder call, noop-format write forces
     full execution, clearCache between runs)."""
@@ -56,7 +96,7 @@ def _remeasure(names: list[str], n_runs: int) -> dict[str, float]:
     from etl_cloud_batch_processing_spark import plans
     from etl_cloud_batch_processing_spark.session import get_spark
 
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf_dir = _resolve_sf_dir(new_sf)
     spark = get_spark("compare-remeasure")
     spark.sparkContext.setLogLevel("ERROR")
     out: dict[str, float] = {}
@@ -82,11 +122,15 @@ def main() -> None:
     ap.add_argument("new")
     ap.add_argument("--threshold", type=float, default=2.0)
     ap.add_argument("--remeasure", type=int, default=0, metavar="N",
-                    help="re-run would-be REGRESSED rows best-of-N "
-                         "fresh and flag only survivors")
+                    help="re-run would-be REGRESSED/DRIFT rows "
+                         "best-of-N fresh and flag only survivors")
+    ap.add_argument("--drift-old", metavar="OLDER.json",
+                    help="round-(N-2) bench doc: flag cumulative creep "
+                         "the 2x-vs-last-round gate cannot see")
+    ap.add_argument("--drift-threshold", type=float, default=1.5)
     args = ap.parse_args()
-    old, old_spread = _load(args.old)
-    new, new_spread = _load(args.new)
+    old, old_spread, _ = _load(args.old)
+    new, new_spread, new_sf = _load(args.new)
 
     added = sorted(set(new) - set(old))
     removed = sorted(set(old) - set(new))
@@ -109,27 +153,55 @@ def main() -> None:
         row = (q, old[q], new[q], allowance)
         (regressed if new[q] - old[q] > allowance else noise).append(row)
 
-    if regressed and args.remeasure > 0:
-        fresh = _remeasure([q for q, *_ in regressed], args.remeasure)
-        still, cleared = [], []
-        for q, o, n, a in regressed:
+    # cumulative-drift gate vs the round-(N-2) record: catches sub-2x
+    # creep that never trips the per-round ratio gate
+    drift = []
+    if args.drift_old:
+        old2, old2_spread, _ = _load(args.drift_old)
+        flagged = {q for q, *_ in regressed}
+        for q in shared:
+            if q not in old2 or q in flagged:
+                continue
+            if new[q] <= args.drift_threshold * max(old2[q], 0.05):
+                continue
+            allowance = max(old2_spread.get(q, 0.0),
+                            new_spread.get(q, 0.0))
+            if new[q] - old2[q] > allowance:
+                drift.append((q, old2[q], new[q], allowance))
+
+    fresh: dict[str, float] = {}
+    if args.remeasure > 0 and (regressed or drift):
+        fresh = _remeasure(
+            sorted({q for q, *_ in regressed} | {q for q, *_ in drift}),
+            args.remeasure, new_sf)
+
+    def _survivors(rows, ratio, label):
+        if not fresh:
+            return rows
+        still = []
+        for q, o, n, a in rows:
             best = min(n, fresh.get(q, n))
-            if (best > args.threshold * max(o, 0.05)
-                    and best - o > a):
+            if best > ratio * max(o, 0.05) and best - o > a:
                 still.append((q, o, best, a))
             else:
-                cleared.append((q, o, n, best))
-        for q, o, n, b in cleared:
-            print(f"REMEASURED {q}: {o:.3f}s -> {n:.3f}s was box load; "
-                  f"fresh best-of-{args.remeasure} = {b:.3f}s — cleared")
-        regressed = still
+                print(f"REMEASURED {q}: {o:.3f}s -> {n:.3f}s was box "
+                      f"load; fresh best-of-{args.remeasure} = "
+                      f"{best:.3f}s — {label} cleared")
+        return still
+
+    regressed = _survivors(regressed, args.threshold, "regression")
+    drift = _survivors(drift, args.drift_threshold, "drift")
     for q, o, n, a in sorted(noise, key=lambda t: -(t[2] - t[1])):
         print(f"NOISE {q}: {o:.3f}s -> {n:.3f}s "
               f"(delta {n - o:+.3f}s within measured spread {a:.3f}s)")
     for q, o, n, a in sorted(regressed, key=lambda t: -t[2] / t[1]):
         print(f"REGRESSED {q}: {o:.3f}s -> {n:.3f}s ({n / o:.1f}x, "
               f"delta {n - o:+.3f}s > spread {a:.3f}s)")
-    sys.exit(1 if regressed else 0)
+    for q, o, n, a in sorted(drift, key=lambda t: -t[2] / t[1]):
+        print(f"DRIFT {q}: {o:.3f}s (two rounds back) -> {n:.3f}s "
+              f"({n / o:.1f}x over {args.drift_threshold}x budget, "
+              f"delta {n - o:+.3f}s > spread {a:.3f}s)")
+    sys.exit(1 if regressed or drift else 0)
 
 
 if __name__ == "__main__":
