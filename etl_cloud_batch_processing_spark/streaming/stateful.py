@@ -505,6 +505,58 @@ def user_stats_tws_stream(events: DataFrame) -> DataFrame:
                 timeMode="None"))
 
 
+TTL_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("n_events", LongType()),
+])
+
+
+def make_ttl_counter_processor(ttl_ms: int) -> StatefulProcessor:
+    """Per-key event counter in a ValueState WITH A TTL — the one v2
+    state feature the round-10 surface (value/list/map state, event
+    timers, initial state) did not exercise: state written in one
+    micro-batch becomes INVISIBLE to a batch processed more than
+    ``ttl_ms`` of processing time later (``exists()`` returns False and
+    the counter restarts), while a generous TTL accumulates normally.
+    This is the bounded-staleness eviction a 100-TB keyed stream uses
+    when keys churn (abandoned carts, expiring sessions keyed by
+    device): the store drops cold keys by itself, no timer bookkeeping.
+
+    TTL is processing-time-based, so its expiry is inherently
+    non-deterministic relative to DATA — which is why this operator is
+    pytest-pinned (tests/test_tws.py drives two drains around a sleep)
+    rather than value-hash-registered like its deterministic siblings."""
+
+    class TtlCounterProcessor(_bootstrapped_base()):
+        def init(self, handle) -> None:
+            self._n = handle.getValueState("n", "n BIGINT",
+                                           ttlDurationMs=ttl_ms)
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            n = self._n.get()[0] if self._n.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+            self._n.update((n,))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    return TtlCounterProcessor()
+
+
+def ttl_counter_tws_stream(events: DataFrame, ttl_ms: int) -> DataFrame:
+    """events stream → per-user counter whose state expires after
+    ``ttl_ms`` of processing time (state TTL requires the
+    ProcessingTime time mode)."""
+    return (events.select("user_id")
+            .groupBy("user_id")
+            .transformWithStateInPandas(
+                statefulProcessor=make_ttl_counter_processor(ttl_ms),
+                outputStructType=TTL_SCHEMA,
+                outputMode="Update",
+                timeMode="ProcessingTime"))
+
+
 def drain_running_totals(result: DataFrame, out_dir: str,
                          checkpoint_dir: str) -> None:
     """AvailableNow drain of an update-mode stateful stream into

@@ -243,3 +243,89 @@ def test_protobuf_shim_ships_only_protobuf(tmp_path):
     assert "extend_path" in init
     # idempotent: a second build returns the same complete shim
     assert build_protobuf_shim(shim=shim) == shim
+
+
+@pytest.mark.skipif(not HAS_PROTOBUF, reason="protobuf not installed")
+def test_tws_value_state_ttl_expires_and_accumulates(spark, tmp_path):
+    """State TTL (the last v2 state feature): two drains of the same
+    checkpoint around a sleep — with a 1 ms TTL the second batch sees
+    expired state and the counter RESTARTS; with a 1 h TTL it
+    ACCUMULATES.  Same data, same code path, opposite outcomes — the
+    TTL is the only difference."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from etl_cloud_batch_processing_spark.streaming.stateful import (
+        ttl_counter_tws_stream,
+    )
+
+    def run(ttl_ms, tag):
+        src = tmp_path / f"src_{tag}"
+        out = tmp_path / f"out_{tag}"
+        ckpt = str(tmp_path / f"ckpt_{tag}")
+        (spark.range(3).select((F.col("id") % 3).alias("user_id"))
+         .coalesce(1).write.mode("append").parquet(str(src)))
+        stream = (spark.readStream.schema("user_id bigint")
+                  .parquet(str(src)))
+
+        def out_rows():
+            try:
+                return spark.read.parquet(str(out)).count()
+            except Exception:      # sink dir not created yet
+                return 0
+
+        def drain(rows_expected):
+            res = ttl_counter_tws_stream(stream, ttl_ms)
+            # same provider pin/restore as the registered queries
+            provider_key = ("spark.sql.streaming.stateStore."
+                            "providerClass")
+            prev = spark.conf.get(provider_key, None)
+            spark.conf.set(provider_key,
+                           "org.apache.spark.sql.execution.streaming."
+                           "state.RocksDBStateStoreProvider")
+            try:
+                q = (res.writeStream
+                     .foreachBatch(lambda b, _:
+                                   b.write.mode("append")
+                                   .parquet(str(out)))
+                     .option("checkpointLocation", ckpt)
+                     .outputMode("update")
+                     .trigger(availableNow=True).start())
+                # ProcessingTime time-mode keeps an availableNow query
+                # ACTIVE after the data drains (it schedules TTL
+                # bookkeeping batches) — poll the SINK for the data
+                # batch's committed emissions, then stop; a stop that
+                # interrupts a later bookkeeping batch is recovered on
+                # the next drain's restart, so swallow its error
+                deadline = time.time() + 120
+                while (q.isActive and time.time() < deadline
+                       and out_rows() < rows_expected):
+                    time.sleep(0.5)
+                try:
+                    q.stop()
+                    q.awaitTermination()
+                except Exception:
+                    pass
+            finally:
+                if prev is None:
+                    spark.conf.unset(provider_key)
+                else:
+                    spark.conf.set(provider_key, prev)
+            assert out_rows() >= rows_expected
+
+        drain(3)                                  # batch 1: 3 users x 1
+        time.sleep(2.0)                           # >> 1 ms, << 1 h
+        (spark.range(6).select((F.col("id") % 3).alias("user_id"))
+         .coalesce(1).write.mode("append").parquet(str(src)))
+        drain(6)                                  # batch 2: 3 users x 2
+        log = spark.read.parquet(str(out))
+        # final emission per user = its max n_events in the log
+        return {r.user_id: r.mx for r in
+                (log.groupBy("user_id")
+                 .agg(F.max("n_events").alias("mx")).collect())}
+
+    expired = run(1, "short")           # 1 ms TTL: batch-2 restarts
+    assert expired == {0: 2, 1: 2, 2: 2}
+    kept = run(3_600_000, "long")       # 1 h TTL: accumulates
+    assert kept == {0: 3, 1: 3, 2: 3}
