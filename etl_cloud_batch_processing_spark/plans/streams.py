@@ -1084,3 +1084,74 @@ def streaming_dq_violation_merge(spark: SparkSession,
             .select("check_name", "kind", "rows_scanned", "violations",
                     (F.col("violations") == 0).alias("passed"))
             .orderBy("check_name"))
+
+
+@query(
+    "streaming_manifest_ingest",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def streaming_manifest_ingest(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """EXACTLY-ONCE streaming ingestion into the manifest-committed
+    table — the lakehouse wiring that joins the engine's two
+    transactional halves: a throttled multi-batch events stream lands
+    each micro-batch through ``foreachBatch`` →
+    ``manifest.publish_manifested(batch, path, run_date=b<batch_id>)``,
+    so every batch is ONE atomic manifest flip (readers never see a
+    torn batch) and a RETRIED batch id REPUBLISHES its own partition
+    instead of duplicating it — foreachBatch's at-least-once delivery
+    composed with the idempotent publish = exactly-once table contents.
+    The drained table is then aggregated via ``read_manifest`` and
+    hash-checked against the source: a dropped batch, a double-applied
+    retry, or a torn commit all red the row.  The re-drain no-op (same
+    checkpoint, second drain ingests nothing) and the crash-retry
+    republish are pinned in tests/test_round11_ops.py.
+
+    At 100 TB: each micro-batch writes its own files + one KB-sized
+    manifest rename (commit cost independent of table size); the
+    manifest's dt entries make the ingest partitions prunable; and the
+    CDF/IVM/SCD2 consumers (``change_feed`` family) read the SAME
+    table incrementally — this query is their missing producer half."""
+    import tempfile
+
+    from etl_cloud_batch_processing_spark.sources import manifest as M
+    from etl_cloud_batch_processing_spark.streaming.windows import (
+        events_schema,
+    )
+
+    src = tempfile.mkdtemp(prefix="mingest_src_")
+    path = tempfile.mkdtemp(prefix="mingest_tbl_") + "/t"
+    ckpt = tempfile.mkdtemp(prefix="mingest_ckpt_")
+    events = table(spark, sf_dir, "events")
+    events.repartition(4).write.mode("overwrite").parquet(src)
+
+    stream = (spark.readStream.schema(events.schema)
+              .option("maxFilesPerTrigger", "1")
+              .option("pathGlobFilter", "*.parquet")
+              .parquet(src))
+
+    def publish(batch: DataFrame, batch_id: int) -> None:
+        M.publish_manifested(
+            batch.select("event_id", "event_type",
+                         F.round(F.col("value") * 100).cast("bigint")
+                         .alias("cents")),
+            path, f"b{batch_id:06d}")
+
+    q = (stream.writeStream.foreachBatch(publish)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return (M.read_manifest(spark, path)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("cents").cast("bigint").alias("sum_cents"))
+            .orderBy("event_type"))

@@ -175,5 +175,54 @@ def test_collated_grouping_merges_case_variants(spark):
     assert got == want
 
 
+def test_streaming_manifest_ingest_exactly_once(spark, tmp_path):
+    """The streaming→manifest producer's two exactly-once properties:
+    a second drain of the same checkpoint ingests NOTHING (manifest
+    version count unchanged), and a simulated foreachBatch RETRY
+    (republishing a batch id already committed) replaces its partition
+    instead of duplicating rows."""
+    from pyspark.sql import functions as F
+
+    from etl_cloud_batch_processing_spark.sources import manifest as M
+
+    src = str(tmp_path / "src")
+    path = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    ev = (spark.read.parquet(f"{SF}/events.parquet")
+          .select("event_id", "event_type",
+                  F.round(F.col("value") * 100).cast("bigint")
+                  .alias("cents")))
+    ev.repartition(3).write.mode("overwrite").parquet(src)
+
+    def drain():
+        stream = (spark.readStream.schema(ev.schema)
+                  .option("maxFilesPerTrigger", "1")
+                  .option("pathGlobFilter", "*.parquet").parquet(src))
+        q = (stream.writeStream
+             .foreachBatch(lambda b, i:
+                           M.publish_manifested(b, path, f"b{i:06d}"))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    drain()
+    v1, _ = M.current_manifest(spark, path)
+    assert v1 >= 3                         # one commit per micro-batch
+    total = ev.count()
+    assert M.read_manifest(spark, path).count() == total
+    drain()                                # same checkpoint: no new data
+    assert M.current_manifest(spark, path)[0] == v1
+    assert M.read_manifest(spark, path).count() == total
+    # at-least-once retry of an already-committed batch id: its dt
+    # partition is REPLACED, never duplicated
+    b0 = M.read_manifest(spark, path).filter(F.col("dt") == "b000000")
+    n0 = b0.count()
+    assert n0 > 0
+    M.publish_manifested(b0.drop("dt"), path, "b000000")
+    assert M.read_manifest(spark, path).count() == total
+    assert (M.read_manifest(spark, path)
+            .filter(F.col("dt") == "b000000").count() == n0)
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
