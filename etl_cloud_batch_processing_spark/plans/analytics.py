@@ -3318,3 +3318,47 @@ def join_cardinality_estimates(spark: SparkSession,
                         + F.lit(0.0)).alias("est_over_actual")))
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@query(
+    "unpivot_daily_type_metrics",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY day, event_type
+    """,
+)
+def unpivot_daily_type_metrics(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """PIVOT → SQL ``UNPIVOT`` round trip: widen events to one row per
+    day with a count column per event type (explicit value list, so no
+    extra distinct pass), then fold the wide frame back to long form
+    with Spark 4's SQL ``UNPIVOT (n_events FOR event_type IN (...))``
+    clause — the wide-metrics-table-to-tidy-rows migration every
+    spreadsheet-shaped upstream forces, exercised in BOTH directions so
+    the round trip is the semantic check: the oracle is the plain
+    GROUP BY the two reshapes must compose back to.  ``UNPIVOT``
+    drops NULL cells by default (days where a type never occurred),
+    exactly matching the GROUP BY's absent rows — that default is part
+    of what the hash checks.
+
+    Plan shape: the pivot is one partial+final aggregate on (day,
+    type) rotated by ``pivotfirst`` (no shuffle beyond the groupBy);
+    the unpivot is a zero-shuffle ``Expand`` (each wide row emits K
+    long rows map-side).  At 100 TB the wide frame is day-grain —
+    tiny — and Expand's row multiplication is the cheap direction."""
+    ev = table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = (ev.groupBy(F.to_date("ts").alias("day"))
+            .pivot("event_type", types)
+            .agg(F.count(F.lit(1))))
+    wide.createOrReplaceTempView("daily_type_wide")
+    return spark.sql(f"""
+        SELECT day, event_type, CAST(n_events AS BIGINT) AS n_events
+        FROM daily_type_wide
+        UNPIVOT (n_events FOR event_type IN
+                 ({", ".join(types)}))
+        ORDER BY day, event_type
+    """)

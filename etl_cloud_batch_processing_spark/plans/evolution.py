@@ -714,3 +714,70 @@ def dt_backfill_change_feed(spark: SparkSession,
                           "event_id", ["cents"])
             .select("event_id", "change_type", "old_cents", "new_cents")
             .orderBy("change_type", "event_id"))
+
+
+@query(
+    "vacuum_retention_snapshot_read",
+    oracle="""
+    SELECT CAST(SUM(CASE WHEN event_id % 3 = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS v2_rows,
+           CAST(SUM(CASE WHEN event_id % 3 <> 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS latest_rows,
+           CAST(1 AS BIGINT) AS manifests_removed,
+           TRUE AS files_removed_any,
+           TRUE AS v1_expired
+    FROM events
+    """,
+)
+def vacuum_retention_snapshot_read(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """GC with a RETENTION WINDOW, graded end-to-end (the round-11
+    ``vacuum(retain_versions=N)`` upgrade as a value-checked query, not
+    just a pytest): three commits build a history where v1 holds files
+    no later version shares (v1 publishes run r1, v2 REPUBLISHES r1
+    with different rows, v3 adds r2), then ``vacuum(retain_versions=2)``
+    retires exactly v1 — and the query proves all four contract edges
+    in one hashed row: the INSIDE-window pinned read (version 2)
+    still returns its complete snapshot AFTER the GC, the latest read
+    is untouched, exactly one manifest (v1's) was removed with at
+    least one data file, and re-resolving the EXPIRED version fails
+    loudly (``FileNotFoundError`` reported as ``v1_expired`` — a
+    silent partial read would flip the flag and red the hash).
+
+    At 100 TB this is Delta's ``VACUUM ... RETAIN`` in versions: GC
+    cost is one listing + unreferenced-file deletes, reader safety is
+    a pure function of the retention window, and storage holds only
+    the per-version file-set union the window requires."""
+    import tempfile as _tf
+
+    from etl_cloud_batch_processing_spark.sources import manifest as M
+
+    ev = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint").alias("cents")
+    path = _tf.mkdtemp(prefix="spark_graft_vacret_") + "/t"
+    M.publish_manifested(
+        ev.filter(F.col("event_id") % 3 == 0).select("event_id", cents),
+        path, "r1")                                        # v1: files A
+    M.publish_manifested(
+        ev.filter(F.col("event_id") % 3 == 1).select("event_id", cents),
+        path, "r1")                                        # v2: B retire A
+    M.publish_manifested(
+        ev.filter(F.col("event_id") % 3 == 2).select("event_id", cents),
+        path, "r2")                                        # v3: B + C
+    rep = M.vacuum(spark, path, retain_versions=2)
+    try:
+        M.read_manifest(spark, path, version=1)
+        v1_expired = False
+    except FileNotFoundError:
+        v1_expired = True
+    v2 = (M.read_manifest(spark, path, version=2)
+          .agg(F.count(F.lit(1)).alias("v2_rows")))
+    latest = (M.read_manifest(spark, path)
+              .agg(F.count(F.lit(1)).alias("latest_rows")))
+    return (v2.crossJoin(latest)
+            .select("v2_rows", "latest_rows",
+                    F.lit(rep["manifests_removed"]).cast("bigint")
+                    .alias("manifests_removed"),
+                    F.lit(rep["files_removed"] > 0)
+                    .alias("files_removed_any"),
+                    F.lit(v1_expired).alias("v1_expired")))

@@ -224,5 +224,37 @@ def test_streaming_manifest_ingest_exactly_once(spark, tmp_path):
             .filter(F.col("dt") == "b000000").count() == n0)
 
 
+def test_unpivot_drops_null_cells(spark):
+    """The fixture has every type on every day, so the registered
+    round-trip never exercises UNPIVOT's include-nulls default — pin it
+    on a frame with a genuinely absent (day, type) cell: the NULL cell
+    must NOT come back as a row (matching a GROUP BY), and
+    INCLUDE NULLS must bring it back."""
+    wide = spark.createDataFrame(
+        [(1, 3, None), (2, 1, 5)], "day int, click bigint, view bigint")
+    wide.createOrReplaceTempView("unpivot_pin_wide")
+    base = ("SELECT day, event_type, n FROM unpivot_pin_wide "
+            "UNPIVOT {} (n FOR event_type IN (click, view))")
+    got = sorted(tuple(r) for r in spark.sql(base.format("")).collect())
+    assert got == [(1, "click", 3), (2, "click", 1), (2, "view", 5)]
+    kept = sorted((r.day, r.event_type, r.n) for r in
+                  spark.sql(base.format("INCLUDE NULLS")).collect())
+    assert (1, "view", None) in kept and len(kept) == 4
+
+
+def test_vacuum_retention_query_flags(spark):
+    """The registered retention query's boolean edges are live, not
+    vacuous: the flags come from a real FileNotFoundError and a real
+    files_removed count (rerun the builder and check the one row)."""
+    from etl_cloud_batch_processing_spark.plans.evolution import (
+        vacuum_retention_snapshot_read,
+    )
+
+    r = vacuum_retention_snapshot_read(spark, SF).collect()[0]
+    assert r.v1_expired and r.files_removed_any
+    assert r.manifests_removed == 1
+    assert 0 < r.v2_rows < r.latest_rows
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
