@@ -764,8 +764,17 @@ def probe_band_index(spark: SparkSession, new_docs: DataFrame,
     Only banded collisions move; the batch side is tiny, so AQE
     broadcasts it and the probe never shuffles the index.  Exact
     verification (Jaccard on shingle sets) then runs on the candidate
-    pairs only, exactly as in ``minhash_lsh_near_dup``."""
-    idx = spark.read.parquet(path)
+    pairs only, exactly as in ``minhash_lsh_near_dup``.
+
+    Works against BOTH index storages: the raw partitioned directory
+    (``build_minhash_band_index``) and the manifest-committed form
+    (``band_index_feed_maintenance``) — a manifested probe resolves
+    the snapshot's file set, so it can race a maintenance commit and
+    still see a complete index."""
+    from etl_cloud_batch_processing_spark.sources import manifest as M
+
+    idx = (M.read_manifest(spark, path) if M.has_manifest(spark, path)
+           else spark.read.parquet(path))
     nb = band_table(new_docs)
     return (nb.join(idx.withColumnRenamed("doc_id", "indexed_doc"),
                     ["band", "band_key"])
@@ -1223,3 +1232,75 @@ def dup_graph_2core(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (deg0.join(core, "doc_id", "left")
             .select("doc_id", "degree",
                     F.coalesce("in_", F.lit(False)).alias("in_2core")))
+
+
+_D_MAINT_DOCS = """
+    SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0
+    UNION ALL
+    SELECT doc_id + 1000000000, text FROM documents
+    WHERE doc_id % 13 = 0
+"""
+
+
+@query(
+    "band_index_feed_maintenance",
+    oracle=f"""
+    WITH maint_docs AS ({_D_MAINT_DOCS}),
+    hs AS ({_D_HS.replace("FROM documents ", "FROM maint_docs ")}),
+    mh AS (SELECT doc_id, {_D_MINHASH_AGGS} FROM hs GROUP BY doc_id),
+    bands AS (
+        SELECT doc_id, b.band,
+               ([{", ".join(_D_BAND_KEYS)}])[b.band + 1] AS band_key
+        FROM mh CROSS JOIN (SELECT unnest(range(0, {N_BANDS})) AS band) b)
+    SELECT band,
+           CAST(COUNT(*) AS BIGINT) AS n_entries,
+           CAST(COUNT(DISTINCT band_key) AS BIGINT) AS n_keys,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM bands GROUP BY band ORDER BY band
+    """,
+)
+def band_index_feed_maintenance(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """SEARCH-INDEX delta-feed apply — the third consumer the change
+    feed's docstring promises (plans/evolution.py names "the SCD2
+    merge, an IVM refresh, a search-index delta feed"; round 11 graded
+    the first two, this grades the third): the LSH band index lives as
+    a MANIFEST-COMMITTED table, and a documents change feed maintains
+    it with the index algebra every search engine runs — a DELETE
+    retires all of the doc's band entries (ONE reader-atomic manifest
+    delete commit: probes racing the maintenance see the complete old
+    or complete new index, never a half-deleted doc), an INSERT
+    shingles only the new docs and lands as its own run partition, and
+    an UPDATE decomposes into exactly those two.  Feed arithmetic
+    mirrors the CDF family: every ``%7`` doc deleted, ``%13``-derived
+    new docs inserted.
+
+    The oracle rebuilds the band table FROM SCRATCH on the
+    post-change corpus (the same md5-seeded hash family) and the
+    per-band aggregate — entry count, distinct band keys, distinct
+    docs — is hash-checked equal: one stale entry surviving the
+    delete, one missed insert, or a torn maintenance commit changes a
+    count and reds the row.
+
+    At 100 TB: the delete rewrite touches only files holding the
+    deleted docs' entries (the manifest delete's affected-file
+    discovery), the insert shingles O(new docs), both commits are one
+    rename each — while the oracle deliberately pays the full corpus
+    re-shingle this maintenance path exists to avoid."""
+    import tempfile as _tf
+
+    from etl_cloud_batch_processing_spark.sources import manifest as M
+
+    docs = _par_docs(spark, sf_dir)
+    path = _tf.mkdtemp(prefix="spark_graft_bandmaint_") + "/idx"
+    M.publish_manifested(band_table(docs), path, "base")
+    M.delete_where_manifested(spark, path, (F.col("doc_id") % 7) == 0)
+    inserts = (docs.filter(F.col("doc_id") % 13 == 0)
+               .withColumn("doc_id", F.col("doc_id") + 1000000000))
+    M.publish_manifested(band_table(inserts), path, "b1")
+    return (M.read_manifest(spark, path)
+            .groupBy(F.col("band").cast("int").alias("band"))
+            .agg(F.count(F.lit(1)).alias("n_entries"),
+                 F.countDistinct("band_key").alias("n_keys"),
+                 F.countDistinct("doc_id").alias("n_docs"))
+            .orderBy("band"))

@@ -256,5 +256,38 @@ def test_vacuum_retention_query_flags(spark):
     assert 0 < r.v2_rows < r.latest_rows
 
 
+def test_band_index_feed_maintenance_contents(spark):
+    """Beyond the per-band aggregate hash: the maintained index must
+    contain ZERO entries for deleted docs, every inserted doc's full
+    band set, and stay probe-able (an indexed query still joins)."""
+    import tempfile
+
+    from etl_cloud_batch_processing_spark.operators.dedup import (
+        N_BANDS, _par_docs, band_table, probe_band_index,
+    )
+    from etl_cloud_batch_processing_spark.sources import manifest as M
+
+    docs = _par_docs(spark, SF)
+    path = tempfile.mkdtemp(prefix="bandmaint_test_") + "/idx"
+    M.publish_manifested(band_table(docs), path, "base")
+    M.delete_where_manifested(spark, path, (F.col("doc_id") % 7) == 0)
+    inserts = (docs.filter(F.col("doc_id") % 13 == 0)
+               .withColumn("doc_id", F.col("doc_id") + 1000000000))
+    M.publish_manifested(band_table(inserts), path, "b1")
+    idx = M.read_manifest(spark, path)
+    assert idx.filter((F.col("doc_id") % 7 == 0)
+                      & (F.col("doc_id") < 1000000000)).count() == 0
+    n_ins_docs = band_table(inserts).select("doc_id").distinct().count()
+    assert (idx.filter(F.col("doc_id") >= 1000000000)
+            .select("doc_id").distinct().count() == n_ins_docs)
+    per_doc = (idx.groupBy("doc_id").count().select("count").distinct()
+               .collect())
+    assert [r["count"] for r in per_doc] == [N_BANDS]  # full band sets
+    # the maintained index still serves probes (self-probe finds the
+    # inserted copies colliding with their source docs)
+    hits = probe_band_index(spark, inserts.limit(50), path)
+    assert hits.filter(F.col("indexed_doc") < 1000000000).count() > 0
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
