@@ -1923,7 +1923,11 @@ def _ivf_probe_cells(vecs: DataFrame, cents_raw: DataFrame) -> DataFrame:
 #: Per-PROCESS token in the index path: two concurrent sessions on the
 #: same sf tag would otherwise race one's full-path rebuild against the
 #: other's probe/append (same class as operators/dedup._BAND_PROC_TOKEN).
+#: Own dirs are atexit-removed and stale crash leftovers swept — the
+#: dedup module's _register_token_dir_cleanup discipline.
 _IVF_PROC_TOKEN = __import__("uuid").uuid4().hex[:8]
+
+_IVF_CLEANUP_DONE = False
 
 
 def _ivf_index_root(spark: SparkSession) -> str:
@@ -1932,8 +1936,19 @@ def _ivf_index_root(spark: SparkSession) -> str:
     unique per process so concurrent sessions never share a root."""
     import pathlib
 
-    return str(pathlib.Path(__file__).resolve().parents[2]
+    from etl_cloud_batch_processing_spark.operators.dedup import (
+        _register_token_dir_cleanup,
+    )
+
+    global _IVF_CLEANUP_DONE
+    root = str(pathlib.Path(__file__).resolve().parents[2]
                / "spark-warehouse" / f"ivf_index-{_IVF_PROC_TOKEN}")
+    if not _IVF_CLEANUP_DONE:
+        _register_token_dir_cleanup(root, "ivf_index-")
+        # the steady twin lives at <root>_steady/<tag>
+        _register_token_dir_cleanup(f"{root}_steady", "ivf_index-")
+        _IVF_CLEANUP_DONE = True
+    return root
 
 
 #: Shared oracle for BOTH incremental-index queries: the full

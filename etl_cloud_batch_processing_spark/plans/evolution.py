@@ -448,6 +448,14 @@ def apply_feed_to_grouped_sum(state: DataFrame, feed: DataFrame,
     state unchanged (tests/test_round11_ops.py pins the no-op).  Rows
     the feed touches advance their watermark to ``feed_version``;
     ``max()`` over the state is therefore the applied high-water mark.
+    Two watermark edges (round-11 advice): an EMPTY state (initial
+    load, or a state whose every group was deleted) coalesces the
+    watermark to −1 so the first feed applies instead of being
+    silently discarded against a NULL max; and a feed STRICTLY OLDER
+    than the watermark raises at execution time (``raise_error``
+    inside the gate) — replaying the already-applied version is a
+    no-op, but an unapplied older feed would be data loss, never a
+    silent skip.
 
     At 100 TB: the feed is O(changes), the delta aggregate is one
     map-side-combined pass over it, and the merge touches the group
@@ -457,7 +465,17 @@ def apply_feed_to_grouped_sum(state: DataFrame, feed: DataFrame,
            .otherwise(F.lit(0)))
     d_sum = (F.coalesce(F.col(f"new_{val}"), F.lit(0))
              - F.coalesce(F.col(f"old_{val}"), F.lit(0)))
-    gate = F.broadcast(state.agg(F.max("__applied_v").alias("__av")))
+    wm = F.coalesce(F.max("__applied_v"), F.lit(-1)).cast("bigint")
+    gate = F.broadcast(state.agg(
+        F.when(F.lit(feed_version).cast("bigint") >= wm, wm)
+        .otherwise(F.raise_error(F.concat(
+            F.lit(f"apply_feed_to_grouped_sum: feed version "
+                  f"{feed_version} is OLDER than the applied "
+                  f"watermark "),
+            wm.cast("string"),
+            F.lit(" — an unapplied out-of-order feed is data loss, "
+                  "not a replay; refusing to skip it silently"))))
+        .alias("__av")))
     delta = (feed.groupBy((F.col(key) % grp_mod).alias("grp"))
              .agg(F.sum(d_n).alias("d_n"), F.sum(d_sum).alias("d_sum"))
              .crossJoin(gate)

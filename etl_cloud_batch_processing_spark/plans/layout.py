@@ -364,9 +364,14 @@ def zorder_manifested_optimize(spark: SparkSession,
                     # invariant, not a pinned count: repartitionByRange
                     # emits ≤ num_files files (empty ranges write none
                     # at small SF / skewed Morton keys), so the oracle
-                    # gates 1 ≤ files_after ≤ requested instead of
-                    # redding on layout-irrelevant emptiness
-                    F.lit(bool(1 <= stats["files_after"]
+                    # gates 2 ≤ files_after ≤ requested instead of
+                    # redding on layout-irrelevant emptiness — lower
+                    # bound 2 (round-11 advice) so a degenerate rewrite
+                    # collapsing everything into ONE file (destroying
+                    # the multi-file zone-map layout this query is
+                    # about) reds the row directly, not only via the
+                    # indirect zone_maps_prune flag
+                    F.lit(bool(2 <= stats["files_after"]
                                <= ZM_FILES_AFTER)).alias("files_after_ok"),
                     F.lit(v1).cast("bigint").alias("v_before"),
                     F.lit(stats["version"]).cast("bigint")

@@ -44,28 +44,63 @@ if TYPE_CHECKING:
 #: driver↔worker state protocol.
 VENDORED_PROTOBUF_DIR = "/usr/lib/google-cloud-sdk/platform/google_appengine"
 
-#: Fixed, cross-process shim root: a directory whose ONLY content is
+#: Per-UID, cross-process shim root: a directory whose ONLY content is
 #: ``google/__init__.py`` (pkgutil extend_path — cooperates with any
 #: site ``google`` namespace) plus a ``google/protobuf`` symlink into
 #: the vendored runtime.  Putting THIS on sys.path/PYTHONPATH instead
 #: of the whole google_appengine platform dir means none of that dir's
 #: other packages (google.auth, google.oauth2, appengine, top-level
 #: api_server.py, …) can shadow real site-packages — the round-10
-#: advice.  Local-mode note: workers share the box, so one driver-side
-#: build serves every process; a real cluster would ship the subtree
-#: via ``--py-files`` instead.
-PROTOBUF_SHIM_DIR = "/tmp/spark_graft_protobuf_shim"
+#: advice.  The path carries the uid and the builder VERIFIES
+#: ownership before trusting an existing dir (round-11 advice: a fixed
+#: world-readable /tmp name could be pre-created by another local user
+#: with a malicious ``google/`` package and imported into the driver
+#: and every executor); an untrusted squatter falls back to a
+#: process-private 0700 tempdir.  Local-mode note: workers share the
+#: box AND the uid, so one driver-side build serves every process; a
+#: real cluster would ship the subtree via ``--py-files`` instead.
+
+
+def _default_shim_dir() -> str:
+    import os
+    import tempfile
+
+    return os.path.join(tempfile.gettempdir(),
+                        f"spark_graft_protobuf_shim-{os.getuid()}")
+
+
+PROTOBUF_SHIM_DIR = _default_shim_dir()
 
 _SHIM_INIT = ("__path__ = __import__('pkgutil')"
               ".extend_path(__path__, __name__)\n")
+
+
+def _owned_by_me(path: str) -> bool:
+    """True iff ``path`` is a directory owned by this uid and not
+    group/world-writable — the trust gate before putting ANY
+    pre-existing directory on an import path."""
+    import os
+
+    try:
+        st = os.lstat(path)
+    except OSError:
+        return False
+    import stat as _stat
+
+    return (st.st_uid == os.getuid()
+            and _stat.S_ISDIR(st.st_mode)
+            and not (st.st_mode & 0o022))
 
 
 def build_protobuf_shim(vendor: str = VENDORED_PROTOBUF_DIR,
                         shim: str = PROTOBUF_SHIM_DIR) -> str | None:
     """Create (idempotently, race-safely) the google/protobuf-only shim
     dir and return it, or None when the vendored runtime is absent.
-    Built in a private tempdir and renamed into place so two processes
-    racing the build both end up with a complete shim."""
+    Built in a private 0700 tempdir and renamed into place so two
+    processes racing the build both end up with a complete shim.  An
+    existing dir is trusted ONLY if owned by this uid and not
+    group/world-writable; otherwise the build lands in a fresh
+    process-private tempdir instead (never imports a squatter's code)."""
     import os
     import tempfile
 
@@ -74,7 +109,11 @@ def build_protobuf_shim(vendor: str = VENDORED_PROTOBUF_DIR,
         return None
     probe = os.path.join(shim, "google", "protobuf")
     if os.path.isdir(probe):     # follows the symlink
-        return shim
+        if _owned_by_me(shim):
+            return shim
+        # squatted / wrong owner: never trust it — build private
+        shim = tempfile.mkdtemp(prefix="spark_graft_protobuf_shim-priv-")
+        probe = os.path.join(shim, "google", "protobuf")
     stage = tempfile.mkdtemp(prefix=os.path.basename(shim) + ".build-",
                              dir=os.path.dirname(shim) or None)
     os.makedirs(os.path.join(stage, "google"), exist_ok=True)
@@ -87,7 +126,7 @@ def build_protobuf_shim(vendor: str = VENDORED_PROTOBUF_DIR,
         import shutil
 
         shutil.rmtree(stage, ignore_errors=True)
-    return shim if os.path.isdir(probe) else None
+    return shim if (os.path.isdir(probe) and _owned_by_me(shim)) else None
 
 
 def ensure_protobuf() -> bool:
@@ -248,17 +287,36 @@ def _bootstrapped_base():
             # serializes by VALUE into a pre-init runner that can
             # import nothing from this package): a shim dir holding
             # ONLY google/protobuf, so no other vendored package can
-            # shadow site-packages
+            # shadow site-packages; per-uid path + ownership gate
+            # (round-11 advice — never import a squatter's code)
+            import stat as _stat
+            import tempfile
+
             vendor = ("/usr/lib/google-cloud-sdk/platform/"
                       "google_appengine")
-            shim = "/tmp/spark_graft_protobuf_shim"
+            shim = os.path.join(
+                tempfile.gettempdir(),
+                f"spark_graft_protobuf_shim-{os.getuid()}")
             src = os.path.join(vendor, "google", "protobuf")
             if not os.path.isdir(src):
                 return
+
+            def _mine(p: str) -> bool:
+                try:
+                    st = os.lstat(p)
+                except OSError:
+                    return False
+                return (st.st_uid == os.getuid()
+                        and _stat.S_ISDIR(st.st_mode)
+                        and not (st.st_mode & 0o022))
+
+            if os.path.isdir(os.path.join(shim, "google", "protobuf")) \
+                    and not _mine(shim):
+                shim = tempfile.mkdtemp(
+                    prefix="spark_graft_protobuf_shim-priv-")
             if not os.path.isdir(os.path.join(shim, "google",
                                               "protobuf")):
                 import shutil
-                import tempfile
 
                 stage = tempfile.mkdtemp(
                     prefix=os.path.basename(shim) + ".build-",
@@ -275,8 +333,9 @@ def _bootstrapped_base():
                     os.rename(stage, shim)
                 except OSError:
                     shutil.rmtree(stage, ignore_errors=True)
-            if not os.path.isdir(os.path.join(shim, "google",
-                                              "protobuf")):
+            if not (os.path.isdir(os.path.join(shim, "google",
+                                               "protobuf"))
+                    and _mine(shim)):
                 return
             os.environ["TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"] \
                 = "true"

@@ -93,5 +93,21 @@ def test_remeasure_sf_dir_derived_and_validated(monkeypatch):
         cb._resolve_sf_dir(None)          # nothing safe to derive from
 
 
+def test_remeasure_sf_compares_numerically(monkeypatch):
+    """round-11 advice (low): ``1`` vs ``1.0`` vs ``"0.10"`` are the
+    SAME scale — string comparison used to hard-error on a numerically
+    equal env dir, or derive a nonexistent path with no env."""
+    cb = _load_tool()
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    assert cb._resolve_sf_dir("0.10") == "/root/testdata/sf0.1"
+    assert cb._resolve_sf_dir(0.1) == "/root/testdata/sf0.1"
+    monkeypatch.delenv("SPARK_GRAFT_SF_DIR", raising=False)
+    # normalized spelling matches the testdata layout (sf0.1, not sf0.10)
+    assert cb._resolve_sf_dir("0.10") == "/root/testdata/sf0.1"
+    assert cb._resolve_sf_dir(1.0) == "/root/testdata/sf1"
+    with pytest.raises(SystemExit):
+        cb._resolve_sf_dir("banana")      # unparseable sf still refuses
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])

@@ -60,11 +60,25 @@ def _load(path: str) -> tuple[dict, dict, object]:
     return doc.get("queries", {}), doc.get("spread", {}), doc.get("sf")
 
 
+def _sf_value(raw: object) -> float | None:
+    """Numeric scale factor from a recorded ``sf`` or a directory
+    basename like ``sf0.1`` — comparisons are NUMERIC (round-11
+    advice: ``1`` vs ``1.0`` vs ``"0.10"`` are the same scale and must
+    not hard-error or derive a nonexistent path)."""
+    s = str(raw).strip()
+    if s.startswith("sf"):
+        s = s[2:]
+    try:
+        return float(s)
+    except ValueError:
+        return None
+
+
 def _resolve_sf_dir(new_sf: object) -> str:
     """The sf_dir a remeasure must run at: derived from the NEW bench
     doc's recorded ``sf``; SPARK_GRAFT_SF_DIR may confirm but never
     silently override it (fresh numbers from a different scale would
-    clear genuine regressions)."""
+    clear genuine regressions).  Both sides compare NUMERICALLY."""
     import os
 
     env = os.environ.get("SPARK_GRAFT_SF_DIR")
@@ -74,13 +88,22 @@ def _resolve_sf_dir(new_sf: object) -> str:
         raise SystemExit("remeasure: the new bench doc records no 'sf' "
                          "and SPARK_GRAFT_SF_DIR is unset — cannot "
                          "pick a scale factor safely")
-    derived = f"/root/testdata/sf{new_sf}"
-    if env and os.path.basename(env.rstrip("/")) != f"sf{new_sf}":
-        raise SystemExit(
-            f"remeasure: SPARK_GRAFT_SF_DIR={env} does not match the "
-            f"new bench doc's sf={new_sf}; refusing to re-price at a "
-            "different scale (it would silently clear real regressions)")
-    return env or derived
+    want = _sf_value(new_sf)
+    if want is None:
+        raise SystemExit(f"remeasure: unparseable sf={new_sf!r} in the "
+                         "new bench doc")
+    if env:
+        have = _sf_value(os.path.basename(env.rstrip("/")))
+        if have is None or have != want:
+            raise SystemExit(
+                f"remeasure: SPARK_GRAFT_SF_DIR={env} does not match "
+                f"the new bench doc's sf={new_sf}; refusing to re-price "
+                "at a different scale (it would silently clear real "
+                "regressions)")
+        return env
+    # normalized spelling (0.10 -> 0.1, 1.0 -> 1) matches the testdata
+    # directory layout
+    return f"/root/testdata/sf{want:g}"
 
 
 def _remeasure(names: list[str], n_runs: int,
