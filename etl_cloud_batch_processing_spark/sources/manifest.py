@@ -20,7 +20,14 @@ idea at its minimum honest size:
 * retired files stay on disk until :func:`vacuum`, which is what makes
   an in-flight reader of the PREVIOUS version keep working (snapshot
   isolation); ``read_manifest(version=N)`` exposes the same property
-  as explicit time travel.
+  as explicit time travel;
+* deletes come in BOTH lakehouse flavors: copy-on-write
+  (:func:`delete_where_manifested` — survivors rewritten, originals
+  retired) and merge-on-read (:func:`delete_where_mor` — deleted
+  positions land in a deletion-vector sidecar, entries gain a ``dv``
+  reference, data files are NEVER rewritten; readers apply the DV as a
+  broadcast anti-join and :func:`compact_manifested` folds it back
+  into data).
 
 Concurrency: the commit write is EXCLUSIVE (``writers.
 _fs_write_exclusive``: POSIX ``link(2)`` on local FS — atomic, fails
@@ -112,26 +119,84 @@ def read_manifest_files(spark: SparkSession, path: str,
     recorded dt (e.g. delete rewrites spanning partitions) are
     conservatively always included."""
     base = path.rstrip("/")
+    return [f"{base}/{e['file']}"
+            for e in _pruned_entries(spark, base, dts, version)]
+
+
+def _pruned_entries(spark: SparkSession, base: str,
+                    dts: list[str] | None,
+                    version: int | None) -> list[dict]:
     _, entries = current_manifest(spark, base, version)
     if dts is not None:
         want = set(dts)
         entries = [e for e in entries
                    if e.get("dt") is None or e["dt"] in want]
-    return [f"{base}/{e['file']}" for e in entries]
+    return entries
+
+
+def _dv_union(spark: SparkSession, base: str,
+              entries: list[dict]) -> DataFrame | None:
+    """Union of every deletion-vector sidecar the entries reference
+    (``fname STRING, row_index BIGINT`` rows naming deleted positions),
+    or None when the snapshot carries no DVs."""
+    rels = sorted({p for e in entries for p in (e.get("dv") or ())})
+    if not rels:
+        return None
+    return spark.read.parquet(*[f"{base}/{p}" for p in rels])
+
+
+def _apply_dvs(scan: DataFrame, dv: DataFrame) -> DataFrame:
+    """Mask DV'd positions out of a scan that carries ``__fname``/
+    ``__ri`` metadata columns: one BROADCAST anti-join on (file name,
+    row index) — part-file names are globally unique (writer UUIDs),
+    so the global join is exactly the per-file position mask."""
+    return scan.join(
+        F.broadcast(dv.select(F.col("fname").alias("__fname"),
+                              F.col("row_index").alias("__ri"))),
+        ["__fname", "__ri"], "left_anti")
+
+
+def _scan_with_meta(spark: SparkSession, base: str,
+                    entries: list[dict]) -> DataFrame:
+    """Every live row of ``entries`` with ``__fname``/``__ri`` parquet
+    metadata columns attached and deletion vectors APPLIED — the
+    DV-aware scan the write paths (MoR delete discovery, CoW rewrite
+    read sets) share so an already-DV-deleted row can never be
+    re-deleted or resurrected by a rewrite."""
+    files = [f"{base}/{e['file']}" for e in entries]
+    scan = (spark.read.parquet(*files)
+            .withColumn("__fname", F.col("_metadata.file_name"))
+            .withColumn("__ri", F.col("_metadata.row_index")))
+    dv = _dv_union(spark, base, entries)
+    return scan if dv is None else _apply_dvs(scan, dv)
 
 
 def read_manifest(spark: SparkSession, path: str,
                   dts: list[str] | None = None,
                   version: int | None = None) -> DataFrame:
     """Snapshot read: scan exactly the files the (selected) manifest
-    version lists.  Two readers holding different versions see two
-    consistent tables; a commit between their list and scan steps
-    cannot tear either one (retired files persist until vacuum)."""
-    files = read_manifest_files(spark, path, dts, version)
-    if not files:
+    version lists, masking any deletion-vector'd positions.  Two
+    readers holding different versions see two consistent tables; a
+    commit between their list and scan steps cannot tear either one
+    (retired files persist until vacuum).
+
+    MoR cost model: files WITHOUT deletion vectors take the plain
+    scan path untouched; only DV'd files read the (free) parquet
+    metadata columns and pass through one broadcast anti-join on
+    (file name, row index) — Delta's DV read shape."""
+    base = path.rstrip("/")
+    entries = _pruned_entries(spark, base, dts, version)
+    if not entries:
         raise ValueError(f"manifest at {path} lists no files "
                          "(fully-deleted table); nothing to read")
-    return spark.read.parquet(*files)
+    plain = [f"{base}/{e['file']}" for e in entries if not e.get("dv")]
+    dvd = [e for e in entries if e.get("dv")]
+    if not dvd:
+        return spark.read.parquet(*plain)
+    masked = _scan_with_meta(spark, base, dvd).drop("__fname", "__ri")
+    if not plain:
+        return masked
+    return spark.read.parquet(*plain).unionByName(masked)
 
 
 def init_manifest(spark: SparkSession, path: str) -> int:
@@ -181,7 +246,9 @@ def commit_manifest(spark: SparkSession, path: str,
         entries = current_manifest(spark, base, cur)[1] if versions else []
         drop = set(remove)
         new_entries = ([e for e in entries if e["file"] not in drop]
-                       + [{"file": e["file"], "dt": e.get("dt")}
+                       + [{"file": e["file"], "dt": e.get("dt"),
+                           **({"dv": list(e["dv"])} if e.get("dv")
+                              else {})}
                           for e in add])
         names = [e["file"] for e in new_entries]
         if len(names) != len(set(names)):
@@ -225,8 +292,11 @@ def vacuum(spark: SparkSession, path: str,
     if not versions:
         raise FileNotFoundError(f"no manifest under {base}")
     retained = versions[-retain_versions:]
-    live = {e["file"] for v in retained
-            for e in current_manifest(spark, base, v)[1]}
+    live = set()
+    for v in retained:
+        for e in current_manifest(spark, base, v)[1]:
+            live.add(e["file"])
+            live.update(e.get("dv") or ())   # DV sidecars stay live
     base_uri = fs.makeQualified(hpath(base)).toString().rstrip("/")
     files_removed = 0
     it = fs.listFiles(hpath(base), True)
@@ -377,6 +447,65 @@ def publish_manifested(df: DataFrame, path: str, run_date: str,
     return report
 
 
+def delete_where_mor(spark: SparkSession, path: str, predicate) -> dict:
+    """MERGE-ON-READ delete: record the matched rows' positions in a
+    deletion-vector sidecar and flip ONE manifest version that attaches
+    the DV reference to each affected entry — NO data file is read
+    beyond the predicate scan and NO data file is rewritten (the
+    round-11 verdict's #2 ask: a copy-on-write GDPR delete touching one
+    row per file rewrites the table at 100 TB; the public lakehouse
+    answer is deletion vectors applied as an anti-join at read time,
+    reclaimed by compaction).
+
+    Mechanics: the DV-aware scan (existing DVs applied, so an
+    already-deleted row can never be re-deleted into a second DV)
+    filters the predicate and writes the hit positions — ``(fname,
+    row_index)`` — as a parquet sidecar under ``.data/dv-<uid>/``; one
+    commit re-adds each affected entry with the sidecar appended to its
+    ``dv`` list.  Readers of older versions see entries without the
+    reference (time travel across a MoR delete is free); vacuum keeps
+    referenced sidecars alive; :func:`compact_manifested` reads through
+    :func:`read_manifest` and therefore FOLDS the DVs into its rewrite,
+    which is the reclaim path.  Same NULL semantics as the CoW deletes:
+    rows whose predicate is NULL survive.
+
+    Returns ``{"version", "files_affected", "rows_deleted",
+    "dv_files"}``."""
+    base = path.rstrip("/")
+    _, hpath, fs = _fs(spark, base)
+    cur_v, entries = current_manifest(spark, base)
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+
+    rel_dir = f".data/dv-{uuid.uuid4().hex[:8]}"
+    (_scan_with_meta(spark, base, entries)
+     .filter(pred)
+     .select(F.col("__fname").alias("fname"),
+             F.col("__ri").cast("bigint").alias("row_index"))
+     .coalesce(1)
+     .write.mode("overwrite").parquet(f"{base}/{rel_dir}"))
+    staged = spark.read.parquet(f"{base}/{rel_dir}")
+    rows_deleted = staged.count()
+    if rows_deleted == 0:
+        fs.delete(hpath(f"{base}/{rel_dir}"), True)
+        return {"version": cur_v, "files_affected": 0,
+                "rows_deleted": 0, "dv_files": []}
+    # driver fetch: affected FILE NAME list — file-count grain, decides
+    # which manifest entries carry the new DV reference
+    names = {r["fname"] for r in
+             staged.select("fname").distinct().collect()}  # driver fetch
+    dv_files = _rel_parquet(hpath, fs, base, rel_dir)
+    affected = [e for e in entries
+                if e["file"].rsplit("/", 1)[-1] in names]
+    v = commit_manifest(
+        spark, base,
+        add=[{"file": e["file"], "dt": e.get("dt"),
+              "dv": list(e.get("dv") or ()) + dv_files}
+             for e in affected],
+        remove=[e["file"] for e in affected], retries=3)
+    return {"version": v, "files_affected": len(affected),
+            "rows_deleted": rows_deleted, "dv_files": dv_files}
+
+
 def replace_manifested(spark: SparkSession, path: str, delete_pred,
                        insert_df: DataFrame, run_date: str) -> dict:
     """Delete + insert as ONE atomic manifest commit — the transactional
@@ -407,24 +536,26 @@ def replace_manifested(spark: SparkSession, path: str, delete_pred,
     base = path.rstrip("/")
     _, hpath, fs = _fs(spark, base)
     _, entries = current_manifest(spark, base)
-    live_abs = [f"{base}/{e['file']}" for e in entries]
     pred = (F.expr(delete_pred) if isinstance(delete_pred, str)
             else delete_pred)
 
     # driver fetch: affected-FILE list (file-count grain, immediately
-    # the rewrite's read set — the delete_where_manifested discipline)
-    hits = [r["__f"] for r in (spark.read.parquet(*live_abs)
-                               .filter(pred)
-                               .select(F.input_file_name().alias("__f"))
-                               .distinct().collect())]  # driver fetch
-    affected_rel = sorted(
-        e["file"] for e in entries
-        if any(h.endswith("/" + e["file"]) for h in hits))
+    # the rewrite's read set — the delete_where_manifested discipline);
+    # DV-aware scan so an already-MoR-deleted row can't mark a file
+    hits = {r["__fname"] for r in
+            (_scan_with_meta(spark, base, entries)
+             .filter(pred).select("__fname")
+             .distinct().collect())}  # driver fetch
+    aff_entries = sorted(
+        (e for e in entries if e["file"].rsplit("/", 1)[-1] in hits),
+        key=lambda e: e["file"])
+    affected_rel = [e["file"] for e in aff_entries]
 
     rows_deleted = rows_rewritten = 0
     survivor_files: list[str] = []
     if affected_rel:
-        sub = spark.read.parquet(*[f"{base}/{f}" for f in affected_rel])
+        sub = (_scan_with_meta(spark, base, aff_entries)
+               .drop("__fname", "__ri"))
         rows_read = sub.count()
         rows_deleted = sub.filter(pred).count()
         survivors = sub.filter(~F.coalesce(pred, F.lit(False)))
@@ -482,24 +613,27 @@ def delete_where_manifested(spark: SparkSession, path: str,
     _, hpath, fs = _fs(spark, base)
     cur_v, entries = current_manifest(spark, base)
     files_total = len(entries)
-    live_abs = [f"{base}/{e['file']}" for e in entries]
     pred = F.expr(predicate) if isinstance(predicate, str) else predicate
 
     # driver fetch: the affected-FILE list — bounded by file count,
     # not rows, immediately pushed back down as the rewrite's read set
-    # (same grain as writers.delete_where's discovery fetch).
-    hits = [r["__f"] for r in (spark.read.parquet(*live_abs)
-                               .filter(pred)
-                               .select(F.input_file_name().alias("__f"))
-                               .distinct().collect())]  # driver fetch
-    affected_rel = sorted(
-        e["file"] for e in entries
-        if any(h.endswith("/" + e["file"]) for h in hits))
+    # (same grain as writers.delete_where's discovery fetch); DV-aware
+    # so already-MoR-deleted rows neither mark files nor resurrect in
+    # the survivor rewrite.
+    hits = {r["__fname"] for r in
+            (_scan_with_meta(spark, base, entries)
+             .filter(pred).select("__fname")
+             .distinct().collect())}  # driver fetch
+    aff_entries = sorted(
+        (e for e in entries if e["file"].rsplit("/", 1)[-1] in hits),
+        key=lambda e: e["file"])
+    affected_rel = [e["file"] for e in aff_entries]
     if not affected_rel:
         return {"files_affected": 0, "files_total": files_total,
                 "rows_deleted": 0, "rows_rewritten": 0}
 
-    sub = spark.read.parquet(*[f"{base}/{f}" for f in affected_rel])
+    sub = (_scan_with_meta(spark, base, aff_entries)
+           .drop("__fname", "__ri"))
     rows_read = sub.count()
     rows_deleted = sub.filter(pred).count()
     survivors = sub.filter(~F.coalesce(pred, F.lit(False)))

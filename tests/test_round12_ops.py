@@ -198,6 +198,116 @@ def test_replace_manifested_zero_hit_delete_still_inserts(spark, tmp_path):
     assert got == [(1, 10), (5, 50)]
 
 
+# ---------------------------------------------------------------------------
+# Merge-on-read deletes (round-11 verdict ask #2): deletion vectors.
+# ---------------------------------------------------------------------------
+
+def _file_bytes(root):
+    """{relative parquet path: content bytes} under a table root."""
+    import pathlib
+
+    r = pathlib.Path(root)
+    return {str(p.relative_to(r)): p.read_bytes()
+            for p in r.rglob("*.parquet")}
+
+
+def test_mor_delete_leaves_data_files_byte_identical(spark, tmp_path):
+    """The MoR contract: after delete_where_mor every pre-existing data
+    file is byte-identical, the snapshot read masks the deleted rows,
+    and the result hash-equals the copy-on-write twin on an identical
+    table."""
+    from etl_cloud_batch_processing_spark.sources import manifest as M
+
+    rows = [(i, i * 10) for i in range(40)]
+    cow_path, mor_path = str(tmp_path / "cow"), str(tmp_path / "mor")
+    for p in (cow_path, mor_path):
+        df = spark.createDataFrame(rows, "k BIGINT, v BIGINT")
+        df.repartition(4).write.mode("overwrite").parquet(p)
+        M.init_manifest(spark, p)
+
+    pre = {f: b for f, b in _file_bytes(mor_path).items()
+           if not f.startswith(".data/")}
+    rep = M.delete_where_mor(spark, mor_path, F.col("k") % 5 == 0)
+    assert rep["rows_deleted"] == 8 and rep["files_affected"] >= 1
+    post = {f: b for f, b in _file_bytes(mor_path).items()
+            if not f.startswith(".data/")}
+    assert pre == post                       # zero data files rewritten
+
+    M.delete_where_manifested(spark, cow_path, F.col("k") % 5 == 0)
+    mor = sorted(tuple(r) for r in
+                 M.read_manifest(spark, mor_path).select("k", "v")
+                 .collect())
+    cow = sorted(tuple(r) for r in
+                 M.read_manifest(spark, cow_path).select("k", "v")
+                 .collect())
+    assert mor == cow == [(i, i * 10) for i in range(40) if i % 5]
+    # time travel to v1 ignores the DV (pre-delete snapshot intact)
+    assert M.read_manifest(spark, mor_path, version=1).count() == 40
+
+
+def test_mor_dvs_accumulate_and_compaction_folds_them(spark, tmp_path):
+    """Two MoR deletes stack DV references on the same entries without
+    re-deleting already-masked rows; compact_manifested folds the DVs
+    into a rewrite (post-compact entries carry no dv and the raw files
+    hold exactly the surviving rows)."""
+    from etl_cloud_batch_processing_spark.sources import manifest as M
+
+    path = str(tmp_path / "t")
+    (spark.createDataFrame([(i, i) for i in range(30)],
+                           "k BIGINT, v BIGINT")
+     .repartition(2).write.mode("overwrite").parquet(path))
+    M.init_manifest(spark, path)
+    M.delete_where_mor(spark, path, F.col("k") < 10)
+    rep2 = M.delete_where_mor(spark, path, F.col("k") < 20)
+    assert rep2["rows_deleted"] == 10        # 0-9 already masked
+    _, entries = M.current_manifest(spark, path)
+    assert all(len(e.get("dv") or ()) >= 1 for e in entries)
+    assert M.read_manifest(spark, path).count() == 10
+
+    M.compact_manifested(spark, path)
+    _, entries = M.current_manifest(spark, path)
+    assert all(not e.get("dv") for e in entries)   # folded
+    raw = sorted(r["k"] for r in spark.read.parquet(
+        *[f"{path}/{e['file']}" for e in entries]).collect())
+    assert raw == list(range(20, 30))
+
+
+def test_mor_vacuum_keeps_live_dv_sidecars(spark, tmp_path):
+    """vacuum must treat referenced DV sidecars as live (they are
+    .parquet files too) — after retiring the pre-delete version the
+    masked read still works and still excludes the deleted rows."""
+    from etl_cloud_batch_processing_spark.sources import manifest as M
+
+    path = str(tmp_path / "t")
+    (spark.createDataFrame([(i,) for i in range(20)], "k BIGINT")
+     .coalesce(1).write.mode("overwrite").parquet(path))
+    M.init_manifest(spark, path)
+    M.delete_where_mor(spark, path, F.col("k") >= 15)
+    M.vacuum(spark, path, retain_versions=1)
+    got = sorted(r["k"] for r in
+                 M.read_manifest(spark, path).collect())
+    assert got == list(range(15))
+
+
+def test_cow_delete_on_dvd_table_does_not_resurrect(spark, tmp_path):
+    """A copy-on-write delete whose rewrite touches DV'd files must
+    fold the DVs into the survivor rewrite — never resurrect
+    MoR-deleted rows."""
+    from etl_cloud_batch_processing_spark.sources import manifest as M
+
+    path = str(tmp_path / "t")
+    (spark.createDataFrame([(i,) for i in range(12)], "k BIGINT")
+     .coalesce(1).write.mode("overwrite").parquet(path))
+    M.init_manifest(spark, path)
+    M.delete_where_mor(spark, path, F.col("k") < 3)       # mask 0-2
+    M.delete_where_manifested(spark, path, F.col("k") >= 9)  # CoW 9-11
+    got = sorted(r["k"] for r in
+                 M.read_manifest(spark, path).collect())
+    assert got == [3, 4, 5, 6, 7, 8]
+    _, entries = M.current_manifest(spark, path)
+    assert all(not e.get("dv") for e in entries)  # rewrite folded the DV
+
+
 def test_token_dir_cleanup_sweeps_stale_siblings(tmp_path):
     """_register_token_dir_cleanup removes crashed processes' stale
     token dirs (mtime past the staleness window) but never fresh
