@@ -87,11 +87,10 @@ def has_manifest(spark: SparkSession, path: str) -> bool:
     return bool(_versions(hpath, fs, path.rstrip("/")))
 
 
-def current_manifest(spark: SparkSession, path: str,
-                     version: int | None = None) -> tuple[int, list[dict]]:
-    """(version, entries) of the latest — or an explicitly requested —
-    manifest version.  Entries are ``{"file": <relative path>,
-    "dt": <str | None>}``."""
+def _manifest_doc(spark: SparkSession, path: str,
+                  version: int | None = None) -> tuple[int, dict]:
+    """(version, full manifest document) of the latest — or an
+    explicitly requested — version."""
     from etl_cloud_batch_processing_spark.sources.writers import (
         _fs_read_text,
     )
@@ -105,8 +104,47 @@ def current_manifest(spark: SparkSession, path: str,
     if v not in versions:
         raise FileNotFoundError(f"manifest version {v} not found under "
                                 f"{base} (have {versions})")
-    doc = json.loads(_fs_read_text(jvm, fs, f"{base}/{_mf_name(v)}"))
+    return v, json.loads(_fs_read_text(jvm, fs, f"{base}/{_mf_name(v)}"))
+
+
+def current_manifest(spark: SparkSession, path: str,
+                     version: int | None = None) -> tuple[int, list[dict]]:
+    """(version, entries) of the latest — or an explicitly requested —
+    manifest version.  Entries are ``{"file": <relative path>,
+    "dt": <str | None>}`` plus an optional ``"dv"`` sidecar list."""
+    v, doc = _manifest_doc(spark, path, version)
     return v, doc["entries"]
+
+
+def manifest_schema(spark: SparkSession, path: str,
+                    version: int | None = None) -> dict | None:
+    """The schema (Spark StructType ``jsonValue`` dict) RECORDED in the
+    selected manifest version, or None for manifests committed before
+    schema recording existed.  Each version carries its OWN schema —
+    ``version=`` time travel returns the table as that version knew
+    it, the Delta/Iceberg metadata contract."""
+    _, doc = _manifest_doc(spark, path, version)
+    return doc.get("schema")
+
+
+def _merged_schema(cur: dict | None, add: dict) -> dict:
+    """Schema-evolution union: current fields in order, new fields
+    appended by name.  A same-name type CONFLICT raises — implicit
+    type rewriting is data corruption, never silent."""
+    if cur is None:
+        return add
+    have = {f["name"]: f for f in cur["fields"]}
+    out = list(cur["fields"])
+    for f in add["fields"]:
+        g = have.get(f["name"])
+        if g is None:
+            out.append(f)
+        elif g["type"] != f["type"]:
+            raise ValueError(
+                f"schema evolution type conflict on column "
+                f"{f['name']!r}: table has {g['type']!r}, incoming "
+                f"write has {f['type']!r}")
+    return {"type": "struct", "fields": out}
 
 
 def read_manifest_files(spark: SparkSession, path: str,
@@ -156,15 +194,28 @@ def _apply_dvs(scan: DataFrame, dv: DataFrame) -> DataFrame:
         ["__fname", "__ri"], "left_anti")
 
 
+def _reader(spark: SparkSession, schema: dict | None):
+    """Parquet reader, pinned to the manifest-recorded schema when one
+    exists: files written BEFORE a column was added come back with
+    typed NULLs for it (Spark's by-name parquet resolution under an
+    explicit schema) — no per-read ``mergeSchema`` footer listing, the
+    exact reason real table formats record schema in the commit."""
+    from pyspark.sql.types import StructType
+
+    r = spark.read
+    return r if schema is None else r.schema(StructType.fromJson(schema))
+
+
 def _scan_with_meta(spark: SparkSession, base: str,
-                    entries: list[dict]) -> DataFrame:
+                    entries: list[dict],
+                    schema: dict | None = None) -> DataFrame:
     """Every live row of ``entries`` with ``__fname``/``__ri`` parquet
     metadata columns attached and deletion vectors APPLIED — the
     DV-aware scan the write paths (MoR delete discovery, CoW rewrite
     read sets) share so an already-DV-deleted row can never be
     re-deleted or resurrected by a rewrite."""
     files = [f"{base}/{e['file']}" for e in entries]
-    scan = (spark.read.parquet(*files)
+    scan = (_reader(spark, schema).parquet(*files)
             .withColumn("__fname", F.col("_metadata.file_name"))
             .withColumn("__ri", F.col("_metadata.row_index")))
     dv = _dv_union(spark, base, entries)
@@ -175,7 +226,10 @@ def read_manifest(spark: SparkSession, path: str,
                   dts: list[str] | None = None,
                   version: int | None = None) -> DataFrame:
     """Snapshot read: scan exactly the files the (selected) manifest
-    version lists, masking any deletion-vector'd positions.  Two
+    version lists, masking any deletion-vector'd positions, under the
+    version's RECORDED schema — a version that predates a column
+    returns its own narrower schema (time travel), and files written
+    before an evolution surface typed NULLs for later columns.  Two
     readers holding different versions see two consistent tables; a
     commit between their list and scan steps cannot tear either one
     (retired files persist until vacuum).
@@ -185,18 +239,25 @@ def read_manifest(spark: SparkSession, path: str,
     metadata columns and pass through one broadcast anti-join on
     (file name, row index) — Delta's DV read shape."""
     base = path.rstrip("/")
-    entries = _pruned_entries(spark, base, dts, version)
+    v, doc = _manifest_doc(spark, base, version)
+    entries = doc["entries"]
+    if dts is not None:
+        want = set(dts)
+        entries = [e for e in entries
+                   if e.get("dt") is None or e["dt"] in want]
     if not entries:
         raise ValueError(f"manifest at {path} lists no files "
                          "(fully-deleted table); nothing to read")
+    schema = doc.get("schema")
     plain = [f"{base}/{e['file']}" for e in entries if not e.get("dv")]
     dvd = [e for e in entries if e.get("dv")]
     if not dvd:
-        return spark.read.parquet(*plain)
-    masked = _scan_with_meta(spark, base, dvd).drop("__fname", "__ri")
+        return _reader(spark, schema).parquet(*plain)
+    masked = (_scan_with_meta(spark, base, dvd, schema)
+              .drop("__fname", "__ri"))
     if not plain:
         return masked
-    return spark.read.parquet(*plain).unionByName(masked)
+    return _reader(spark, schema).parquet(*plain).unionByName(masked)
 
 
 def init_manifest(spark: SparkSession, path: str) -> int:
@@ -211,16 +272,25 @@ def init_manifest(spark: SparkSession, path: str) -> int:
          for s in fs.listStatus(hpath(base))
          if s.getPath().getName().endswith(".parquet")),
         key=lambda e: e["file"])
-    return commit_manifest(spark, base, add=entries)
+    schema = None
+    if entries:
+        schema = (spark.read
+                  .parquet(*[f"{base}/{e['file']}" for e in entries])
+                  .schema.jsonValue())
+    return commit_manifest(spark, base, add=entries, schema=schema)
 
 
 def commit_manifest(spark: SparkSession, path: str,
                     add: list[dict] = (),
                     remove: list[str] = (),
-                    retries: int = 0) -> int:
+                    retries: int = 0,
+                    schema: dict | None = None) -> int:
     """Atomically publish the next manifest version = current entries
     minus ``remove`` (relative paths) plus ``add`` (entry dicts).
-    Returns the new version number.
+    Returns the new version number.  ``schema`` (a StructType
+    ``jsonValue`` dict) records the version's OWN schema; omitted, the
+    current version's recorded schema carries forward unchanged, so
+    layout maintenance (delete/compact/zorder) never loses it.
 
     Optimistic concurrency, proven by tests/test_manifest.py's
     barrier-raced committers: each attempt re-reads the CURRENT
@@ -243,7 +313,8 @@ def commit_manifest(spark: SparkSession, path: str,
     for _attempt in range(retries + 1):
         versions = _versions(hpath, fs, base)
         cur = versions[-1] if versions else 0
-        entries = current_manifest(spark, base, cur)[1] if versions else []
+        cur_doc = _manifest_doc(spark, base, cur)[1] if versions else {}
+        entries = cur_doc.get("entries", [])
         drop = set(remove)
         new_entries = ([e for e in entries if e["file"] not in drop]
                        + [{"file": e["file"], "dt": e.get("dt"),
@@ -253,11 +324,14 @@ def commit_manifest(spark: SparkSession, path: str,
         names = [e["file"] for e in new_entries]
         if len(names) != len(set(names)):
             raise ValueError("manifest commit would list a file twice")
+        doc = {"version": cur + 1, "entries": new_entries}
+        rec_schema = schema if schema is not None else cur_doc.get("schema")
+        if rec_schema is not None:
+            doc["schema"] = rec_schema
         try:
             _fs_write_exclusive(
                 jvm, fs, f"{base}/{_mf_name(cur + 1)}",
-                json.dumps({"version": cur + 1, "entries": new_entries},
-                           indent=1, sort_keys=True))
+                json.dumps(doc, indent=1, sort_keys=True))
             return cur + 1
         except IOError as exc:
             last_err = exc
@@ -437,13 +511,17 @@ def publish_manifested(df: DataFrame, path: str, run_date: str,
 
     new_files = _rel_parquet(hpath, fs, base, rel_dir)
     versions = _versions(hpath, fs, base)
-    old = []
+    old, cur_schema = [], None
     if versions:
-        old = [e["file"] for e in current_manifest(spark, base)[1]
+        doc = _manifest_doc(spark, base)[1]
+        old = [e["file"] for e in doc["entries"]
                if e.get("dt") == run_date]
+        cur_schema = doc.get("schema")
     commit_manifest(spark, base,
                     add=[{"file": f, "dt": run_date} for f in new_files],
-                    remove=old, retries=3)
+                    remove=old, retries=3,
+                    schema=_merged_schema(cur_schema,
+                                          staged.schema.jsonValue()))
     return report
 
 
@@ -473,11 +551,12 @@ def delete_where_mor(spark: SparkSession, path: str, predicate) -> dict:
     "dv_files"}``."""
     base = path.rstrip("/")
     _, hpath, fs = _fs(spark, base)
-    cur_v, entries = current_manifest(spark, base)
+    cur_v, cur_doc = _manifest_doc(spark, base)
+    entries = cur_doc["entries"]
     pred = F.expr(predicate) if isinstance(predicate, str) else predicate
 
     rel_dir = f".data/dv-{uuid.uuid4().hex[:8]}"
-    (_scan_with_meta(spark, base, entries)
+    (_scan_with_meta(spark, base, entries, cur_doc.get("schema"))
      .filter(pred)
      .select(F.col("__fname").alias("fname"),
              F.col("__ri").cast("bigint").alias("row_index"))
@@ -535,7 +614,9 @@ def replace_manifested(spark: SparkSession, path: str, delete_pred,
     "rows_rewritten", "rows_inserted"}``."""
     base = path.rstrip("/")
     _, hpath, fs = _fs(spark, base)
-    _, entries = current_manifest(spark, base)
+    _, cur_doc = _manifest_doc(spark, base)
+    entries = cur_doc["entries"]
+    cur_schema = cur_doc.get("schema")
     pred = (F.expr(delete_pred) if isinstance(delete_pred, str)
             else delete_pred)
 
@@ -543,7 +624,7 @@ def replace_manifested(spark: SparkSession, path: str, delete_pred,
     # the rewrite's read set — the delete_where_manifested discipline);
     # DV-aware scan so an already-MoR-deleted row can't mark a file
     hits = {r["__fname"] for r in
-            (_scan_with_meta(spark, base, entries)
+            (_scan_with_meta(spark, base, entries, cur_schema)
              .filter(pred).select("__fname")
              .distinct().collect())}  # driver fetch
     aff_entries = sorted(
@@ -554,7 +635,10 @@ def replace_manifested(spark: SparkSession, path: str, delete_pred,
     rows_deleted = rows_rewritten = 0
     survivor_files: list[str] = []
     if affected_rel:
-        sub = (_scan_with_meta(spark, base, aff_entries)
+        # rewrite under the RECORDED schema: survivors of a
+        # pre-evolution file carry typed NULLs for later columns
+        # instead of silently dropping them
+        sub = (_scan_with_meta(spark, base, aff_entries, cur_schema)
                .drop("__fname", "__ri"))
         rows_read = sub.count()
         rows_deleted = sub.filter(pred).count()
@@ -579,11 +663,13 @@ def replace_manifested(spark: SparkSession, path: str, delete_pred,
     same_run = [e["file"] for e in entries
                 if e.get("dt") == run_date
                 and e["file"] not in set(affected_rel)]
+    ins_schema = spark.read.parquet(f"{base}/{ins_dir}").schema.jsonValue()
     v = commit_manifest(
         spark, base,
         add=([{"file": f, "dt": None} for f in survivor_files]
              + [{"file": f, "dt": run_date} for f in insert_files]),
-        remove=affected_rel + same_run, retries=3)
+        remove=affected_rel + same_run, retries=3,
+        schema=_merged_schema(cur_schema, ins_schema))
     return {"version": v, "files_affected": len(affected_rel),
             "rows_deleted": rows_deleted,
             "rows_rewritten": rows_rewritten,
@@ -611,7 +697,9 @@ def delete_where_manifested(spark: SparkSession, path: str,
     a later compaction can re-partition them."""
     base = path.rstrip("/")
     _, hpath, fs = _fs(spark, base)
-    cur_v, entries = current_manifest(spark, base)
+    cur_v, cur_doc = _manifest_doc(spark, base)
+    entries = cur_doc["entries"]
+    cur_schema = cur_doc.get("schema")
     files_total = len(entries)
     pred = F.expr(predicate) if isinstance(predicate, str) else predicate
 
@@ -621,7 +709,7 @@ def delete_where_manifested(spark: SparkSession, path: str,
     # so already-MoR-deleted rows neither mark files nor resurrect in
     # the survivor rewrite.
     hits = {r["__fname"] for r in
-            (_scan_with_meta(spark, base, entries)
+            (_scan_with_meta(spark, base, entries, cur_schema)
              .filter(pred).select("__fname")
              .distinct().collect())}  # driver fetch
     aff_entries = sorted(
@@ -632,7 +720,9 @@ def delete_where_manifested(spark: SparkSession, path: str,
         return {"files_affected": 0, "files_total": files_total,
                 "rows_deleted": 0, "rows_rewritten": 0}
 
-    sub = (_scan_with_meta(spark, base, aff_entries)
+    # rewrite under the RECORDED schema (typed NULLs for columns a
+    # pre-evolution file lacks — never silently dropped)
+    sub = (_scan_with_meta(spark, base, aff_entries, cur_schema)
            .drop("__fname", "__ri"))
     rows_read = sub.count()
     rows_deleted = sub.filter(pred).count()

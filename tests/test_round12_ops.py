@@ -308,6 +308,87 @@ def test_cow_delete_on_dvd_table_does_not_resurrect(spark, tmp_path):
     assert all(not e.get("dv") for e in entries)  # rewrite folded the DV
 
 
+# ---------------------------------------------------------------------------
+# Manifest-recorded schema (round-11 verdict ask #3): evolution on
+# manifested tables — per-version schema, typed NULLs, time travel.
+# ---------------------------------------------------------------------------
+
+def _publish_evolved(spark, M, path):
+    M.publish_manifested(_kv(spark, [(1, 10), (2, 20)]), path, "r1")
+    M.publish_manifested(
+        spark.createDataFrame([(3, 30, 7)], "k BIGINT, v BIGINT, w BIGINT"),
+        path, "r2")
+
+
+def test_manifest_schema_evolution_and_time_travel(spark, tmp_path):
+    from etl_cloud_batch_processing_spark.sources import manifest as M
+
+    path = str(tmp_path / "t")
+    _publish_evolved(spark, M, path)
+    latest = M.read_manifest(spark, path)
+    assert "w" in latest.columns
+    rows = {r["k"]: r["w"] for r in latest.collect()}
+    assert rows == {1: None, 2: None, 3: 7}   # typed NULLs, not zeros
+    # time travel returns v1's OWN schema
+    v1 = M.read_manifest(spark, path, version=1)
+    assert "w" not in v1.columns and v1.count() == 2
+    assert M.manifest_schema(spark, path, version=1) != \
+        M.manifest_schema(spark, path)
+
+
+def test_manifest_schema_survives_vacuum_and_maintenance(spark, tmp_path):
+    """Evolve → vacuum: the merged schema stays recorded and readable
+    after GC retires the pre-evolution version; evolve → CoW delete:
+    the maintenance commit carries the schema forward and the rewrite
+    keeps typed NULLs instead of dropping the new column."""
+    from etl_cloud_batch_processing_spark.sources import manifest as M
+
+    path = str(tmp_path / "t")
+    _publish_evolved(spark, M, path)
+    M.vacuum(spark, path, retain_versions=1)
+    latest = M.read_manifest(spark, path)
+    assert "w" in latest.columns and latest.count() == 3
+    import pytest as _pt
+
+    with _pt.raises(FileNotFoundError):
+        M.read_manifest(spark, path, version=1)
+    # CoW delete touching a pre-evolution file folds the schema in
+    M.delete_where_manifested(spark, path, F.col("k") == 1)
+    got = {r["k"]: r["w"] for r in
+           M.read_manifest(spark, path).collect()}
+    assert got == {2: None, 3: 7}
+    assert M.manifest_schema(spark, path) is not None
+
+
+def test_change_feed_aligns_evolved_schema(spark, tmp_path):
+    """CDF across an evolution: a tracked column added after v_old
+    reads as typed NULL on the old side (latest-schema alignment) —
+    pre-existing rows whose other tracked values are unchanged stay
+    out of the feed; new rows classify as inserts."""
+    from etl_cloud_batch_processing_spark.plans.evolution import (
+        change_feed,
+    )
+    from etl_cloud_batch_processing_spark.sources import manifest as M
+
+    path = str(tmp_path / "t")
+    _publish_evolved(spark, M, path)
+    feed = change_feed(spark, path, "k", ["v", "w"], v_old=1)
+    got = sorted((r["k"], r["change_type"], r["new_w"])
+                 for r in feed.collect())
+    assert got == [(3, "insert", 7)]
+
+
+def test_manifest_schema_type_conflict_refused(spark, tmp_path):
+    from etl_cloud_batch_processing_spark.sources import manifest as M
+
+    path = str(tmp_path / "t")
+    M.publish_manifested(_kv(spark, [(1, 10)]), path, "r1")
+    with pytest.raises(ValueError, match="type conflict"):
+        M.publish_manifested(
+            spark.createDataFrame([(2, "oops")], "k BIGINT, v STRING"),
+            path, "r2")
+
+
 def test_token_dir_cleanup_sweeps_stale_siblings(tmp_path):
     """_register_token_dir_cleanup removes crashed processes' stale
     token dirs (mtime past the staleness window) but never fresh
