@@ -324,7 +324,10 @@ def commit_manifest(spark: SparkSession, path: str,
         names = [e["file"] for e in new_entries]
         if len(names) != len(set(names)):
             raise ValueError("manifest commit would list a file twice")
-        doc = {"version": cur + 1, "entries": new_entries}
+        import time as _time
+
+        doc = {"version": cur + 1, "entries": new_entries,
+               "committed_at_ms": int(_time.time() * 1000)}
         rec_schema = schema if schema is not None else cur_doc.get("schema")
         if rec_schema is not None:
             doc["schema"] = rec_schema
@@ -341,22 +344,32 @@ def commit_manifest(spark: SparkSession, path: str,
 
 
 def vacuum(spark: SparkSession, path: str,
-           retain_versions: int = 1) -> dict:
-    """Garbage-collect files referenced by none of the last
-    ``retain_versions`` manifests, plus the superseded manifest
-    versions themselves.
+           retain_versions: int = 1,
+           retain_hours: float | None = None,
+           now_ms: int | None = None) -> dict:
+    """Garbage-collect files referenced by none of the retained
+    manifest versions, plus the superseded manifest versions
+    themselves.
 
-    ``retain_versions`` is the retention window every snapshot store
-    has (Delta's ``RETAIN .. HOURS``, expressed in versions rather than
-    time because commits here are explicit): a reader pinned at any of
-    the last N versions keeps working through the vacuum.  The default
-    (1) keeps only the LATEST version's files — the documented failure
-    mode, pinned by tests/test_manifest.py, is that a reader still
-    holding an OLDER version gets FileNotFoundException at execution
-    time, exactly like reading a Delta table past its retention; the
-    latest version is never affected.  Run the default only after
-    in-flight readers have drained; until then, retired files cost only
-    storage.  Returns ``{"files_removed", "manifests_removed"}``."""
+    Retention is the union of two windows, either of which keeps a
+    version alive:
+
+    * ``retain_versions`` — the last N versions (count-based; default
+      1 = only the latest, which is ALWAYS retained);
+    * ``retain_hours`` — every version committed within the last H
+      hours (Delta's ``VACUUM .. RETAIN n HOURS``, the operational
+      policy real retention runs on).  Commit times come from the
+      ``committed_at_ms`` the manifest records; manifests from before
+      timestamp recording fall back to the manifest file's mtime.
+      ``now_ms`` exists for deterministic tests.
+
+    A reader pinned at any retained version keeps working through the
+    vacuum; a reader holding an EXPIRED version fails LOUDLY
+    (missing-manifest or missing-input), never a silent partial read —
+    pinned by tests/test_manifest.py and tests/test_round12_ops.py.
+    Run tight windows only after in-flight readers have drained; until
+    then, retired files cost only storage.  Returns
+    ``{"files_removed", "manifests_removed"}``."""
     if retain_versions < 1:
         raise ValueError("retain_versions must be >= 1 (the latest "
                          "version is always retained)")
@@ -365,7 +378,22 @@ def vacuum(spark: SparkSession, path: str,
     versions = _versions(hpath, fs, base)
     if not versions:
         raise FileNotFoundError(f"no manifest under {base}")
-    retained = versions[-retain_versions:]
+    keep = set(versions[-retain_versions:])
+    if retain_hours is not None:
+        import time as _time
+
+        cutoff = ((now_ms if now_ms is not None
+                   else int(_time.time() * 1000))
+                  - int(retain_hours * 3600 * 1000))
+        for v in versions:
+            _, doc = _manifest_doc(spark, base, v)
+            ts = doc.get("committed_at_ms")
+            if ts is None:   # pre-timestamp manifest: file mtime
+                ts = fs.getFileStatus(
+                    hpath(f"{base}/{_mf_name(v)}")).getModificationTime()
+            if ts >= cutoff:
+                keep.add(v)
+    retained = sorted(keep)
     live = set()
     for v in retained:
         for e in current_manifest(spark, base, v)[1]:
@@ -391,8 +419,9 @@ def vacuum(spark: SparkSession, path: str,
             rel_dir = f".data/{s.getPath().getName()}"
             if not any(f.startswith(rel_dir + "/") for f in live):
                 fs.delete(s.getPath(), True)
-    for v in versions[:-retain_versions]:
-        fs.delete(hpath(f"{base}/{_mf_name(v)}"), False)
+    for v in versions:
+        if v not in keep:
+            fs.delete(hpath(f"{base}/{_mf_name(v)}"), False)
     return {"files_removed": files_removed,
             "manifests_removed": len(versions) - len(retained)}
 

@@ -389,6 +389,82 @@ def test_manifest_schema_type_conflict_refused(spark, tmp_path):
             path, "r2")
 
 
+# ---------------------------------------------------------------------------
+# Age-based vacuum retention (round-11 verdict ask #5): RETAIN n HOURS.
+# ---------------------------------------------------------------------------
+
+def _set_commit_age(path, version, age_hours, now_ms):
+    """Rewrite a committed manifest's committed_at_ms to simulate age
+    (test-only: exclusivity matters for commits, not for edits)."""
+    import json
+    import pathlib
+
+    mf = pathlib.Path(path) / f"_manifest.v{version:010d}.json"
+    doc = json.loads(mf.read_text())
+    doc["committed_at_ms"] = now_ms - int(age_hours * 3600 * 1000)
+    mf.write_text(json.dumps(doc))
+
+
+def test_vacuum_retain_hours_keeps_inside_window(spark, tmp_path):
+    """The time-based twin of the retain_versions window test: v1 aged
+    past the window expires (files GC'd, manifest gone), v2/v3 inside
+    it survive — a reader pinned at v2 keeps working through the GC
+    and the expired v1 fails LOUDLY."""
+    from etl_cloud_batch_processing_spark.sources import manifest as M
+
+    path = str(tmp_path / "t")
+    M.publish_manifested(_kv(spark, [(1, 10)]), path, "r1")   # v1
+    M.publish_manifested(_kv(spark, [(2, 20)]), path, "r1")   # v2: replace
+    M.publish_manifested(_kv(spark, [(3, 30)]), path, "r2")   # v3
+    now_ms = 1_000_000_000_000
+    _set_commit_age(path, 1, 10.0, now_ms)     # 10 h old — expired
+    _set_commit_age(path, 2, 2.0, now_ms)      # 2 h old — retained
+    _set_commit_age(path, 3, 0.0, now_ms)
+    rep = M.vacuum(spark, path, retain_hours=5.0, now_ms=now_ms)
+    assert rep["manifests_removed"] == 1 and rep["files_removed"] >= 1
+    # pinned reader INSIDE the window survives the GC
+    assert ({tuple(r) for r in
+             M.read_manifest(spark, path, version=2)
+             .select("k", "v").collect()} == {(2, 20)})
+    assert M.read_manifest(spark, path).count() == 2   # latest untouched
+    with pytest.raises(FileNotFoundError):
+        M.read_manifest(spark, path, version=1)        # expired: LOUD
+
+
+def test_vacuum_retain_hours_zero_keeps_only_latest(spark, tmp_path):
+    """retain_hours=0 with aged commits degrades to the latest-only
+    default — the latest version is ALWAYS retained regardless of age."""
+    from etl_cloud_batch_processing_spark.sources import manifest as M
+
+    path = str(tmp_path / "t")
+    M.publish_manifested(_kv(spark, [(1, 10)]), path, "r1")
+    M.publish_manifested(_kv(spark, [(2, 20)]), path, "r1")
+    now_ms = 1_000_000_000_000
+    _set_commit_age(path, 1, 9.0, now_ms)
+    _set_commit_age(path, 2, 9.0, now_ms)      # latest is ALSO old
+    rep = M.vacuum(spark, path, retain_hours=0.0, now_ms=now_ms)
+    assert rep["manifests_removed"] == 1
+    assert M.read_manifest(spark, path).count() == 1
+
+
+def test_vacuum_retain_hours_unions_with_versions(spark, tmp_path):
+    """Both windows keep versions alive: retain_versions=2 keeps v2/v3
+    by count even when only v3 is inside the age window."""
+    from etl_cloud_batch_processing_spark.sources import manifest as M
+
+    path = str(tmp_path / "t")
+    for run, kv in (("r1", (1, 10)), ("r1", (2, 20)), ("r2", (3, 30))):
+        M.publish_manifested(_kv(spark, [kv]), path, run)
+    now_ms = 1_000_000_000_000
+    for v, age in ((1, 10.0), (2, 10.0), (3, 0.0)):
+        _set_commit_age(path, v, age, now_ms)
+    M.vacuum(spark, path, retain_versions=2, retain_hours=1.0,
+             now_ms=now_ms)
+    assert M.read_manifest(spark, path, version=2).count() == 1
+    with pytest.raises(FileNotFoundError):
+        M.read_manifest(spark, path, version=1)
+
+
 def test_token_dir_cleanup_sweeps_stale_siblings(tmp_path):
     """_register_token_dir_cleanup removes crashed processes' stale
     token dirs (mtime past the staleness window) but never fresh
