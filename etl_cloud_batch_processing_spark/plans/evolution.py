@@ -236,6 +236,70 @@ def manifest_time_travel_diff(spark: SparkSession,
 
 
 @query(
+    "merge_upsert_manifested",
+    oracle="""
+    WITH base AS (
+        SELECT event_id, CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_id % 5 <> 0)
+    SELECT event_id,
+           CASE WHEN event_id % 3 = 0 THEN cents + 7 ELSE cents END
+               AS cents,
+           CAST(2 AS BIGINT) AS n_versions
+    FROM base
+    UNION ALL
+    SELECT event_id + 1000000000, cents, CAST(2 AS BIGINT)
+    FROM base WHERE event_id % 13 = 0
+    ORDER BY event_id
+    """,
+)
+def merge_upsert_manifested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO — the keyed SCD-type-1 upsert every warehouse
+    migration checklist leads with (``WHEN MATCHED THEN UPDATE WHEN
+    NOT MATCHED THEN INSERT``) — on the engine's own transactional
+    layer, graded end-to-end: publish an events projection, build a
+    source batch that UPDATES every ``%3`` key's cents (+7) and
+    INSERTS ``%13``-derived brand-new keys, and apply it through
+    ``sources.manifest.merge_manifested`` — affected-file discovery by
+    broadcast semi-join, survivors of those files rewritten without
+    the matched keys, the full source landed as the upsert run, and
+    ONE commit flips everything (``n_versions`` pins exactly one
+    commit for the whole merge; a probe racing the merge sees the
+    complete old or complete new table).  The oracle derives the
+    merged table arithmetically from the source, so a lost survivor,
+    a doubled matched row, or a missed insert hash-mismatches;
+    idempotent re-merge and untouched-file preservation are pinned in
+    tests/test_round12_ops.py.
+
+    At 100 TB this is Delta MERGE's exact cost shape: one table scan
+    for key discovery, a rewrite bounded by files-holding-matches, the
+    source written once, commit cost independent of table size —
+    against the naive full-table overwrite it replaces."""
+    import tempfile as _tf
+
+    from etl_cloud_batch_processing_spark.sources import manifest as M
+
+    ev = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint").alias("cents")
+    base = ev.filter(F.col("event_id") % 5 != 0).select("event_id", cents)
+    path = _tf.mkdtemp(prefix="spark_graft_merge_") + "/t"
+    M.publish_manifested(base, path, "r1")                     # v1
+    source = (base.filter(F.col("event_id") % 3 == 0)
+              .select("event_id",
+                      (F.col("cents") + 7).alias("cents"))
+              .unionByName(
+                  base.filter(F.col("event_id") % 13 == 0)
+                  .select((F.col("event_id") + 1000000000)
+                          .alias("event_id"), "cents")))
+    M.merge_manifested(spark, path, source, "event_id", "m1")  # v2: ONE
+    _, hpath, fs = M._fs(spark, path)
+    n_versions = len(M._versions(hpath, fs, path))
+    return (M.read_manifest(spark, path)
+            .select("event_id", "cents",
+                    F.lit(n_versions).cast("bigint").alias("n_versions"))
+            .orderBy("event_id"))
+
+
+@query(
     "manifest_schema_evolution_read",
     oracle="""
     WITH ev AS (SELECT *, CAST(ts AS DATE) AS day FROM events),

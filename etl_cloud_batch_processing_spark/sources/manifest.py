@@ -554,6 +554,81 @@ def publish_manifested(df: DataFrame, path: str, run_date: str,
     return report
 
 
+def merge_manifested(spark: SparkSession, path: str, source: DataFrame,
+                     key: str, run_date: str = "merge") -> dict:
+    """MERGE INTO (keyed upsert, SCD-type-1) as ONE atomic manifest
+    commit — the Delta ``MERGE WHEN MATCHED THEN UPDATE WHEN NOT
+    MATCHED THEN INSERT`` surface on the engine's own transactional
+    layer: rows of ``source`` replace same-``key`` rows of the table,
+    new keys append, untouched files stay untouched.
+
+    Mechanics (Delta's own cost shape): one DV-aware scan discovers
+    the files holding matched keys (broadcast LEFT SEMI against the
+    source — the source is a batch, small by assumption); survivors of
+    those files (their rows whose key the source does NOT carry) are
+    rewritten; the FULL source lands as the upsert run (matched rows'
+    new values + brand-new keys together — no separate update/insert
+    split needed because the matched old rows died with the rewrite);
+    ONE :func:`commit_manifest` flips all of it.  A reader pinned at
+    any version sees the complete pre-merge or complete post-merge
+    table.  Re-running the same merge is idempotent: the second pass
+    matches the first's output rows and replaces them with identical
+    values (pinned in tests/test_round12_ops.py).
+
+    Returns ``{"version", "files_affected", "rows_updated",
+    "rows_inserted", "rows_rewritten"}``."""
+    base = path.rstrip("/")
+    _, hpath, fs = _fs(spark, base)
+    _, cur_doc = _manifest_doc(spark, base)
+    entries = cur_doc["entries"]
+    cur_schema = cur_doc.get("schema")
+    src_keys = F.broadcast(source.select(key).distinct())
+
+    scan = _scan_with_meta(spark, base, entries, cur_schema)
+    # driver fetch: affected-FILE list (file-count grain — the rewrite's
+    # read set, the delete_where_manifested discipline)
+    hits = {r["__fname"] for r in
+            (scan.join(src_keys, key, "left_semi")
+             .select("__fname").distinct().collect())}  # driver fetch
+    aff_entries = sorted(
+        (e for e in entries if e["file"].rsplit("/", 1)[-1] in hits),
+        key=lambda e: e["file"])
+
+    survivor_files: list[str] = []
+    rows_rewritten = rows_updated = 0
+    if aff_entries:
+        aff = (_scan_with_meta(spark, base, aff_entries, cur_schema)
+               .drop("__fname", "__ri"))
+        rows_updated = aff.join(src_keys, key, "left_semi").count()
+        survivors = aff.join(src_keys, key, "left_anti")
+        rows_rewritten = survivors.count()
+        rel_dir = f".data/merge-{uuid.uuid4().hex[:8]}"
+        (survivors.coalesce(max(1, len(aff_entries)))
+         .write.mode("overwrite").parquet(f"{base}/{rel_dir}"))
+        survivor_files = _rel_parquet(hpath, fs, base, rel_dir)
+
+    ins_dir = f".data/{run_date}-{uuid.uuid4().hex[:8]}"
+    (source.withColumn("dt", F.lit(run_date))
+     .write.mode("overwrite").parquet(f"{base}/{ins_dir}"))
+    upsert_files = _rel_parquet(hpath, fs, base, ins_dir)
+    n_src = spark.read.parquet(f"{base}/{ins_dir}").count()
+
+    same_run = [e["file"] for e in entries
+                if e.get("dt") == run_date
+                and e["file"] not in {x["file"] for x in aff_entries}]
+    ins_schema = spark.read.parquet(f"{base}/{ins_dir}").schema.jsonValue()
+    v = commit_manifest(
+        spark, base,
+        add=([{"file": f, "dt": None} for f in survivor_files]
+             + [{"file": f, "dt": run_date} for f in upsert_files]),
+        remove=[e["file"] for e in aff_entries] + same_run, retries=3,
+        schema=_merged_schema(cur_schema, ins_schema))
+    return {"version": v, "files_affected": len(aff_entries),
+            "rows_updated": rows_updated,
+            "rows_inserted": n_src - rows_updated,
+            "rows_rewritten": rows_rewritten}
+
+
 def delete_where_mor(spark: SparkSession, path: str, predicate) -> dict:
     """MERGE-ON-READ delete: record the matched rows' positions in a
     deletion-vector sidecar and flip ONE manifest version that attaches

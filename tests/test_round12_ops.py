@@ -199,6 +199,57 @@ def test_replace_manifested_zero_hit_delete_still_inserts(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# MERGE INTO (keyed upsert) on manifested tables.
+# ---------------------------------------------------------------------------
+
+def test_merge_manifested_upsert_semantics(spark, tmp_path):
+    """Matched keys take the source's values, unmatched table rows
+    survive, new keys insert, files without matches are byte-untouched,
+    and the whole merge is ONE commit."""
+    from etl_cloud_batch_processing_spark.sources import manifest as M
+
+    path = str(tmp_path / "t")
+    (spark.createDataFrame([(1, 10), (2, 20)], "k BIGINT, v BIGINT")
+     .coalesce(1).write.mode("overwrite").parquet(path))
+    (spark.createDataFrame([(3, 30), (4, 40)], "k BIGINT, v BIGINT")
+     .coalesce(1).write.mode("append").parquet(path))
+    M.init_manifest(spark, path)
+    pre = {f: b for f, b in _file_bytes(path).items()
+           if not f.startswith(".data/")}
+    rep = M.merge_manifested(
+        spark, path,
+        spark.createDataFrame([(2, 99), (5, 50)], "k BIGINT, v BIGINT"),
+        "k")
+    assert rep["version"] == 2                      # ONE commit
+    assert rep["rows_updated"] == 1 and rep["rows_inserted"] == 1
+    got = sorted((r["k"], r["v"]) for r in
+                 M.read_manifest(spark, path).collect())
+    assert got == [(1, 10), (2, 99), (3, 30), (4, 40), (5, 50)]
+    # the file holding ONLY unmatched keys (3, 4) is byte-untouched
+    post = {f: b for f, b in _file_bytes(path).items()
+            if not f.startswith(".data/")}
+    untouched = [f for f in pre if pre[f] == post.get(f)]
+    assert len(untouched) >= 1
+    # pre-merge snapshot intact (time travel across the merge)
+    assert M.read_manifest(spark, path, version=1).count() == 4
+
+
+def test_merge_manifested_is_idempotent(spark, tmp_path):
+    from etl_cloud_batch_processing_spark.sources import manifest as M
+
+    path = str(tmp_path / "t")
+    M.publish_manifested(_kv(spark, [(1, 10), (2, 20)]), path, "base")
+    src = spark.createDataFrame([(2, 99), (5, 50)], "k BIGINT, v BIGINT")
+    M.merge_manifested(spark, path, src, "k", "m1")
+    once = sorted(tuple(r) for r in
+                  M.read_manifest(spark, path).select("k", "v").collect())
+    M.merge_manifested(spark, path, src, "k", "m1")
+    twice = sorted(tuple(r) for r in
+                   M.read_manifest(spark, path).select("k", "v").collect())
+    assert once == twice == [(1, 10), (2, 99), (5, 50)]
+
+
+# ---------------------------------------------------------------------------
 # Merge-on-read deletes (round-11 verdict ask #2): deletion vectors.
 # ---------------------------------------------------------------------------
 
@@ -287,6 +338,26 @@ def test_mor_vacuum_keeps_live_dv_sidecars(spark, tmp_path):
     got = sorted(r["k"] for r in
                  M.read_manifest(spark, path).collect())
     assert got == list(range(15))
+
+
+def test_change_feed_sees_mor_delete(spark, tmp_path):
+    """The CDF composes with MoR deletes: diffing the pre-delete
+    version against the DV-masked snapshot reports exactly the deleted
+    keys — consumers (SCD2 close-out, IVM, index maintenance) need no
+    knowledge of WHICH delete flavor produced the change."""
+    from etl_cloud_batch_processing_spark.plans.evolution import (
+        change_feed,
+    )
+    from etl_cloud_batch_processing_spark.sources import manifest as M
+
+    path = str(tmp_path / "t")
+    M.publish_manifested(_kv(spark, [(1, 10), (2, 20), (3, 30)]),
+                         path, "r1")
+    M.delete_where_mor(spark, path, F.col("k") == 2)
+    feed = change_feed(spark, path, "k", ["v"], v_old=1)
+    got = [(r["k"], r["change_type"], r["old_v"], r["new_v"])
+           for r in feed.collect()]
+    assert got == [(2, "delete", 20, None)]
 
 
 def test_cow_delete_on_dvd_table_does_not_resurrect(spark, tmp_path):
