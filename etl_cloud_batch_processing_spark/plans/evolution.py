@@ -1011,3 +1011,264 @@ def vacuum_retention_snapshot_read(spark: SparkSession,
                     F.lit(rep["files_removed"] > 0)
                     .alias("files_removed_any"),
                     F.lit(v1_expired).alias("v1_expired")))
+
+
+@query(
+    "update_set_manifested",
+    oracle="""
+    WITH base AS (
+        SELECT event_id, event_type,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_id % 5 <> 0)
+    SELECT event_id,
+           CASE WHEN event_type = 'purchase' THEN cents + 500
+                ELSE cents END AS cents,
+           CAST(2 AS BIGINT) AS n_versions
+    FROM base ORDER BY event_id
+    """,
+)
+def update_set_manifested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE ... SET — the last DML verb after MERGE and DELETE — on
+    the transactional layer, graded end-to-end: publish an events
+    projection, then ``sources.manifest.update_where_manifested`` gives
+    every purchase row ``cents + 500`` as ONE copy-on-write commit
+    (affected files discovered by a DV-aware predicate scan, ONLY those
+    files rewritten with the SET applied, neighbors riding along
+    value-equal, untouched files untouched — Delta UPDATE's exact cost
+    shape).  The oracle derives the updated table arithmetically from
+    the source, so a lost neighbor row, a double-applied assignment, or
+    an update leaking into unmatched rows hash-mismatches; n_versions
+    pins the whole UPDATE as exactly one commit.  NULL-predicate
+    semantics, the simultaneous-assignment (column-swap) contract, the
+    unknown-column refusal, and untouched-file byte-identity are pinned
+    in tests/test_round12_ops.py."""
+    import tempfile as _tf
+
+    from etl_cloud_batch_processing_spark.sources import manifest as M
+
+    ev = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint").alias("cents")
+    base = (ev.filter(F.col("event_id") % 5 != 0)
+            .select("event_id", "event_type", cents))
+    path = _tf.mkdtemp(prefix="spark_graft_update_") + "/t"
+    M.publish_manifested(base, path, "r1")                     # v1
+    M.update_where_manifested(
+        spark, path, F.col("event_type") == "purchase",
+        {"cents": F.col("cents") + 500})                       # v2: ONE
+    _, hpath, fs = M._fs(spark, path)
+    n_versions = len(M._versions(hpath, fs, path))
+    return (M.read_manifest(spark, path)
+            .select("event_id", "cents",
+                    F.lit(n_versions).cast("bigint").alias("n_versions"))
+            .orderBy("event_id"))
+
+
+@query(
+    "restore_timestamp_travel",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_restored,
+           CAST(SUM(CASE WHEN event_id % 7 <> 3 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_after_delete,
+           CAST(3 AS BIGINT) AS n_versions,
+           TRUE AS asof_pins_v1
+    FROM events GROUP BY event_type
+    """,
+)
+def restore_timestamp_travel(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """RESTORE TABLE TO VERSION + TIMESTAMP AS OF in one graded
+    lifecycle: publish the events table (v1), CoW-delete every
+    ``%7==3`` key (v2), then ``restore_manifested(version=1)`` rolls
+    BACK by rolling FORWARD — v3 re-references v1's files so the bad
+    delete stays in history for audit but every new reader sees the
+    restored table.  The hashed row proves all three read paths at
+    once: the LATEST read equals the pre-delete table (restore
+    semantics), ``version=2`` still returns the deleted state (history
+    preserved, Delta RESTORE's contract), and ``as_of_ms`` at one
+    millisecond before v2's recorded ``committed_at_ms`` resolves to
+    version 1 and returns ITS table (``asof_pins_v1`` compares the
+    as-of aggregate to the restored one per type AND pins the resolved
+    version number; commits spin-wait a millisecond so commit times
+    are strictly increasing — deterministic, not sleep-and-hope).
+    Restore-refuses-after-vacuum and as-of-before-first-commit are
+    pinned in tests/test_round12_ops.py.
+
+    At 100 TB: restore copies NOTHING (one manifest commit
+    re-referencing existing files), and timestamp resolution reads
+    KB-sized manifest headers — both independent of table size."""
+    import tempfile as _tf
+    import time as _time
+
+    from etl_cloud_batch_processing_spark.sources import manifest as M
+    from etl_cloud_batch_processing_spark.sources.writers import (
+        delete_where,
+    )
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type")
+    path = _tf.mkdtemp(prefix="spark_graft_restore_") + "/t"
+    M.publish_manifested(ev, path, "r1")                       # v1
+    _, hpath, fs = M._fs(spark, path)
+    t1 = M._commit_time_ms(spark, hpath, fs, path, 1)
+    while int(_time.time() * 1000) <= t1:    # strictly-later v2 commit
+        _time.sleep(0.002)
+    delete_where(spark, path, (F.col("event_id") % 7) == 3)    # v2
+    M.restore_manifested(spark, path, 1)                       # v3
+    t2 = M._commit_time_ms(spark, hpath, fs, path, 2)
+    asof_v = M.resolve_as_of(spark, path, t2 - 1)
+    n_versions = len(M._versions(hpath, fs, path))
+
+    latest = (M.read_manifest(spark, path).groupBy("event_type")
+              .agg(F.count(F.lit(1)).alias("n_restored")))
+    v2 = (M.read_manifest(spark, path, version=2).groupBy("event_type")
+          .agg(F.count(F.lit(1)).alias("n_after_delete")))
+    asof = (M.read_manifest(spark, path, as_of_ms=t2 - 1)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_asof")))
+    return (latest.join(v2, "event_type").join(asof, "event_type")
+            .select("event_type", "n_restored", "n_after_delete",
+                    F.lit(n_versions).cast("bigint").alias("n_versions"),
+                    ((F.col("n_asof") == F.col("n_restored"))
+                     & F.lit(asof_v == 1)).alias("asof_pins_v1")))
+
+
+@query(
+    "concurrent_delete_conflict_refusal",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CASE WHEN event_id % 11 NOT IN (5, 7) THEN 1
+                         ELSE 0 END) AS BIGINT) AS n_events,
+           CAST(3 AS BIGINT) AS n_versions,
+           TRUE AS conflict_refused
+    FROM events GROUP BY event_type
+    """,
+)
+def concurrent_delete_conflict_refusal(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    """Optimistic-concurrency CONFLICT DETECTION, graded: a writer
+    whose snapshot a concurrent commit invalidated must REFUSE, not
+    replay.  Before round 12 the commit loop silently dropped
+    already-retired files from its remove list — so of two racing CoW
+    deletes, the loser's retry would commit survivors computed against
+    the dead snapshot and RESURRECT rows the winner deleted (the
+    anomaly Delta surfaces as ``ConcurrentDeleteDeleteException``).
+    The lifecycle: publish events (v1), CoW-delete ``%11==5`` (v2 —
+    retiring v1's files), then attempt a commit that removes one of
+    those already-retired files with ``require_remove_present=True``
+    (exactly the stale-snapshot replay): it must raise
+    ``ConcurrentModificationError`` and commit NOTHING — while a
+    second, freshly-scanned delete (``%11==7``) still lands fine,
+    proving detection doesn't block disjoint sequential writers.  The
+    hashed row pins the surviving table (neither resurrection nor
+    over-delete), exactly 3 versions (the refused commit left no
+    trace), and the refusal flag.  The raced two-committer form lives
+    in tests/test_manifest.py; every snapshot-derived writer (delete /
+    replace / merge / update / compact / z-order / publish) now passes
+    strict-remove."""
+    import tempfile as _tf
+
+    from etl_cloud_batch_processing_spark.sources import manifest as M
+    from etl_cloud_batch_processing_spark.sources.writers import (
+        delete_where,
+    )
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "event_type")
+    path = _tf.mkdtemp(prefix="spark_graft_conflict_") + "/t"
+    M.publish_manifested(ev, path, "r1")                       # v1
+    _, v1_entries = M.current_manifest(spark, path, version=1)
+    delete_where(spark, path, (F.col("event_id") % 11) == 5)   # v2
+    _, v2_entries = M.current_manifest(spark, path)
+    live = {e["file"] for e in v2_entries}
+    retired = sorted(e["file"] for e in v1_entries
+                     if e["file"] not in live)
+    try:
+        M.commit_manifest(spark, path, remove=[retired[0]],
+                          require_remove_present=True)
+        conflict_refused = False
+    except M.ConcurrentModificationError:
+        conflict_refused = True
+    delete_where(spark, path, (F.col("event_id") % 11) == 7)   # v3
+    _, hpath, fs = M._fs(spark, path)
+    n_versions = len(M._versions(hpath, fs, path))
+    return (M.read_manifest(spark, path).groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select("event_type", "n_events",
+                    F.lit(n_versions).cast("bigint").alias("n_versions"),
+                    F.lit(conflict_refused).alias("conflict_refused")))
+
+
+@query(
+    "manifest_stream_incremental_revenue",
+    oracle="""
+    WITH base AS (
+        SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events)
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(cents) AS BIGINT) AS cents_total
+    FROM base GROUP BY event_type
+    """,
+)
+def manifest_stream_incremental_revenue(spark: SparkSession,
+                                        sf_dir: str) -> DataFrame:
+    """The manifest table as a STREAMING SOURCE — ``readStream`` FROM
+    the transactional layer (sources/manifest_stream.py): manifest
+    versions are the offsets, each commit's ADDED files are one
+    micro-batch, partitions are per-file and read on executors via
+    pyarrow (the Delta table-as-source design; round 11 built the
+    other direction, streaming INTO the manifest).  The lifecycle
+    publishes two event slices, drains the stream to quiescence
+    (complete-mode per-type count/cents aggregation through
+    foreachBatch overwrites), publishes a THIRD slice mid-stream, and
+    drains again — so the final totals are only right if the source
+    resumed from its version offset (old versions not re-read: no
+    doubles) and picked up the new commit (no gaps): exactly-once
+    composition of atomic publish with checkpointed offsets, hashed
+    against the full corpus recomputed by the oracle.  Delete/rewrite
+    refusal semantics (``ignoreDeletes``/``ignoreChanges``, the Delta
+    streaming-source contract) are pinned in
+    tests/test_round12_ops.py."""
+    import tempfile as _tf
+
+    from etl_cloud_batch_processing_spark.sources import manifest as M
+    from etl_cloud_batch_processing_spark.sources import manifest_stream
+
+    ev = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint").alias("cents")
+    s = [ev.filter(F.col("event_id") % 3 == k)
+         .select("event_type", cents) for k in (0, 1, 2)]
+    path = _tf.mkdtemp(prefix="spark_graft_mstream_") + "/t"
+    M.publish_manifested(s[0], path, "r1")                     # v1
+    M.publish_manifested(s[1], path, "r2")                     # v2
+
+    manifest_stream.register(spark)
+    out = _tf.mkdtemp(prefix="mstream_sink_")
+    ckpt = _tf.mkdtemp(prefix="mstream_ckpt_")
+    agg = (spark.readStream.format("manifest_changes")
+           .option("path", path).load()
+           .groupBy("event_type")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.sum("cents").alias("cents_total")))
+
+    def drain_until_quiet(bound: int) -> None:
+        # restart AvailableNow until one run consumes ZERO rows — the
+        # plans/streams.py quiescence discipline (bound = backstop)
+        for _ in range(bound):
+            q = (agg.writeStream
+                 .foreachBatch(lambda b, _id:
+                               b.write.mode("overwrite").parquet(out))
+                 .option("checkpointLocation", ckpt)
+                 .outputMode("complete")
+                 .trigger(availableNow=True)
+                 .start())
+            q.awaitTermination()
+            if sum(int(p["numInputRows"])
+                   for p in (q.recentProgress or [])) == 0:
+                return
+        raise RuntimeError("manifest_changes source never went quiescent")
+
+    drain_until_quiet(6)                  # consumes v1 + v2
+    M.publish_manifested(s[2], path, "r3")                     # v3
+    drain_until_quiet(6)                  # resumes at v2, consumes v3
+    return spark.read.parquet(out)

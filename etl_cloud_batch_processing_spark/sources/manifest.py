@@ -57,6 +57,19 @@ from pyspark.sql import functions as F
 _MF_RE = re.compile(r"^_manifest\.v(\d+)\.json$")
 
 
+class ConcurrentModificationError(RuntimeError):
+    """A commit's ``remove`` list names a file the CURRENT manifest no
+    longer carries — a concurrent commit retired it after this writer
+    read its snapshot.  Retrying blindly would be WRONG, not just racy:
+    the writer's rewrite (survivors, compaction output, merge result)
+    was computed against the old snapshot, so re-playing it against the
+    new manifest would resurrect rows the concurrent commit deleted or
+    double rows it rewrote.  This is Delta's
+    ``ConcurrentDeleteDeleteException`` / ``ConcurrentDeleteRead``
+    family: the loser must RE-RUN its whole read-rewrite cycle against
+    the new snapshot, which only the caller can do."""
+
+
 def _mf_name(version: int) -> str:
     return f"_manifest.v{version:010d}.json"
 
@@ -147,6 +160,43 @@ def _merged_schema(cur: dict | None, add: dict) -> dict:
     return {"type": "struct", "fields": out}
 
 
+def _commit_time_ms(spark, hpath, fs, base: str, version: int) -> int:
+    """The commit wall-clock of a manifest version: the recorded
+    ``committed_at_ms``, falling back to the manifest file's mtime for
+    versions committed before timestamp recording existed."""
+    _, doc = _manifest_doc(spark, base, version)
+    ts = doc.get("committed_at_ms")
+    if ts is None:
+        ts = fs.getFileStatus(
+            hpath(f"{base}/{_mf_name(version)}")).getModificationTime()
+    return int(ts)
+
+
+def resolve_as_of(spark: SparkSession, path: str, as_of_ms: int) -> int:
+    """TIMESTAMP AS OF resolution (Delta's ``timestampAsOf``): the
+    HIGHEST version committed at or before ``as_of_ms``.  Commit times
+    are the manifest-recorded ``committed_at_ms`` (mtime fallback for
+    pre-timestamp manifests) and are non-decreasing by construction —
+    versions are committed in order.  A timestamp BEFORE the first
+    commit raises: there was no table then, and silently returning v1
+    would claim history that never existed."""
+    _, hpath, fs = _fs(spark, path)
+    base = path.rstrip("/")
+    versions = _versions(hpath, fs, base)
+    if not versions:
+        raise FileNotFoundError(f"no _manifest.v* under {base}")
+    best = None
+    for v in versions:
+        if _commit_time_ms(spark, hpath, fs, base, v) <= as_of_ms:
+            best = v
+    if best is None:
+        first = _commit_time_ms(spark, hpath, fs, base, versions[0])
+        raise ValueError(
+            f"as_of_ms={as_of_ms} predates the table's first commit "
+            f"({first} = v{versions[0]}); no version existed then")
+    return best
+
+
 def read_manifest_files(spark: SparkSession, path: str,
                         dts: list[str] | None = None,
                         version: int | None = None) -> list[str]:
@@ -224,7 +274,8 @@ def _scan_with_meta(spark: SparkSession, base: str,
 
 def read_manifest(spark: SparkSession, path: str,
                   dts: list[str] | None = None,
-                  version: int | None = None) -> DataFrame:
+                  version: int | None = None,
+                  as_of_ms: int | None = None) -> DataFrame:
     """Snapshot read: scan exactly the files the (selected) manifest
     version lists, masking any deletion-vector'd positions, under the
     version's RECORDED schema — a version that predates a column
@@ -237,8 +288,16 @@ def read_manifest(spark: SparkSession, path: str,
     MoR cost model: files WITHOUT deletion vectors take the plain
     scan path untouched; only DV'd files read the (free) parquet
     metadata columns and pass through one broadcast anti-join on
-    (file name, row index) — Delta's DV read shape."""
+    (file name, row index) — Delta's DV read shape.
+
+    ``as_of_ms`` is TIMESTAMP AS OF time travel: the snapshot whose
+    commit time is the latest at or before the instant (mutually
+    exclusive with ``version=``; see :func:`resolve_as_of`)."""
     base = path.rstrip("/")
+    if as_of_ms is not None:
+        if version is not None:
+            raise ValueError("pass version= or as_of_ms=, not both")
+        version = resolve_as_of(spark, base, as_of_ms)
     v, doc = _manifest_doc(spark, base, version)
     entries = doc["entries"]
     if dts is not None:
@@ -284,7 +343,8 @@ def commit_manifest(spark: SparkSession, path: str,
                     add: list[dict] = (),
                     remove: list[str] = (),
                     retries: int = 0,
-                    schema: dict | None = None) -> int:
+                    schema: dict | None = None,
+                    require_remove_present: bool = False) -> int:
     """Atomically publish the next manifest version = current entries
     minus ``remove`` (relative paths) plus ``add`` (entry dicts).
     Returns the new version number.  ``schema`` (a StructType
@@ -302,7 +362,19 @@ def commit_manifest(spark: SparkSession, path: str,
     the read-modify-write loop against the winner's manifest (its
     adds are fresh files no other committer references, so replaying
     them against v<N+1> is correct) and lands ``v<N+2>`` — bounded,
-    never spinning past ``retries`` attempts."""
+    never spinning past ``retries`` attempts.
+
+    Replaying a REMOVE list is only correct when the removed files are
+    still in the current manifest; ``require_remove_present=True`` (set
+    by every snapshot-derived writer: delete / replace / merge /
+    compact / z-order / publish-partition-swap) raises
+    :class:`ConcurrentModificationError` when a concurrent commit
+    already retired one of them — the writer's rewrite was computed
+    against a snapshot that no longer exists, and committing it anyway
+    would resurrect concurrently-deleted rows or double
+    concurrently-rewritten ones (tests/test_manifest.py pins the
+    refusal).  Disjoint concurrent writers (different files) still
+    compose through the plain retry."""
     from etl_cloud_batch_processing_spark.sources.writers import (
         _fs_write_exclusive,
     )
@@ -316,6 +388,14 @@ def commit_manifest(spark: SparkSession, path: str,
         cur_doc = _manifest_doc(spark, base, cur)[1] if versions else {}
         entries = cur_doc.get("entries", [])
         drop = set(remove)
+        if require_remove_present:
+            missing = drop - {e["file"] for e in entries}
+            if missing:
+                raise ConcurrentModificationError(
+                    f"commit at {base} would remove file(s) the current "
+                    f"manifest (v{cur}) no longer lists — a concurrent "
+                    f"commit retired them; re-run the read-rewrite cycle "
+                    f"against the new snapshot: {sorted(missing)[:5]}")
         new_entries = ([e for e in entries if e["file"] not in drop]
                        + [{"file": e["file"], "dt": e.get("dt"),
                            **({"dv": list(e["dv"])} if e.get("dv")
@@ -460,7 +540,7 @@ def compact_manifested(spark: SparkSession, path: str,
     v = commit_manifest(spark, base,
                         add=[{"file": f, "dt": None} for f in new_files],
                         remove=[e["file"] for e in entries],
-                        retries=3)
+                        retries=3, require_remove_present=True)
     return {"files_before": len(entries), "files_after": len(new_files),
             "version": v}
 
@@ -496,7 +576,8 @@ def optimize_zorder_manifested(spark: SparkSession, path: str,
     new_files = _rel_parquet(hpath, fs, base, rel_dir)
     v = commit_manifest(spark, base,
                         add=[{"file": f, "dt": None} for f in new_files],
-                        remove=[e["file"] for e in entries], retries=3)
+                        remove=[e["file"] for e in entries], retries=3,
+                        require_remove_present=True)
     return {"files_before": len(entries), "files_after": len(new_files),
             "version": v}
 
@@ -548,7 +629,7 @@ def publish_manifested(df: DataFrame, path: str, run_date: str,
         cur_schema = doc.get("schema")
     commit_manifest(spark, base,
                     add=[{"file": f, "dt": run_date} for f in new_files],
-                    remove=old, retries=3,
+                    remove=old, retries=3, require_remove_present=True,
                     schema=_merged_schema(cur_schema,
                                           staged.schema.jsonValue()))
     return report
@@ -622,6 +703,7 @@ def merge_manifested(spark: SparkSession, path: str, source: DataFrame,
         add=([{"file": f, "dt": None} for f in survivor_files]
              + [{"file": f, "dt": run_date} for f in upsert_files]),
         remove=[e["file"] for e in aff_entries] + same_run, retries=3,
+        require_remove_present=True,
         schema=_merged_schema(cur_schema, ins_schema))
     return {"version": v, "files_affected": len(aff_entries),
             "rows_updated": rows_updated,
@@ -684,7 +766,8 @@ def delete_where_mor(spark: SparkSession, path: str, predicate) -> dict:
         add=[{"file": e["file"], "dt": e.get("dt"),
               "dv": list(e.get("dv") or ()) + dv_files}
              for e in affected],
-        remove=[e["file"] for e in affected], retries=3)
+        remove=[e["file"] for e in affected], retries=3,
+        require_remove_present=True)
     return {"version": v, "files_affected": len(affected),
             "rows_deleted": rows_deleted, "dv_files": dv_files}
 
@@ -773,11 +856,120 @@ def replace_manifested(spark: SparkSession, path: str, delete_pred,
         add=([{"file": f, "dt": None} for f in survivor_files]
              + [{"file": f, "dt": run_date} for f in insert_files]),
         remove=affected_rel + same_run, retries=3,
+        require_remove_present=True,
         schema=_merged_schema(cur_schema, ins_schema))
     return {"version": v, "files_affected": len(affected_rel),
             "rows_deleted": rows_deleted,
             "rows_rewritten": rows_rewritten,
             "rows_inserted": rows_inserted}
+
+
+def update_where_manifested(spark: SparkSession, path: str,
+                            predicate, assignments: dict) -> dict:
+    """UPDATE ... SET as ONE atomic manifest commit — the remaining DML
+    verb after MERGE (:func:`merge_manifested`) and DELETE
+    (:func:`delete_where_manifested` / :func:`delete_where_mor`), with
+    Delta UPDATE's copy-on-write cost shape: one DV-aware scan discovers
+    the files holding matched rows, ONLY those files are rewritten (rows
+    matching ``predicate`` get ``assignments`` applied, their neighbors
+    ride along byte-equal in value), untouched files stay untouched, and
+    one commit flips the version.  SQL UPDATE semantics throughout: a
+    NULL predicate updates nothing, and every assigned column must
+    already exist (UPDATE never evolves schema — that's what publish's
+    evolution path is for).
+
+    ``assignments`` maps column name → Column (or SQL expression
+    string) evaluated against the PRE-update row, so swaps like
+    ``{"a": col("b"), "b": col("a")}`` behave like SQL's simultaneous
+    assignment.  Zero-loss audit: the rewrite must carry exactly the
+    rows read from affected files.  Returns ``{"version",
+    "files_affected", "rows_updated", "rows_rewritten"}``."""
+    base = path.rstrip("/")
+    _, hpath, fs = _fs(spark, base)
+    cur_v, cur_doc = _manifest_doc(spark, base)
+    entries = cur_doc["entries"]
+    cur_schema = cur_doc.get("schema")
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    cols = ([f["name"] for f in cur_schema["fields"]] if cur_schema
+            else read_manifest(spark, base).columns)
+    missing = [c for c in assignments if c not in cols]
+    if missing:
+        raise ValueError(f"UPDATE SET on column(s) {missing} the table "
+                         f"does not have (columns: {cols})")
+    exprs = {c: (F.expr(v) if isinstance(v, str) else v)
+             for c, v in assignments.items()}
+
+    # driver fetch: affected-FILE list (file-count grain, immediately
+    # the rewrite's read set — the delete_where_manifested discipline)
+    hits = {r["__fname"] for r in
+            (_scan_with_meta(spark, base, entries, cur_schema)
+             .filter(pred).select("__fname")
+             .distinct().collect())}  # driver fetch
+    aff_entries = sorted(
+        (e for e in entries if e["file"].rsplit("/", 1)[-1] in hits),
+        key=lambda e: e["file"])
+    if not aff_entries:
+        return {"version": cur_v, "files_affected": 0,
+                "rows_updated": 0, "rows_rewritten": 0}
+
+    sub = (_scan_with_meta(spark, base, aff_entries, cur_schema)
+           .drop("__fname", "__ri"))
+    rows_read = sub.count()
+    rows_updated = sub.filter(pred).count()
+    hit = F.coalesce(pred, F.lit(False))   # NULL predicate → unchanged
+    updated = sub.select(*[
+        F.when(hit, exprs[c]).otherwise(F.col(c)).alias(c)
+        if c in exprs else F.col(c)
+        for c in sub.columns])
+    rel_dir = f".data/update-{uuid.uuid4().hex[:8]}"
+    (updated.coalesce(len(aff_entries))
+     .write.mode("overwrite").parquet(f"{base}/{rel_dir}"))
+    new_files = _rel_parquet(hpath, fs, base, rel_dir)
+    rows_out = spark.read.parquet(f"{base}/{rel_dir}").count()
+    if rows_out != rows_read:
+        raise IOError(
+            f"update_where (manifest): zero-loss audit failed — read "
+            f"{rows_read} rows from affected files, rewrite carries "
+            f"{rows_out}; aborting before the commit")
+    v = commit_manifest(spark, base,
+                        add=[{"file": f, "dt": None} for f in new_files],
+                        remove=[e["file"] for e in aff_entries],
+                        retries=3, require_remove_present=True)
+    return {"version": v, "files_affected": len(aff_entries),
+            "rows_updated": rows_updated,
+            "rows_rewritten": rows_read - rows_updated}
+
+
+def restore_manifested(spark: SparkSession, path: str,
+                       version: int) -> dict:
+    """RESTORE TABLE TO VERSION — roll the table BACK by rolling
+    FORWARD: commit a NEW version whose entry list and schema are the
+    target version's, so history is preserved (the bad versions stay
+    readable for audit, exactly Delta ``RESTORE``'s semantics) and
+    every reader flips atomically to the restored state.  Nothing is
+    copied: the restored version re-references the target's files,
+    which is why restore must refuse when :func:`vacuum` has already
+    collected any of them — a half-restorable snapshot would otherwise
+    commit a table that fails at scan time.  Returns ``{"version",
+    "restored_from", "files"}``."""
+    base = path.rstrip("/")
+    _, hpath, fs = _fs(spark, base)
+    _, target = _manifest_doc(spark, base, version)
+    gone = [p for e in target["entries"]
+            for p in [e["file"], *(e.get("dv") or ())]
+            if not fs.exists(hpath(f"{base}/{p}"))]
+    if gone:
+        raise FileNotFoundError(
+            f"cannot restore {base} to v{version}: {len(gone)} of its "
+            f"files were vacuumed (first: {gone[0]})")
+    cur_v, cur_doc = _manifest_doc(spark, base)
+    v = commit_manifest(
+        spark, base, add=target["entries"],
+        remove=[e["file"] for e in cur_doc["entries"]],
+        retries=3, require_remove_present=True,
+        schema=target.get("schema"))
+    return {"version": v, "restored_from": version,
+            "files": len(target["entries"])}
 
 
 def delete_where_manifested(spark: SparkSession, path: str,
@@ -844,7 +1036,8 @@ def delete_where_manifested(spark: SparkSession, path: str,
     new_files = _rel_parquet(hpath, fs, base, rel_dir)
     commit_manifest(spark, base,
                     add=[{"file": f, "dt": None} for f in new_files],
-                    remove=affected_rel, retries=3)
+                    remove=affected_rel, retries=3,
+                    require_remove_present=True)
     return {"files_affected": len(affected_rel),
             "files_total": files_total,
             "rows_deleted": rows_deleted,
