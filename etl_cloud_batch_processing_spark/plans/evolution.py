@@ -1272,3 +1272,66 @@ def manifest_stream_incremental_revenue(spark: SparkSession,
     M.publish_manifested(s[2], path, "r3")                     # v3
     drain_until_quiet(6)                  # resumes at v2, consumes v3
     return spark.read.parquet(out)
+
+
+@query(
+    "pywriter_manifest_roundtrip",
+    oracle="""
+    WITH base AS (
+        SELECT event_id, event_type,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_id % 13 <> 4)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(cents) AS BIGINT) AS cents_total,
+           CAST(3 AS BIGINT) AS n_versions
+    FROM base GROUP BY event_type
+    """,
+)
+def pywriter_manifest_roundtrip(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """The Spark 4 Python DataSource WRITER driving the transactional
+    layer (sources/pywriter.py): ``df.write.format("manifest_table")``
+    maps the V2 write protocol onto the manifest commit — every task
+    streams its Arrow batches to one staged parquet file on an
+    executor, the driver's ``commit(messages)`` (successful attempts
+    only; Spark drops failed/speculative tasks) flips ONE version
+    through the same ``link(2)``-exclusive primitive as the JVM-side
+    layer.  The lifecycle writes two event slices as two append
+    commits through the PYTHON writer, then deletes ``%13==4`` rows
+    through the JVM-side ``delete_where_manifested`` — three versions,
+    two write paths, ONE commit log — and aggregates the final
+    snapshot via ``read_manifest``, hash-checked against the oracle's
+    recompute.  Full interop is the point: the Python writer's
+    commits record schema and entries exactly as the JVM layer's, so
+    every reader, CDF, vacuum, and maintenance op composes.  Schema
+    merge/conflict, empty partitions, overwrite mode, and snapshot
+    isolation across writers are pinned in tests/test_round12b_ops.py.
+
+    At 100 TB this is the classic lakehouse write: N tasks write N
+    files with no coordination, the commit is one KB-sized rename
+    regardless of data size, and a lost commit race re-reads and
+    retries against the winner — never re-writes the data."""
+    import tempfile as _tf
+
+    from etl_cloud_batch_processing_spark.sources import manifest as M
+    from etl_cloud_batch_processing_spark.sources import pywriter
+
+    pywriter.register(spark)
+    ev = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint").alias("cents")
+    base = ev.select("event_id", "event_type", cents)
+    path = _tf.mkdtemp(prefix="spark_graft_pyw_") + "/t"
+    for k in (0, 1):                                   # v1, v2: PYTHON
+        (base.filter(F.col("event_id") % 2 == k).repartition(4)
+         .write.format("manifest_table").option("path", path)
+         .mode("append").save())
+    M.delete_where_manifested(                         # v3: JVM layer
+        spark, path, (F.col("event_id") % 13) == 4)
+    _, hpath, fs = M._fs(spark, path)
+    n_versions = len(M._versions(hpath, fs, path))
+    return (M.read_manifest(spark, path).groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("cents").alias("cents_total"))
+            .select("event_type", "n_events", "cents_total",
+                    F.lit(n_versions).cast("bigint").alias("n_versions")))

@@ -321,3 +321,92 @@ def test_stream_mor_dv_attach_is_delete_only(spark, tmp_path):
         _drain(spark, path, tmp_path, "g")
     got = _drain(spark, path, tmp_path, "h", ignoreDeletes="true")
     assert got == [(1, 10), (2, 20)]   # v1's batch only, DV skipped
+
+
+# ---------------------------------------------------------------------------
+# manifest_table Python DataSource writer.
+# ---------------------------------------------------------------------------
+
+def _pyw(spark):
+    from etl_cloud_batch_processing_spark.sources import pywriter
+
+    pywriter.register(spark)
+
+
+def test_pywriter_append_overwrite_and_snapshot_isolation(spark, tmp_path):
+    _pyw(spark)
+    path = str(tmp_path / "t")
+    (_kv(spark, [(1, 10), (2, 20)]).repartition(2)
+     .write.format("manifest_table").option("path", path)
+     .mode("append").save())
+    (_kv(spark, [(3, 30)])
+     .write.format("manifest_table").option("path", path)
+     .mode("append").save())
+    assert _snap(spark, path) == [(1, 10), (2, 20), (3, 30)]
+    (_kv(spark, [(9, 90)])
+     .write.format("manifest_table").option("path", path)
+     .mode("overwrite").save())
+    _, hpath, fs = M._fs(spark, path)
+    assert M._versions(hpath, fs, path) == [1, 2, 3]
+    assert _snap(spark, path) == [(9, 90)]
+    # snapshot isolation across the overwrite: v2 still complete
+    assert _snap(spark, path, version=2) == [(1, 10), (2, 20), (3, 30)]
+
+
+def test_pywriter_records_and_merges_schema(spark, tmp_path):
+    """The Python writer records schema like the JVM layer: a later
+    append adding a column merges by name, and the pre-evolution
+    files surface typed NULLs under the recorded schema."""
+    _pyw(spark)
+    path = str(tmp_path / "t")
+    (_kv(spark, [(1, 10)])
+     .write.format("manifest_table").option("path", path)
+     .mode("append").save())
+    (spark.createDataFrame([(2, 20, "x")], "k BIGINT, v BIGINT, tag STRING")
+     .write.format("manifest_table").option("path", path)
+     .mode("append").save())
+    rec = M.manifest_schema(spark, path)
+    assert [f["name"] for f in rec["fields"]] == ["k", "v", "tag"]
+    got = sorted(tuple(r) for r in
+                 M.read_manifest(spark, path).collect())
+    assert got == [(1, 10, None), (2, 20, "x")]
+
+
+def test_pywriter_type_conflict_refused(spark, tmp_path):
+    _pyw(spark)
+    path = str(tmp_path / "t")
+    (_kv(spark, [(1, 10)])
+     .write.format("manifest_table").option("path", path)
+     .mode("append").save())
+    with pytest.raises(Exception, match="type conflict"):
+        (spark.createDataFrame([("oops", 1)], "v STRING, k BIGINT")
+         .write.format("manifest_table").option("path", path)
+         .mode("append").save())
+    _, hpath, fs = M._fs(spark, path)
+    assert M._versions(hpath, fs, path) == [1]   # nothing committed
+
+
+def test_pywriter_empty_partitions_add_no_entries(spark, tmp_path):
+    _pyw(spark)
+    path = str(tmp_path / "t")
+    (_kv(spark, [(1, 10), (2, 20)]).repartition(8)
+     .write.format("manifest_table").option("path", path)
+     .mode("append").save())
+    _, entries = M.current_manifest(spark, path)
+    assert 1 <= len(entries) <= 2          # only non-empty tasks land
+    assert all(e["file"] for e in entries)  # no empty-name entries
+    assert _snap(spark, path) == [(1, 10), (2, 20)]
+
+
+def test_pywriter_interops_with_jvm_maintenance(spark, tmp_path):
+    """One commit log, two writers: Python-writer commits compose with
+    JVM-side delete/compact/vacuum like any publish."""
+    _pyw(spark)
+    path = str(tmp_path / "t")
+    (_kv(spark, [(1, 10), (2, 20), (3, 30)]).repartition(3)
+     .write.format("manifest_table").option("path", path)
+     .mode("append").save())
+    M.delete_where_manifested(spark, path, F.col("k") == 2)
+    M.compact_manifested(spark, path)
+    M.vacuum(spark, path, retain_versions=1)
+    assert _snap(spark, path) == [(1, 10), (3, 30)]
