@@ -1335,3 +1335,81 @@ def pywriter_manifest_roundtrip(spark: SparkSession,
                  F.sum("cents").alias("cents_total"))
             .select("event_type", "n_events", "cents_total",
                     F.lit(n_versions).cast("bigint").alias("n_versions")))
+
+
+@query(
+    "pywriter_stream_exactly_once",
+    oracle="""
+    WITH base AS (
+        SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events)
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(cents) AS BIGINT) AS cents_total
+    FROM base GROUP BY event_type
+    """,
+)
+def pywriter_stream_exactly_once(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Table → stream → table with EVERY leg on the Python DataSource
+    API: the source manifest table streams through
+    ``format("manifest_changes")`` (versions as offsets) straight into
+    ``writeStream.format("manifest_table")`` — the streaming face of
+    sources/pywriter.py, where each micro-batch is ONE manifest commit
+    that atomically publishes the batch's task-written files AND
+    records ``(txnAppId, batchId)`` in the manifest's ``stream_txn``
+    ledger.  That ledger is what upgrades Structured Streaming's
+    at-least-once batch replay to exactly-once table contents (the
+    Delta idempotent-sink txn design): a replayed batch finds its key
+    and skips.  The lifecycle drains two source publishes, publishes a
+    third mid-stream, drains again, then runs one MORE drain against
+    the fully-consumed source — the hashed totals equal the full
+    corpus exactly once only if offsets resumed (no re-read), the new
+    commit arrived (no gap), and the extra drain committed nothing.
+    Batch-replay skip, ledger survival across JVM-side maintenance,
+    and fresh-checkpoint app scoping are pinned in
+    tests/test_round12b_ops.py.
+
+    At 100 TB this closes the lakehouse loop with zero side channels:
+    one job's atomic publish is the next job's micro-batch, commit
+    cost stays one KB-sized link per batch, and both the offset log
+    (checkpoint) and the idempotence ledger (manifest) survive any
+    crash point on either side."""
+    import tempfile as _tf
+
+    from etl_cloud_batch_processing_spark.sources import manifest as M
+    from etl_cloud_batch_processing_spark.sources import manifest_stream
+    from etl_cloud_batch_processing_spark.sources import pywriter
+
+    manifest_stream.register(spark)
+    pywriter.register(spark)
+    ev = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint").alias("cents")
+    s = [ev.filter(F.col("event_id") % 3 == k)
+         .select("event_type", cents) for k in (0, 1, 2)]
+    src = _tf.mkdtemp(prefix="spark_graft_pysw_src_") + "/t"
+    snk = _tf.mkdtemp(prefix="spark_graft_pysw_snk_") + "/t"
+    ckpt = _tf.mkdtemp(prefix="pysw_ckpt_")
+    M.publish_manifested(s[0], src, "r1")                      # v1
+    M.publish_manifested(s[1], src, "r2")                      # v2
+
+    def drain_until_quiet(bound: int) -> None:
+        for _ in range(bound):
+            q = (spark.readStream.format("manifest_changes")
+                 .option("path", src).load()
+                 .writeStream.format("manifest_table")
+                 .option("path", snk).option("txnAppId", "pysw")
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+            if sum(int(p["numInputRows"])
+                   for p in (q.recentProgress or [])) == 0:
+                return
+        raise RuntimeError("stream-to-table loop never went quiescent")
+
+    drain_until_quiet(6)                  # consumes v1 + v2
+    M.publish_manifested(s[2], src, "r3")                      # v3
+    drain_until_quiet(6)                  # resumes, consumes v3 only
+    drain_until_quiet(6)                  # fully consumed: no commit
+    return (M.read_manifest(spark, snk).groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("cents").alias("cents_total")))

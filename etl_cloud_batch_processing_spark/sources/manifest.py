@@ -411,6 +411,13 @@ def commit_manifest(spark: SparkSession, path: str,
         rec_schema = schema if schema is not None else cur_doc.get("schema")
         if rec_schema is not None:
             doc["schema"] = rec_schema
+        # streaming-sink transaction ids ((txnAppId, batchId) keys —
+        # the Delta txn-action idempotence ledger) survive EVERY
+        # commit, so maintenance (delete/compact/zorder/publish)
+        # between micro-batches can never reopen a committed batch
+        # for replay (pinned in tests/test_round12b_ops.py)
+        if cur_doc.get("stream_txn"):
+            doc["stream_txn"] = cur_doc["stream_txn"]
         try:
             _fs_write_exclusive(
                 jvm, fs, f"{base}/{_mf_name(cur + 1)}",
