@@ -72,10 +72,13 @@ def connected_components(edges: DataFrame, src: str = "src",
         return (msgs.unionByName(labels.select("id", "comp"))
                 .groupBy("id").agg(F.min("comp").alias("comp")))
 
+    # materialize="metric": the changed-count join scans each round's
+    # frame exactly once, so it doubles as the materializer — one job
+    # per round instead of two (guide §1.2: remove unnecessary passes).
     res = iterate_to_fixpoint(labels0, step,
                               changed_count_metric("id", "comp"),
                               tol=0.0, max_rounds=max_iter,
-                              checkpoint_every=1)
+                              checkpoint_every=1, materialize="metric")
     edges.unpersist()
     return res.state
 
@@ -175,8 +178,12 @@ def connected_components_star(edges: DataFrame, src: str = "src",
                 fps[id(f)] = _edge_fingerprint(f)
         return 0.0 if fps[id(old)] == fps[id(new)] else 1.0
 
+    # materialize="metric": the fingerprint aggregate scans each new
+    # edge frame exactly once (old's fingerprint is cached), so the
+    # dedicated materialization job is redundant — one job per round.
     res = iterate_to_fixpoint(e0, step, delta, tol=0.0,
-                              max_rounds=max_iter, checkpoint_every=1)
+                              max_rounds=max_iter, checkpoint_every=1,
+                              materialize="metric")
     stars = res.state  # (u, v): u -> its component root candidate
     labels = (nodes.join(stars, nodes.id == stars.u, "left")
               .groupBy("id")

@@ -63,6 +63,7 @@ def iterate_to_fixpoint(
     max_rounds: int = 25,
     checkpoint_every: int = 1,
     on_round: Callable[[int, DataFrame, float], None] | None = None,
+    materialize: str = "count",
 ) -> FixpointResult:
     """Iterate ``state := step(state)`` until ``metric(prev, new) <=
     tol`` or ``max_rounds`` is hit, materializing every round and
@@ -76,6 +77,25 @@ def iterate_to_fixpoint(
     assert plan-size flatness and by callers that accumulate per-round
     side outputs.
 
+    ``materialize`` picks the per-round materialization discipline:
+
+    * ``"count"`` (default) — a dedicated action per round (eager
+      ``localCheckpoint`` on checkpoint rounds, ``persist``+``count``
+      otherwise).  Always safe.
+    * ``"metric"`` — NO dedicated action: the round's frame is
+      persisted (or lazily checkpointed) and the next scan over it —
+      the metric's, or the next round's first driver fetch —
+      materializes it as a side effect.  One job per round instead of
+      two, which matters on schedulers where per-job latency, not
+      data, dominates iterative queries (DRIVER_NOTES #24).  Only
+      valid when every round's frame is scanned EXACTLY ONCE before
+      any plan referencing it twice executes — true when the metric
+      scans ``new`` once (``changed_count_metric``, shift checks,
+      fingerprints), or when ``step`` begins with a driver fetch over
+      ``prev`` (the BPE argmax).  A violating caller recomputes the
+      frame's upstream per concurrent branch inside one job — the
+      measured 21.6 s LPA pathology — so the default stays ``"count"``.
+
     The initial ``state`` is caller-owned and never unpersisted here;
     frames the runner creates are freed once a later checkpoint makes
     them unreachable.  The returned final state stays materialized for
@@ -84,6 +104,9 @@ def iterate_to_fixpoint(
         raise ValueError("max_rounds must be >= 1")
     if checkpoint_every < 1:
         raise ValueError("checkpoint_every must be >= 1")
+    if materialize not in ("count", "metric"):
+        raise ValueError("materialize must be 'count' or 'metric'")
+    fused = materialize == "metric"
     owned: list[DataFrame] = []
     rounds, m, converged = 0, float("inf"), False
     for r in range(1, max_rounds + 1):
@@ -91,12 +114,17 @@ def iterate_to_fixpoint(
         new = step(prev)
         if r % checkpoint_every == 0:
             # eager=True materializes AND truncates lineage: the new
-            # frame no longer references any earlier round.
-            new = new.localCheckpoint(eager=True)
+            # frame no longer references any earlier round.  Fused
+            # mode defers the materialization to the next scan (the
+            # lazy checkpoint lands during whichever job computes the
+            # frame first); the lineage truncation — what the
+            # flat-plan tests pin — is identical either way.
+            new = new.localCheckpoint(eager=not fused)
             was_checkpointed = True
         else:
             new = new.persist()
-            new.count()  # one-scalar materialization (pinning rule)
+            if not fused:
+                new.count()  # one-scalar materialization (pinning rule)
             was_checkpointed = False
         m = float(metric(prev, new))
         if was_checkpointed:

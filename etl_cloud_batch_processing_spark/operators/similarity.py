@@ -510,9 +510,13 @@ def kmeans_converged(emb: DataFrame, k: int, *, tol: float,
         row = j.agg(F.max(_sq_l2("cvec", "nv")).alias("s")).first()
         return float(row["s"]) if row["s"] is not None else 0.0
 
+    # materialize="metric": the shift-check join scans each round's
+    # centroid frame exactly once, so it doubles as the materializer —
+    # one job per Lloyd round instead of two.
     res = iterate_to_fixpoint(c0, step, max_shift, tol=tol,
                               max_rounds=max_rounds,
-                              checkpoint_every=checkpoint_every)
+                              checkpoint_every=checkpoint_every,
+                              materialize="metric")
     emb.unpersist()
     return res
 

@@ -1251,26 +1251,30 @@ def manifest_stream_incremental_revenue(spark: SparkSession,
            .agg(F.count(F.lit(1)).alias("n_events"),
                 F.sum("cents").alias("cents_total")))
 
-    def drain_until_quiet(bound: int) -> None:
-        # restart AvailableNow until one run consumes ZERO rows — the
-        # plans/streams.py quiescence discipline (bound = backstop)
-        for _ in range(bound):
-            q = (agg.writeStream
-                 .foreachBatch(lambda b, _id:
-                               b.write.mode("overwrite").parquet(out))
-                 .option("checkpointLocation", ckpt)
-                 .outputMode("complete")
-                 .trigger(availableNow=True)
-                 .start())
-            q.awaitTermination()
-            if sum(int(p["numInputRows"])
-                   for p in (q.recentProgress or [])) == 0:
-                return
-        raise RuntimeError("manifest_changes source never went quiescent")
+    def drain_to_version(target: int) -> None:
+        # restart AvailableNow until the committed version offset
+        # reaches ``target`` — the query just published that version
+        # itself, so the usual zero-rows confirmation start (one full
+        # stream start of pure machinery) is not needed
+        from etl_cloud_batch_processing_spark.streaming import windows as W
 
-    drain_until_quiet(6)                  # consumes v1 + v2
+        with W.scoped_shuffle_partitions(
+                spark, W.stream_state_partitions(spark, path)):
+            W.drain_available_now_until(
+                lambda: (agg.writeStream
+                         .foreachBatch(lambda b, _id:
+                                       b.write.mode("overwrite")
+                                       .parquet(out))
+                         .option("checkpointLocation", ckpt)
+                         .outputMode("complete")
+                         .trigger(availableNow=True)
+                         .start()),
+                source_done=lambda end: int(end["version"]) >= target,
+                bound=6, what="manifest_changes source")
+
+    drain_to_version(2)                   # consumes v1 + v2
     M.publish_manifested(s[2], path, "r3")                     # v3
-    drain_until_quiet(6)                  # resumes at v2, consumes v3
+    drain_to_version(3)                   # resumes at v2, consumes v3
     return spark.read.parquet(out)
 
 
@@ -1392,24 +1396,30 @@ def pywriter_stream_exactly_once(spark: SparkSession,
     M.publish_manifested(s[0], src, "r1")                      # v1
     M.publish_manifested(s[1], src, "r2")                      # v2
 
-    def drain_until_quiet(bound: int) -> None:
-        for _ in range(bound):
-            q = (spark.readStream.format("manifest_changes")
-                 .option("path", src).load()
-                 .writeStream.format("manifest_table")
-                 .option("path", snk).option("txnAppId", "pysw")
-                 .option("checkpointLocation", ckpt)
-                 .trigger(availableNow=True).start())
-            q.awaitTermination()
-            if sum(int(p["numInputRows"])
-                   for p in (q.recentProgress or [])) == 0:
-                return
-        raise RuntimeError("stream-to-table loop never went quiescent")
+    def drain(target: int | None) -> None:
+        # target = the source version this drain must reach (the query
+        # published it, so the offset check replaces the zero-rows
+        # confirmation start); target=None runs exactly ONE start
+        # against the fully-consumed source — the no-op-commit leg of
+        # the lifecycle, which must stay a real start by design.
+        from etl_cloud_batch_processing_spark.streaming.windows import (
+            drain_available_now_until)
 
-    drain_until_quiet(6)                  # consumes v1 + v2
+        drain_available_now_until(
+            lambda: (spark.readStream.format("manifest_changes")
+                     .option("path", src).load()
+                     .writeStream.format("manifest_table")
+                     .option("path", snk).option("txnAppId", "pysw")
+                     .option("checkpointLocation", ckpt)
+                     .trigger(availableNow=True).start()),
+            source_done=(None if target is None else
+                         lambda end: int(end["version"]) >= target),
+            bound=6, what="stream-to-table loop")
+
+    drain(2)                              # consumes v1 + v2
     M.publish_manifested(s[2], src, "r3")                      # v3
-    drain_until_quiet(6)                  # resumes, consumes v3 only
-    drain_until_quiet(6)                  # fully consumed: no commit
+    drain(3)                              # resumes, consumes v3 only
+    drain(None)                           # fully consumed: no commit
     return (M.read_manifest(spark, snk).groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.sum("cents").alias("cents_total")))

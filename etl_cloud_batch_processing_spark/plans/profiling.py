@@ -650,47 +650,50 @@ def _logreg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("logreg_converged_coeffs")
 def logreg_converged_coeffs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Logistic regression (is-this-a-purchase on time-of-day /
-    day-of-week / value features) trained by Newton/IRLS under the
-    convergence runner (operators/iterative.py): each round is ONE
-    map-side-combined aggregation over the cached feature frame
-    producing the 4 gradient means, the 10 Hessian cells, and the
-    log-loss together; the driver solves the 4x4 system with numpy and
-    the updated coefficients re-enter as a 1-row leaf frame.  Stops
-    when the largest coefficient step falls under 1e-8 — quadratic
-    convergence lands this in ~5 rounds where first-order GD needs
-    hundreds (the GD form was measured at 30+ rounds without
-    converging, and its coefficient-frame-in-the-plan state doubled
-    the plan tree per round — both recorded in SCALE.md's pathology
-    list; Newton-with-leaf-state eliminates the class).
+    day-of-week / value features) trained by Newton/IRLS with the
+    coefficient vector held ON THE DRIVER — MLlib's own trainer
+    architecture (treeAggregate the statistics, update the driver-side
+    vector, repeat): each round is ONE map-side-combined aggregation
+    over the cached feature frame producing the 4 gradient means, the
+    10 Hessian cells, and the log-loss together; the driver solves the
+    4x4 system with numpy and the updated coefficients re-enter the
+    next round's plan as literals.  Stops when the largest coefficient
+    step falls under 1e-8 — quadratic convergence lands this in ~5
+    rounds where first-order GD needs hundreds (the GD form was
+    measured at 30+ rounds without converging, and its
+    coefficient-frame-in-the-plan state doubled the plan tree per
+    round — both recorded in SCALE.md's pathology list).
+
+    Optimization round 12: this loop previously ran under the
+    convergence runner with the coefficients as a 1-row leaf frame —
+    correct, but each round cost ~5 driver-coordinated jobs (state
+    fetch, the aggregation, the runner's materialization, two metric
+    fetches) where the statistics aggregation is the only one touching
+    data.  Driver-held coefficients cut it to exactly ONE job per
+    round (the recurrence, stopping rule, and every emitted value are
+    unchanged — same floats through the same expressions).
 
     Scale shape is MLlib LogisticRegression's own: per round, corpus
     work is one pass with a 15-cell result; the driver round-trip is
     O(d^2) bounded statistics (the sanctioned guarded-fetch pattern,
-    operators/linalg.py); state plans never deepen because each round
-    is a fresh leaf.  Self-audit columns (the rows-only contract per
-    SURVEY.md §5.2): `loss_improved` asserts the final log-loss beats
-    the zero-coefficient model's ln(2); `beats_prior_only` asserts it
-    also reaches the best intercept-only model's entropy floor — both
+    operators/linalg.py); no state frame exists to deepen any plan.
+    Self-audit columns (the rows-only contract per SURVEY.md §5.2):
+    `loss_improved` asserts the final log-loss beats the
+    zero-coefficient model's ln(2); `beats_prior_only` asserts it also
+    reaches the best intercept-only model's entropy floor — both
     executed inside the query and pinned by pytest alongside a numpy
     replay of the exact recurrence."""
     import math
 
     import numpy as np
 
-    from etl_cloud_batch_processing_spark.operators.iterative import (
-        iterate_to_fixpoint)
-
     feats = _logreg_features(spark, sf_dir).persist()
     feats.count()
-    state = spark.createDataFrame(
-        [(0.0, 0.0, 0.0, 0.0, None)],
-        "b0 double, b1 double, b2 double, b3 double, loss double")
 
     xs = [F.lit(1.0), F.col("x1"), F.col("x2"), F.col("x3")]
 
-    def step(prev: DataFrame) -> DataFrame:
-        c = prev.first()
-        b = [c[f"b{i}"] for i in range(4)]
+    def newton_stats(b: list[float]):
+        """One pass: gradient means, Hessian cells, log-loss at ``b``."""
         z = (F.lit(b[0]) + F.lit(b[1]) * F.col("x1")
              + F.lit(b[2]) * F.col("x2") + F.lit(b[3]) * F.col("x3"))
         p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
@@ -703,7 +706,17 @@ def logreg_converged_coeffs(spark: SparkSession, sf_dir: str) -> DataFrame:
         cells += [F.avg(w * xs[i] * xs[j]).alias(f"h{i}{j}")
                   for i in range(4) for j in range(i, 4)]
         cells.append(F.avg(ll).alias("loss"))
-        s = feats.agg(*cells).first()
+        # avg(y) rides along for free: it feeds the intercept-only
+        # entropy floor below, saving its own dedicated job
+        cells.append(F.avg("y").alias("p1"))
+        return feats.agg(*cells).first()
+
+    b = [0.0, 0.0, 0.0, 0.0]
+    losses: list[float] = []
+    rounds, converged = 0, False
+    for _ in range(_LR_MAX_ROUNDS):
+        s = newton_stats(b)
+        losses.append(float(s["loss"]))
         g = np.array([s[f"g{i}"] for i in range(4)])
         H = np.zeros((4, 4))
         for i in range(4):
@@ -711,34 +724,27 @@ def logreg_converged_coeffs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 H[i, j] = H[j, i] = s[f"h{i}{j}"]
         H += 1e-9 * np.eye(4)  # ridge jitter: exact separation guard
         nb = np.array(b) - np.linalg.solve(H, g)
-        return prev.sparkSession.createDataFrame(
-            [(float(nb[0]), float(nb[1]), float(nb[2]), float(nb[3]),
-              float(s["loss"]))],
-            "b0 double, b1 double, b2 double, b3 double, loss double")
-
-    losses: list[float] = []
-
-    def metric(old: DataFrame, new: DataFrame) -> float:
-        o, r = old.first(), new.first()
-        losses.append(r["loss"])
-        return max(abs(r[f"b{i}"] - o[f"b{i}"]) for i in range(4))
-
-    res = iterate_to_fixpoint(state, step, metric, tol=_LR_TOL,
-                              max_rounds=_LR_MAX_ROUNDS,
-                              checkpoint_every=4)
-    final_loss = step(res.state).first()["loss"]
+        nb = [float(v) for v in nb]
+        step_size = max(abs(nb[i] - b[i]) for i in range(4))
+        b, rounds = nb, rounds + 1
+        if step_size <= _LR_TOL:
+            converged = True
+            break
+    s = newton_stats(b)  # loss (and avg(y)) at the FINAL coefficients
+    final_loss = float(s["loss"])
     # entropy floor of the best intercept-only model
-    p1 = feats.agg(F.avg("y")).first()[0]
+    p1 = float(s["p1"])
     prior_loss = -(p1 * math.log(p1) + (1 - p1) * math.log(1 - p1))
     feats.unpersist()
-    coefs = res.state.select(
+    coefs = spark.createDataFrame(
+        [tuple(b)], "b0 double, b1 double, b2 double, b3 double").select(
         F.expr("stack(4, " + ", ".join(
             f"'{name}', b{i}" for i, name in enumerate(_LR_FEATURES))
             + ")").alias("feature", "coef"))
     return (coefs.select(
         "feature", (F.round(F.col("coef"), 6) + F.lit(0.0)).alias("coef"),
-        F.lit(res.rounds).alias("rounds"),
-        F.lit(res.converged).alias("converged"),
+        F.lit(rounds).alias("rounds"),
+        F.lit(converged).alias("converged"),
         F.lit(round(losses[0], 6)).alias("zero_model_loss"),
         F.lit(round(final_loss, 6)).alias("final_loss"),
         F.lit(bool(final_loss < losses[0])).alias("loss_improved"),

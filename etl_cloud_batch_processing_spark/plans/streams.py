@@ -111,7 +111,9 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tempfile.mkdtemp(prefix="stream_sink_")
     ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
     result = W.tumbling_counts(W.events_stream(spark, sf_dir))
-    W.run_available_now(result, out, ckpt)
+    W.run_available_now(result, out, ckpt,
+                        partitions=W.events_state_partitions(
+                            spark, sf_dir))
     return _ntz(spark.read.parquet(out))
 
 
@@ -138,7 +140,10 @@ def streaming_user_totals_stateful(spark: SparkSession,
     out = tempfile.mkdtemp(prefix="stateful_sink_")
     ckpt = tempfile.mkdtemp(prefix="stateful_ckpt_")
     result = S.user_running_totals_stream(W.events_stream(spark, sf_dir))
-    S.drain_running_totals(result, out, ckpt)
+    with W.scoped_shuffle_partitions(
+            spark, W.events_state_partitions(spark, sf_dir,
+                                             python_stateful=True)):
+        S.drain_running_totals(result, out, ckpt)
     log = spark.read.parquet(out)
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
     return (log.withColumn("rn", F.row_number().over(w))
@@ -174,7 +179,9 @@ def _streaming_user_stats_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
                            "package, no vendored runtime)")
     S.push_protobuf_env_to_workers(spark)
     result = S.user_stats_tws_stream(W.events_stream(spark, sf_dir))
-    log = _drain_tws(spark, result, "tws")
+    log = _drain_tws(spark, result, "tws",
+                     partitions=W.events_state_partitions(
+                         spark, sf_dir, python_stateful=True))
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
     return (log.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
@@ -226,36 +233,41 @@ def streaming_pysource_event_counts(spark: SparkSession,
            .agg(F.count(F.lit(1)).alias("n_events"),
                 F.round(F.sum("value"), 6).alias("total_value")))
 
-    # Drain until quiescent: restart AvailableNow runs until one run
-    # consumes ZERO new rows (the source prefetch contract — one batch
-    # per start today — is deliberately not baked in; a reader that
-    # serves more or fewer batches per start still drains correctly).
-    # The bound is a runaway backstop, not the stop condition.
-    for _ in range(rows // batch_rows + 8):
-        q = (agg.writeStream
-             .foreachBatch(lambda b, _id:
-                           b.write.mode("overwrite").parquet(out))
-             .option("checkpointLocation", ckpt)
-             .outputMode("complete")
-             .trigger(availableNow=True)
-             .start())
-        q.awaitTermination()
-        consumed = sum(int(p["numInputRows"])
-                       for p in (q.recentProgress or []))
-        if consumed == 0:
-            break
-    else:
-        raise RuntimeError("synthetic_events source never went quiescent")
+    # Drain until the committed index offset reaches the row target —
+    # the generator's own row budget, so no final zero-consuming
+    # confirmation start is needed (the prefetch contract — one batch
+    # per start today — is still not baked in: the loop restarts until
+    # the OFFSET says done, however many batches each start serves;
+    # the zero-rows rule remains the helper's fallback).
+    with W.scoped_shuffle_partitions(
+            spark, W.stream_state_partitions(spark)):
+        W.drain_available_now_until(
+            lambda: (agg.writeStream
+                     .foreachBatch(lambda b, _id:
+                                   b.write.mode("overwrite").parquet(out))
+                     .option("checkpointLocation", ckpt)
+                     .outputMode("complete")
+                     .trigger(availableNow=True)
+                     .start()),
+            source_done=lambda end: int(end["index"]) >= rows,
+            bound=rows // batch_rows + 8,
+            what="synthetic_events source")
     return spark.read.parquet(out)
 
 
 def _drain_tws(spark: SparkSession, result: DataFrame,
-               prefix: str) -> DataFrame:
+               prefix: str, partitions: int | None = None) -> DataFrame:
     """AvailableNow drain of a transformWithStateInPandas stream under
     RocksDBStateStoreProvider (the v2 operator needs multi-column-
     family state; the HDFS-backed default refuses), restoring the
     session's provider afterwards so every other streaming query keeps
-    its default.  Returns the emission-log frame."""
+    its default.  Returns the emission-log frame.
+
+    ``partitions`` pins the drain's state-partition count — under the
+    RocksDB provider EVERY state partition is a whole RocksDB instance
+    opened + committed per micro-batch, so the input-size derivation
+    (streaming/windows.py stream_state_partitions) matters most on
+    this family."""
     from etl_cloud_batch_processing_spark.streaming import stateful as S
 
     out = tempfile.mkdtemp(prefix=f"{prefix}_sink_")
@@ -265,7 +277,8 @@ def _drain_tws(spark: SparkSession, result: DataFrame,
     spark.conf.set(provider_key, "org.apache.spark.sql.execution."
                    "streaming.state.RocksDBStateStoreProvider")
     try:
-        S.drain_running_totals(result, out, ckpt)
+        with W.scoped_shuffle_partitions(spark, partitions):
+            S.drain_running_totals(result, out, ckpt)
     finally:
         if prev is None:
             spark.conf.unset(provider_key)
@@ -295,7 +308,9 @@ def _streaming_tws_recent_events(spark: SparkSession,
         raise RuntimeError("google.protobuf unavailable")
     S.push_protobuf_env_to_workers(spark)
     result = S.recent_events_tws_stream(W.events_stream(spark, sf_dir))
-    log = _drain_tws(spark, result, "tws_recent")
+    log = _drain_tws(spark, result, "tws_recent",
+                      partitions=W.events_state_partitions(
+                          spark, sf_dir, python_stateful=True))
     mx = F.max("n_seen").over(Window.partitionBy("user_id"))
     return (log.withColumn("mx", mx)
             .filter(F.col("n_seen") == F.col("mx"))
@@ -320,7 +335,9 @@ def _streaming_tws_type_counts(spark: SparkSession,
         raise RuntimeError("google.protobuf unavailable")
     S.push_protobuf_env_to_workers(spark)
     result = S.type_counts_tws_stream(W.events_stream(spark, sf_dir))
-    log = _drain_tws(spark, result, "tws_types")
+    log = _drain_tws(spark, result, "tws_types",
+                      partitions=W.events_state_partitions(
+                          spark, sf_dir, python_stateful=True))
     mx = F.max("n_total").over(Window.partitionBy("user_id"))
     return (log.withColumn("mx", mx)
             .filter(F.col("n_total") == F.col("mx"))
@@ -356,7 +373,9 @@ def _streaming_tws_session_timers(spark: SparkSession,
         raise RuntimeError("google.protobuf unavailable")
     S.push_protobuf_env_to_workers(spark)
     result = S.session_timer_tws_stream(W.events_stream(spark, sf_dir))
-    log = _drain_tws(spark, result, "tws_sess")
+    log = _drain_tws(spark, result, "tws_sess",
+                      partitions=W.events_state_partitions(
+                          spark, sf_dir, python_stateful=True))
     return (log.select("user_id", "start_ms", "end_ms", "n_events",
                        "closed_by")
             .orderBy("user_id", "start_ms"))
@@ -397,7 +416,9 @@ def _streaming_tws_warm_start(spark: SparkSession,
                        .cast(dict(ev.dtypes)["ts"]))
              .select("user_id", cents.alias("cents")))
     result = S.warm_start_tws_stream(delta, init)
-    log = _drain_tws(spark, result, "tws_warm")
+    log = _drain_tws(spark, result, "tws_warm",
+                      partitions=W.events_state_partitions(
+                          spark, sf_dir, python_stateful=True))
     mx = F.max("n_events").over(Window.partitionBy("user_id"))
     return (log.withColumn("mx", mx)
             .filter(F.col("n_events") == F.col("mx"))
@@ -411,7 +432,8 @@ _TWS_WARM_CUTOFF = "2024-01-16 00:00:00"
 
 
 def _drain_tws_ptime(spark: SparkSession, result: DataFrame,
-                     prefix: str, total_rows: int) -> DataFrame:
+                     prefix: str, total_rows: int,
+                     partitions: int | None = None) -> DataFrame:
     """AvailableNow drain for a ProcessingTime-mode TWS stream (the
     time mode state TTL requires).  Unlike timeMode=None, the query
     NEVER self-terminates — after the data batches it keeps scheduling
@@ -431,20 +453,21 @@ def _drain_tws_ptime(spark: SparkSession, result: DataFrame,
     spark.conf.set(provider_key, "org.apache.spark.sql.execution."
                    "streaming.state.RocksDBStateStoreProvider")
     try:
-        q = (result.writeStream
-             .foreachBatch(lambda b, _id:
-                           b.write.mode("append").parquet(out))
-             .option("checkpointLocation", ckpt)
-             .outputMode("update")
-             .trigger(availableNow=True)
-             .start())
+        with W.scoped_shuffle_partitions(spark, partitions):
+            q = (result.writeStream
+                 .foreachBatch(lambda b, _id:
+                               b.write.mode("append").parquet(out))
+                 .option("checkpointLocation", ckpt)
+                 .outputMode("update")
+                 .trigger(availableNow=True)
+                 .start())
         deadline = time.time() + 300
         while q.isActive and time.time() < deadline:
             seen = sum(int(p["numInputRows"])
                        for p in (q.recentProgress or []))
             if seen >= total_rows:
                 break
-            time.sleep(0.5)
+            time.sleep(0.05)
         else:
             raise RuntimeError(
                 f"TTL drain never committed {total_rows} input rows")
@@ -492,7 +515,9 @@ def _streaming_tws_ttl_counter(spark: SparkSession,
     total = table(spark, sf_dir, "events").count()
     result = S.ttl_counter_tws_stream(W.events_stream(spark, sf_dir),
                                       ttl_ms=3_600_000)
-    log = _drain_tws_ptime(spark, result, "tws_ttl", total)
+    log = _drain_tws_ptime(spark, result, "tws_ttl", total,
+                           partitions=W.events_state_partitions(
+                               spark, sf_dir, python_stateful=True))
     mx = F.max("n_events").over(Window.partitionBy("user_id"))
     return (log.withColumn("mx", mx)
             .filter(F.col("n_events") == F.col("mx"))
@@ -675,7 +700,9 @@ def streaming_enriched_segments(spark: SparkSession,
     ev = W.events_stream(spark, sf_dir)
     enriched = (ev.join(cust, ev.user_id == cust.c_custkey)
                 .select("event_id", "event_type", "c_mktsegment"))
-    W.run_available_now(enriched, out, ckpt)
+    W.run_available_now(enriched, out, ckpt,
+                        partitions=W.events_state_partitions(
+                            spark, sf_dir))
     return spark.read.parquet(out)
 
 
@@ -701,7 +728,9 @@ def streaming_distinct_user_event_types(spark: SparkSession,
     ev = W.events_stream(spark, sf_dir)
     deduped = (ev.dropDuplicates(["user_id", "event_type"])
                .select("user_id", "event_type"))
-    W.run_available_now(deduped, out, ckpt)
+    W.run_available_now(deduped, out, ckpt,
+                        partitions=W.events_state_partitions(
+                            spark, sf_dir))
     return spark.read.parquet(out)
 
 
@@ -749,7 +778,9 @@ def streaming_click_purchase_attribution(spark: SparkSession,
         & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
         & (F.col("c_ts") <= F.col("p_ts")))
         .select("purchase_id", "click_id", F.col("p_user").alias("user_id")))
-    W.run_available_now(joined, out, ckpt)
+    W.run_available_now(joined, out, ckpt,
+                        partitions=W.events_state_partitions(
+                            spark, sf_dir))
     return spark.read.parquet(out)
 
 
@@ -794,7 +825,9 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tempfile.mkdtemp(prefix="sess_sink_")
     ckpt = tempfile.mkdtemp(prefix="sess_ckpt_")
     result = W.session_windows(W.events_stream(spark, sf_dir))
-    W.run_available_now(result, out, ckpt)
+    W.run_available_now(result, out, ckpt,
+                        partitions=W.events_state_partitions(
+                            spark, sf_dir))
     return _ntz(spark.read.parquet(out))
 
 
@@ -914,7 +947,9 @@ def streaming_unattributed_purchases(spark: SparkSession,
         "left_outer")
         .select("purchase_id", F.col("p_user").alias("user_id"),
                 "p_ts", "click_id"))
-    W.run_available_now(joined, out, ckpt)
+    W.run_available_now(joined, out, ckpt,
+                        partitions=W.events_state_partitions(
+                            spark, sf_dir))
     return _ntz(spark.read.parquet(out))
 
 
@@ -949,7 +984,9 @@ def streaming_dedup_within_watermark(spark: SparkSession,
                .dropDuplicatesWithinWatermark(["user_id", "event_type",
                                                "day"])
                .select("user_id", "event_type", "day"))
-    W.run_available_now(deduped, out, ckpt)
+    W.run_available_now(deduped, out, ckpt,
+                        partitions=W.events_state_partitions(
+                            spark, sf_dir))
     return spark.read.parquet(out)
 
 
@@ -995,7 +1032,9 @@ def streaming_hopping_counts(spark: SparkSession,
                 F.round(F.sum("value"), 6).alias("sum_value"))
            .select(F.col("w.start").alias("window_start"),
                    "event_type", "n_events", "sum_value"))
-    W.run_available_now(agg, out, ckpt)
+    W.run_available_now(agg, out, ckpt,
+                        partitions=W.events_state_partitions(
+                            spark, sf_dir))
     return _ntz(spark.read.parquet(out))
 
 

@@ -349,10 +349,15 @@ def _bpe_converged(spark: SparkSession, toks0: DataFrame,
             apply_bpe_merge(F.col("toks"), F.lit(best["a"]),
                             F.lit(best["b"])).alias("toks"))
 
+    # materialize="metric" is safe here even though the metric scans
+    # nothing: every round's step BEGINS with the argmax driver fetch
+    # over the previous frame, which materializes it before anything
+    # references it twice — so each round costs one job (the argmax),
+    # not two (argmax + count).
     res = iterate_to_fixpoint(
         toks0, step, lambda old, new: info["last_n"],
         tol=1.0, max_rounds=max_merges,
-        checkpoint_every=checkpoint_every)
+        checkpoint_every=checkpoint_every, materialize="metric")
     merges = spark.createDataFrame(
         merge_rows,
         "round bigint, left_sym string, right_sym string, "

@@ -18,16 +18,119 @@ tests/test_streaming.py and oracle-checked via the registry twin
 
 from __future__ import annotations
 
+import contextlib
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_cloud_batch_processing_spark.sources.readers import read_parquet
+
+#: Env override for the streaming state-partition derivation below —
+#: a production deployment sizes state partitions to key cardinality /
+#: state volume and pins them here (they are baked into a checkpoint at
+#: first start, so the choice is an explicit deployment decision).
+STREAM_PARTITIONS_ENV = "SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS"
+
+#: Input bytes per state partition when deriving locally.  32 MB of
+#: scanned input per state store keeps each store's per-batch commit
+#: (delta file / RocksDB instance) amortized over real work; the
+#: guide's 100 MB-1 GB shuffle-partition sizing rule, scaled down one
+#: notch because stateful partitions pay a per-partition STORE cost
+#: (open + commit + snapshot) on every micro-batch, not just a task
+#: launch.
+_STREAM_BYTES_PER_PARTITION = 32 << 20
+
+
+def _tree_bytes(path: str) -> int:
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            with contextlib.suppress(OSError):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def stream_state_partitions(spark: SparkSession, *paths: str,
+                            python_stateful: bool = False) -> int:
+    """Shuffle/state-store partition count for one streaming drain,
+    derived from INPUT SIZE rather than fixed at the session's batch
+    shuffle-partition constant (guide §2: make partitioning
+    scale-adaptive — derive from data — instead of a constant tuned
+    for either local mode or the cluster).
+
+    Why this matters for streaming specifically: AQE cannot coalesce
+    stateful streaming shuffles (the state-store partition count is
+    fixed at first start and persisted in the checkpoint), so the
+    batch-side answer — start high, let AQE shrink — does not exist
+    here.  Every state partition costs a real per-micro-batch price: a
+    state store instance (an entire RocksDB instance under the TWS
+    provider), a delta-file commit, and a snapshot maintenance unit.
+    Measured on this box (optimization round 12): draining the 2 MB
+    sf0.1 events fixture through a stream-stream join at 32 state
+    partitions pays 32x4 store commits per batch for partitions
+    holding a few KB each.
+
+    Derivation: one partition per 32 MB of source input, floor 2 (the
+    multi-partition state paths stay exercised), ceiling 10,000 (a
+    100 TB backlog would otherwise derive millions; past ~10k
+    partitions state-store coordination dominates and a real
+    deployment overrides via ``SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS``
+    anyway — state partitions size to KEY cardinality at that scale,
+    which only the operator knows)."""
+    env = os.environ.get(STREAM_PARTITIONS_ENV)
+    if env:
+        return max(1, int(env))
+    n_bytes = sum(_tree_bytes(p) for p in paths)
+    derived = max(2, min(1 + n_bytes // _STREAM_BYTES_PER_PARTITION,
+                         10_000))
+    if python_stateful:
+        # Python-stateful operators (transformWithStateInPandas,
+        # applyInPandasWithState) execute per-KEY Python code inside
+        # each state partition, so the partition count is also the
+        # Python-compute parallelism knob.  Measured on this box
+        # (interleaved A/B, best-of-3): streaming_tws_type_counts at
+        # 2 partitions ran 14.3 s vs 4.7 s at 32 — the state-store
+        # saving is dwarfed by serializing the per-key processor calls
+        # onto 2 workers.  Floor at the session's core count.
+        return max(derived, spark.sparkContext.defaultParallelism)
+    return derived
+
+
+@contextlib.contextmanager
+def scoped_shuffle_partitions(spark: SparkSession, n: int | None):
+    """Set ``spark.sql.shuffle.partitions`` around a streaming start
+    (the value is read once at query start and baked into the
+    checkpoint), restoring the session's batch value afterwards so no
+    batch query sees it."""
+    if n is None:
+        yield
+        return
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 
 def events_schema(spark: SparkSession, sf_dir: str):
     """Streaming sources require an explicit schema (no inference pass);
     take it from the batch parquet footer once at plan time."""
     return read_parquet(spark, f"{sf_dir}/events.parquet").schema
+
+
+def events_state_partitions(spark: SparkSession, sf_dir: str,
+                            python_stateful: bool = False) -> int:
+    """:func:`stream_state_partitions` sized from the events table —
+    the one-liner every events-fed drain passes to
+    :func:`run_available_now`."""
+    return stream_state_partitions(
+        spark, os.path.join(sf_dir, "events.parquet"),
+        python_stateful=python_stateful)
 
 
 def events_stream(spark: SparkSession, sf_dir: str,
@@ -99,17 +202,78 @@ def session_windows(events: DataFrame, gap: str = "30 minutes",
                     "n_events"))
 
 
+def drain_available_now_until(start_query, *, source_done=None,
+                              bound: int = 8,
+                              what: str = "stream") -> None:
+    """Restart an ``AvailableNow`` stream until its source is fully
+    consumed.  ``start_query`` starts (and returns) one StreamingQuery;
+    restarts continue until either ``source_done(end_offset)`` — the
+    last progress event's first source ``endOffset``, JSON-decoded —
+    reports the drain target reached, or a run consumes zero rows (the
+    original quiescence rule, kept as the fallback when no offset
+    target is known or no progress is observable).
+
+    Why the offset check exists (optimization round 12, guide §1.2):
+    the zero-rows rule always pays one extra full stream start — fixed
+    machinery measured at 1.5-2.5 s per start on this box — just to
+    observe "nothing left".  When the caller KNOWS the target offset
+    (it published the versions / generated the rows itself), comparing
+    the committed offset against that target stops the loop one start
+    earlier with identical results; sources that serve fewer batches
+    per start than expected (the SimpleDataSourceStreamReader
+    one-prefetched-batch-per-start contract, DRIVER_NOTES #29) still
+    drain correctly because the loop keeps restarting until the
+    offset target is met."""
+    import ast
+    import json
+
+    def decode_offset(end):
+        # JVM sources report offsets as JSON; Python DataSources report
+        # the reader's own offset dict via its repr (single quotes) —
+        # accept both, and punt to the zero-rows fallback on anything
+        # else.
+        if not isinstance(end, str):
+            return end
+        try:
+            return json.loads(end)
+        except ValueError:
+            try:
+                return ast.literal_eval(end)
+            except (ValueError, SyntaxError):
+                return None
+
+    for _ in range(bound):
+        q = start_query()
+        q.awaitTermination()
+        lp = q.lastProgress
+        if source_done is not None and lp is not None and lp["sources"]:
+            end = decode_offset(lp["sources"][0]["endOffset"])
+            if end is not None and source_done(end):
+                return
+        if sum(int(p["numInputRows"])
+               for p in (q.recentProgress or [])) == 0:
+            return
+    raise RuntimeError(f"{what} never went quiescent")
+
+
 def run_available_now(result: DataFrame, out_dir: str,
-                      checkpoint_dir: str) -> None:
+                      checkpoint_dir: str,
+                      partitions: int | None = None) -> None:
     """Drain everything currently available through the streaming plan
     into a parquet sink, then stop.  Append mode + checkpoint = each
     window written exactly once; re-running with the same checkpoint is
-    a no-op (idempotent restart), with a fresh checkpoint a rebuild."""
-    q = (result.writeStream
-         .format("parquet")
-         .option("path", out_dir)
-         .option("checkpointLocation", checkpoint_dir)
-         .outputMode("append")
-         .trigger(availableNow=True)
-         .start())
+    a no-op (idempotent restart), with a fresh checkpoint a rebuild.
+
+    ``partitions`` (optional) pins the drain's shuffle/state-store
+    partition count — pass :func:`stream_state_partitions` of the
+    source so state overhead scales with input instead of sitting at
+    the session's batch constant."""
+    with scoped_shuffle_partitions(result.sparkSession, partitions):
+        q = (result.writeStream
+             .format("parquet")
+             .option("path", out_dir)
+             .option("checkpointLocation", checkpoint_dir)
+             .outputMode("append")
+             .trigger(availableNow=True)
+             .start())
     q.awaitTermination()
