@@ -83,38 +83,51 @@ def connected_components(edges: DataFrame, src: str = "src",
     return res.state
 
 
-def _symmetrize(e: DataFrame) -> DataFrame:
-    """Both directions of an edge set, deduplicated, self-loops dropped."""
-    return (e.unionByName(e.select(F.col("v").alias("u"),
-                                   F.col("u").alias("v")))
-            .filter(F.col("u") != F.col("v"))
-            .distinct())
+def _star_round(e: DataFrame) -> DataFrame:
+    """One large-star THEN small-star round (Kiveris et al. SoCC'14),
+    FUSED — optimization round 13 (guide §2.4: remove shuffles
+    outright).  Semantically ``small_star(large_star(e))``, where
 
+    * large-star connects every vertex's STRICTLY LARGER neighbors to
+      the minimum of its closed neighborhood min(N(u) ∪ {u}), and
+    * small-star orients every edge from its larger endpoint and
+      connects each vertex's smaller neighbors AND itself to the
+      minimum of those neighbors,
 
-def _large_star(e: DataFrame) -> DataFrame:
-    """Large-star: every vertex connects its STRICTLY LARGER neighbors
-    to the minimum of its closed neighborhood min(N(u) ∪ {u}).  One
-    groupBy + one equi-join on the symmetrized edge frame."""
-    sym = _symmetrize(e)
+    with the multiplicity-insensitive intermediate ``distinct``s the
+    textbook per-star form pays removed (three full edge-set shuffles
+    per round):
+
+    * the symmetrize dedup before large-star — both consumers are
+      multiplicity-insensitive (a ``min`` aggregation, and a join whose
+      output only reaches the round's final ``distinct``);
+    * large-star's own trailing ``distinct`` — its output feeds only
+      small-star, which re-aggregates by ``min`` and ends in the final
+      ``distinct``;
+    * small-star's symmetrize+orientation filter — a no-op on
+      large-star output, which is already fully larger→smaller
+      oriented (every emitted edge is (bigger neighbor → neighborhood
+      minimum), self-loops dropped).
+
+    The round's OUTPUT SET is identical to the unfused form (the final
+    ``distinct`` normalizes multiplicity), so the convergence
+    trajectory, round count, and fixpoint are unchanged — pinned by the
+    min-label equivalence property test and the recursive-CTE oracle."""
+    sym = (e.unionByName(e.select(F.col("v").alias("u"),
+                                  F.col("u").alias("v")))
+           .filter(F.col("u") != F.col("v")))
     nbrmin = (sym.groupBy("u").agg(F.min("v").alias("mnv"))
               .select("u", F.least("mnv", F.col("u")).alias("m")))
-    return (sym.join(nbrmin, "u")
-            .filter(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .filter(F.col("u") != F.col("v"))
-            .distinct())
-
-
-def _small_star(e: DataFrame) -> DataFrame:
-    """Small-star: orient every edge from its larger endpoint, then
-    connect each vertex's smaller neighbors AND itself to the minimum
-    of those neighbors (all < u, so the closed-neighborhood min is just
-    min(v))."""
-    ori = (_symmetrize(e).filter(F.col("v") < F.col("u")))
-    nbrmin = ori.groupBy("u").agg(F.min("v").alias("m"))
-    rewired = (ori.join(nbrmin, "u")
+    large = (sym.join(nbrmin, "u")
+             .filter(F.col("v") > F.col("u"))
+             .select(F.col("v").alias("u"), F.col("m").alias("v"))
+             .filter(F.col("u") != F.col("v")))
+    # small-star over `large`: every row already has u > v, so the
+    # closed-neighborhood minimum is just min(v)
+    nbrmin2 = large.groupBy("u").agg(F.min("v").alias("m"))
+    rewired = (large.join(nbrmin2, "u")
                .select(F.col("v").alias("u"), F.col("m").alias("v")))
-    selfe = nbrmin.select(F.col("u"), F.col("m").alias("v"))
+    selfe = nbrmin2.select(F.col("u"), F.col("m").alias("v"))
     return (rewired.unionByName(selfe)
             .filter(F.col("u") != F.col("v"))
             .distinct())
@@ -164,19 +177,22 @@ def connected_components_star(edges: DataFrame, src: str = "src",
              .distinct()
              .localCheckpoint(eager=True))
 
-    def step(e: DataFrame) -> DataFrame:
-        return _small_star(_large_star(e))
+    step = _star_round
 
-    # per-frame fingerprint cache: each round's "old" fingerprint was
-    # already computed when that frame was the round's "new" — one
-    # aggregate per round instead of two
-    fps: dict[int, tuple[int, int]] = {}
+    # Carry the previous round's fingerprint forward explicitly (one
+    # aggregate per round instead of two): each round's "old" frame IS
+    # the previous round's "new", whose fingerprint we just computed.
+    # A strong reference keys the memo — the former id()-keyed dict
+    # could hand a GC'd frame's fingerprint to a new frame on CPython
+    # id reuse (round-12 ADVICE item 2).
+    memo: dict[str, object] = {"frame": None, "fp": None}
 
     def delta(old: DataFrame, new: DataFrame) -> float:
-        for f in (old, new):
-            if id(f) not in fps:
-                fps[id(f)] = _edge_fingerprint(f)
-        return 0.0 if fps[id(old)] == fps[id(new)] else 1.0
+        old_fp = (memo["fp"] if memo["frame"] is old
+                  else _edge_fingerprint(old))
+        new_fp = _edge_fingerprint(new)
+        memo["frame"], memo["fp"] = new, new_fp
+        return 0.0 if old_fp == new_fp else 1.0
 
     # materialize="metric": the fingerprint aggregate scans each new
     # edge frame exactly once (old's fingerprint is cached), so the

@@ -747,19 +747,42 @@ def _pq_train(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 
 def _pq_assign(subs: DataFrame, cents: DataFrame) -> DataFrame:
-    """Per-subspace nearest-code assignment: equi-join on the subspace
-    id against the broadcast codebook (SUBS×K = 128 rows), squared-L2
-    via zip_with/aggregate, argmin via ``min(struct(dist, cid, sv))``
-    — the same no-window argmax discipline as full-dim ``_assign``."""
-    d = F.aggregate(
-        F.zip_with(F.col("sv"), F.col("cv"),
-                   lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0), lambda acc, x: acc + x)
-    return (subs.join(F.broadcast(cents), "sub")
-            .select("vec_id", "sub", d.alias("dist"), "cid", "sv")
-            .groupBy("vec_id", "sub")
-            .agg(F.min(F.struct("dist", "cid", "sv")).alias("m"))
-            .select("vec_id", "sub", F.col("m.sv").alias("sv"),
+    """Per-subspace nearest-code assignment, fully MAP-SIDE: the
+    codebook is aggregated to one row per subspace (SUBS = 8 rows, each
+    carrying its K candidate codes as a sorted struct array), broadcast
+    onto the subvector frame, and the argmin runs as a per-row
+    ``array_min`` over struct(dist, cid) — lexicographic (dist ASC,
+    cid ASC), exactly the ordering the previous groupBy
+    ``min(struct(dist, cid, sv))`` implemented (sv was constant within
+    each (vec_id, sub) group, and cid is unique per sub, so the min is
+    identical element-for-element).
+
+    Optimization round 13 (guide §2.4 — remove shuffles outright): the
+    former shape joined the exploded corpus×SUBS frame against the
+    broadcast 128-row codebook and then hash-shuffled corpus×SUBS×K
+    candidate rows into a groupBy(vec_id, sub) argmin — a full-corpus
+    exchange per assignment (two per training, one per encode) whose
+    key cardinality equals its row count, so partial aggregation saved
+    nothing.  The candidate set per row is K = 16 codes — a bounded
+    per-row reduction, not a distributed one — so the argmin belongs in
+    the row expression, leaving ZERO exchanges in the assignment."""
+    cands = (cents.groupBy("sub")
+             .agg(F.array_sort(F.collect_list(F.struct("cid", "cv")))
+                  .alias("cands")))
+
+    def dist_to(c):
+        return F.aggregate(
+            F.zip_with(F.col("sv"), c["cv"],
+                       lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    best = F.array_min(F.transform(
+        F.col("cands"),
+        lambda c: F.struct(dist_to(c).alias("dist"),
+                           c["cid"].alias("cid"))))
+    return (subs.join(F.broadcast(cands), "sub")
+            .select("vec_id", "sub", "sv", best.alias("m"))
+            .select("vec_id", "sub", "sv",
                     F.col("m.cid").alias("cid"),
                     F.col("m.dist").alias("dist")))
 

@@ -331,17 +331,22 @@ def _bpe_converged(spark: SparkSession, toks0: DataFrame,
     )
 
     merge_rows: list[tuple[int, str, str, int]] = []
-    info = {"round": 0, "last_n": 0.0}
+    info = {"round": 0}
+    pending: dict[str, object] = {}
+
+    def _argmax(frame: DataFrame):
+        return (_pair_counts(frame)
+                .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+                .limit(1).first())
 
     def step(cur: DataFrame) -> DataFrame:
         info["round"] += 1
-        best = (_pair_counts(cur)
-                .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
-                .limit(1).first())
+        # Rounds 2+: the rule was already computed by the PREVIOUS
+        # round's metric (lookahead); round 1 argmaxes the caller-
+        # materialized seed frame.
+        best = pending.pop("best") if pending else _argmax(cur)
         if best is None or best["n"] < 2:
-            info["last_n"] = float(best["n"]) if best is not None else 0.0
-            return cur  # no productive merge left; metric stops the loop
-        info["last_n"] = float(best["n"])
+            return cur  # no productive merge left (round-1 dry corpus)
         merge_rows.append((info["round"], best["a"], best["b"],
                            int(best["n"])))
         return cur.select(
@@ -349,13 +354,26 @@ def _bpe_converged(spark: SparkSession, toks0: DataFrame,
             apply_bpe_merge(F.col("toks"), F.lit(best["a"]),
                             F.lit(best["b"])).alias("toks"))
 
-    # materialize="metric" is safe here even though the metric scans
-    # nothing: every round's step BEGINS with the argmax driver fetch
-    # over the previous frame, which materializes it before anything
-    # references it twice — so each round costs one job (the argmax),
-    # not two (argmax + count).
+    def metric(old: DataFrame, new: DataFrame) -> float:
+        # LOOKAHEAD argmax (optimization round 13): compute the NEXT
+        # round's rule over this round's frame.  This is the metric's
+        # one scan of ``new`` — it materializes the frame the moment it
+        # is created, which the fused materialize="metric" mode relies
+        # on.  (The previous shape argmaxed at the START of the next
+        # step instead, which left every checkpoint round's frame
+        # unmaterialized while the runner freed the persisted rounds
+        # behind it — so the next argmax recomputed checkpoint_every
+        # folds in one job, 9 redundant corpus passes at k=16.)  The
+        # returned value is the candidate rule's count: < 2 means the
+        # next round would be unproductive, so the loop stops WITHOUT
+        # paying that no-op round — same merge table, same final
+        # tokens, one round fewer on a drying corpus.
+        best = _argmax(new)
+        pending["best"] = best
+        return float(best["n"]) if best is not None else 0.0
+
     res = iterate_to_fixpoint(
-        toks0, step, lambda old, new: info["last_n"],
+        toks0, step, metric,
         tol=1.0, max_rounds=max_merges,
         checkpoint_every=checkpoint_every, materialize="metric")
     merges = spark.createDataFrame(

@@ -176,7 +176,10 @@ def test_bpe_k16_prefix_matches_unrolled_k4(spark, sf_dir):
 
 def test_bpe_converged_stops_when_corpus_dries_up(spark):
     """A corpus whose only repeated pair fuses in round 1 must stop the
-    trainer early: one rule emitted, runner flagged converged."""
+    trainer early: one rule emitted, runner flagged converged.  The
+    round-13 lookahead metric sees the dried-up pair table the moment
+    round 1's frame exists, so the trainer stops WITHOUT paying the
+    former no-op confirmation round (rounds == 1, was == 2)."""
     from etl_cloud_batch_processing_spark.plans.tokenization import (
         _bpe_converged,
     )
@@ -188,7 +191,7 @@ def test_bpe_converged_stops_when_corpus_dries_up(spark):
     merges, final, res = _bpe_converged(spark, toks0, 16, 4)
     got = [tuple(r) for r in merges.collect()]
     assert got == [(1, "a", "b", 2)]
-    assert res.converged and res.rounds == 2  # round 2 found only n=1
+    assert res.converged and res.rounds == 1  # lookahead: n=1 seen in r1
     toks = {r["doc_id"]: r["toks"] for r in final.collect()}
     assert toks[1] == ["a b"] and toks[2] == ["a b"]
     assert toks[3] == ["c", "d"]

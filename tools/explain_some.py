@@ -25,7 +25,7 @@ from pyspark.sql import SparkSession  # noqa: E402
 
 SF = "/root/testdata/sf0.001"
 OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), "plans", "r12")
+    os.path.abspath(__file__))), "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r13"))
 
 
 def main() -> None:
