@@ -21,6 +21,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F
+
 from etl_cloud_batch_processing_spark import plans
 from etl_cloud_batch_processing_spark.session import get_spark
 
@@ -50,6 +52,26 @@ def main() -> None:
     (spark.range(256).repartition(spark.sparkContext.defaultParallelism)
      .mapInPandas(lambda it: it, schema="id long")
      .write.format("noop").mode("overwrite").save())
+
+    def calibration() -> float:
+        """Fixed-workload box-speed probe (round-12 verdict item 4,
+        additions-only): one in-memory 16M-row shuffle+aggregate whose
+        cost is INDEPENDENT of the scale factor and the registry, timed
+        best-of-3 like everything else.  Cross-round/cross-box compares
+        divide by this to normalize machine speed mechanically instead
+        of adjudicating load drift by forensics."""
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            (spark.range(1 << 24)
+             .select((F.col("id") % 4096).alias("k"), "id")
+             .groupBy("k")
+             .agg(F.sum("id").alias("s"), F.count(F.lit(1)).alias("n"))
+             .write.format("noop").mode("overwrite").save())
+            runs.append(round(time.perf_counter() - t0, 3))
+        return min(runs)
+
+    calib_start = calibration()
 
     # Best-of-3 per query: this box is a shared microVM with high
     # run-to-run variance (same query measured 7s and 51s minutes
@@ -91,6 +113,10 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     sf = sf_from_dir(SF_DIR)
     spread = {n: round(max(r) - min(r), 3) for n, r in runs_detail.items()}
+    # Second calibration at the END of the run: start/end disagreement
+    # means the box's speed moved DURING the bench, which bounds how
+    # much any per-query delta can be trusted.
+    calib_end = calibration()
 
     # Full per-query detail goes to a sidecar file; the stdout line must
     # stay under the driver's 2000-char tail capture or it records
@@ -101,12 +127,14 @@ def main() -> None:
                    "unit": "sec", "n_queries": len(timings),
                    "failed": failed, "n_runs": N_RUNS,
                    "queries": timings, "runs": runs_detail,
-                   "spread": spread, "sf": sf}, f, indent=1, sort_keys=True)
+                   "spread": spread, "sf": sf,
+                   "calib": calib_start,
+                   "calib_end": calib_end}, f, indent=1, sort_keys=True)
 
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1]))
     out = {"metric": "total_wall_sec_all_queries", "value": total,
            "unit": "sec", "n_queries": len(timings), "n_failed": len(failed),
-           "queries": {}, "sf": sf}
+           "calib": calib_start, "queries": {}, "sf": sf}
     for name, sec in slowest.items():
         out["queries"][name] = sec
         if len(json.dumps(out)) > 1700:

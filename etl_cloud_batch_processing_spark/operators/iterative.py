@@ -48,7 +48,9 @@ from pyspark.sql import DataFrame
 class FixpointResult:
     """Outcome of :func:`iterate_to_fixpoint`."""
 
-    state: DataFrame      #: final round's frame (materialized)
+    state: DataFrame      #: final round's frame (materialized, provided
+    #: the fused-mode caller honored the scan-exactly-once contract —
+    #: see ``iterate_to_fixpoint(materialize=...)``)
     rounds: int           #: rounds actually executed (>= 1)
     final_metric: float   #: convergence metric at the stopping round
     converged: bool       #: True iff final_metric <= tol (not a max_rounds cut)
@@ -91,9 +93,16 @@ def iterate_to_fixpoint(
       valid when every round's frame is scanned EXACTLY ONCE before
       any plan referencing it twice executes — true when the metric
       scans ``new`` once (``changed_count_metric``, shift checks,
-      fingerprints), or when ``step`` begins with a driver fetch over
-      ``prev`` (the BPE argmax).  A violating caller recomputes the
-      frame's upstream per concurrent branch inside one job — the
+      fingerprints).  A caller whose metric does NOT scan ``new``
+      forfeits two guarantees (round-12 advice): checkpoint rounds
+      free the persisted frames a still-lazy checkpoint depends on
+      (the next scan then recomputes up to ``checkpoint_every - 1``
+      rounds of step work in one job), and the returned final state
+      may come back unmaterialized — which is why the BPE trainer's
+      metric performs the next round's argmax (lookahead) rather than
+      leaving the scan to the next ``step``.  A caller that scans a
+      round's frame TWICE before any single scan completes recomputes
+      the frame's upstream per concurrent branch inside one job — the
       measured 21.6 s LPA pathology — so the default stays ``"count"``.
 
     The initial ``state`` is caller-owned and never unpersisted here;

@@ -111,3 +111,31 @@ def test_remeasure_sf_compares_numerically(monkeypatch):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+def test_calibration_ratio_normalizes_box_speed(tmp_path):
+    """Round-13: with --calibrate, a query that doubled on a box the
+    calibration row shows is 2x slower is NOT a regression; the same
+    numbers without --calibrate (or without calib fields) still flag.
+    The ratio is printed either way when both docs carry calib."""
+    old_doc = {"metric": "t", "value": 3.0, "unit": "sec", "sf": 0.1,
+               "queries": {"q": 3.0}, "spread": {"q": 0.1},
+               "calib": 1.0}
+    new_doc = {"metric": "t", "value": 6.5, "unit": "sec", "sf": 0.1,
+               "queries": {"q": 6.5}, "spread": {"q": 0.1},
+               "calib": 2.0}
+    old = tmp_path / "old.json"
+    new = tmp_path / "new.json"
+    old.write_text(json.dumps(old_doc))
+    new.write_text(json.dumps(new_doc))
+    code, out = _run(str(old), str(new))
+    assert code == 1 and "REGRESSED q" in out
+    assert "box-speed ratio=2.000" in out
+    code, out = _run(str(old), str(new), "--calibrate")
+    assert code == 0 and "REGRESSED" not in out
+    # --calibrate without calib fields refuses loudly
+    uncal = tmp_path / "uncal.json"
+    uncal.write_text(json.dumps(
+        {"queries": {"q": 3.0}, "spread": {}, "sf": 0.1}))
+    code, out = _run(str(uncal), str(new), "--calibrate")
+    assert code != 0

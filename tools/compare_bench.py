@@ -52,12 +52,13 @@ import json
 import sys
 
 
-def _load(path: str) -> tuple[dict, dict, object]:
+def _load(path: str) -> tuple[dict, dict, object, object]:
     doc = json.load(open(path))
     # driver-recorded BENCH_r*.json wraps the stdout line under "parsed"
     if "queries" not in doc and isinstance(doc.get("parsed"), dict):
         doc = doc["parsed"]
-    return doc.get("queries", {}), doc.get("spread", {}), doc.get("sf")
+    return (doc.get("queries", {}), doc.get("spread", {}), doc.get("sf"),
+            doc.get("calib"))
 
 
 def _sf_value(raw: object) -> float | None:
@@ -151,9 +152,31 @@ def main() -> None:
                     help="round-(N-2) bench doc: flag cumulative creep "
                          "the 2x-vs-last-round gate cannot see")
     ap.add_argument("--drift-threshold", type=float, default=1.5)
+    ap.add_argument("--calibrate", action="store_true",
+                    help="normalize the OLD side by the docs' "
+                         "fixed-workload calibration ratio before "
+                         "gating (both docs must carry 'calib')")
     args = ap.parse_args()
-    old, old_spread, _ = _load(args.old)
-    new, new_spread, new_sf = _load(args.new)
+    old, old_spread, _, old_calib = _load(args.old)
+    new, new_spread, new_sf, new_calib = _load(args.new)
+
+    # Box-speed normalization (round-12 verdict item 4): when both
+    # bench docs carry the fixed-workload calibration row, scale the
+    # OLD side's per-query prices by the measured box-speed ratio
+    # before gating, so a uniformly slower/faster box stops reading as
+    # regression/improvement.  Opt-in (--calibrate) so historical
+    # compares and the gate tests keep their exact semantics.
+    if old_calib and new_calib:
+        ratio = float(new_calib) / float(old_calib)
+        print(f"calibration: old={old_calib}s new={new_calib}s "
+              f"box-speed ratio={ratio:.3f}"
+              + ("" if args.calibrate else " (pass --calibrate to apply)"))
+        if args.calibrate:
+            old = {q: v * ratio for q, v in old.items()}
+            old_spread = {q: v * ratio for q, v in old_spread.items()}
+    elif args.calibrate:
+        raise SystemExit("--calibrate needs a 'calib' field in BOTH "
+                         "bench docs (bench.py emits it since round 13)")
 
     added = sorted(set(new) - set(old))
     removed = sorted(set(old) - set(new))
@@ -180,7 +203,7 @@ def main() -> None:
     # creep that never trips the per-round ratio gate
     drift = []
     if args.drift_old:
-        old2, old2_spread, _ = _load(args.drift_old)
+        old2, old2_spread, _, _ = _load(args.drift_old)
         flagged = {q for q, *_ in regressed}
         for q in shared:
             if q not in old2 or q in flagged:
