@@ -41,7 +41,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from etl_cloud_batch_processing_spark.operators.iterative import (
-    changed_count_metric,
     iterate_to_fixpoint,
 )
 
@@ -66,21 +65,39 @@ def connected_components(edges: DataFrame, src: str = "src",
                .select("id", F.col("id").alias("comp"))
                .localCheckpoint(eager=True))
 
+    # The convergence check rides the round's own aggregation
+    # (optimization round 13, guide §1.2: remove a pass): each round
+    # tags its input labels as the "own" branch of the message union,
+    # so the per-id groupBy that computes the new label can ALSO carry
+    # the previous label out (`min` over the single own row).  The
+    # changed-row count is then one cheap aggregate over the round's
+    # cached frame instead of the former per-round new⋈old equi-join —
+    # exactly the same count (both frames hold one row per id), one
+    # less shuffle per round.
     def step(labels: DataFrame) -> DataFrame:
         msgs = (edges.join(labels, edges.src == labels.id)
-                .select(F.col("dst").alias("id"), "comp"))
-        return (msgs.unionByName(labels.select("id", "comp"))
-                .groupBy("id").agg(F.min("comp").alias("comp")))
+                .select(F.col("dst").alias("id"), "comp",
+                        F.lit(False).alias("own")))
+        own = labels.select("id", "comp", F.lit(True).alias("own"))
+        return (msgs.unionByName(own)
+                .groupBy("id")
+                .agg(F.min("comp").alias("comp"),
+                     F.min(F.when(F.col("own"), F.col("comp")))
+                     .alias("prev_comp")))
 
-    # materialize="metric": the changed-count join scans each round's
-    # frame exactly once, so it doubles as the materializer — one job
-    # per round instead of two (guide §1.2: remove unnecessary passes).
-    res = iterate_to_fixpoint(labels0, step,
-                              changed_count_metric("id", "comp"),
+    def delta(old: DataFrame, new: DataFrame) -> float:
+        row = new.agg(F.sum(
+            (F.col("comp") != F.col("prev_comp")).cast("int"))).first()
+        return float(row[0] or 0)
+
+    # materialize="metric": the changed-count aggregate scans each
+    # round's frame exactly once, so it doubles as the materializer —
+    # one job per round instead of two.
+    res = iterate_to_fixpoint(labels0, step, delta,
                               tol=0.0, max_rounds=max_iter,
                               checkpoint_every=1, materialize="metric")
     edges.unpersist()
-    return res.state
+    return res.state.select("id", "comp")
 
 
 def _star_round(e: DataFrame) -> DataFrame:
