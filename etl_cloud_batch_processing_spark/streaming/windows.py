@@ -123,7 +123,12 @@ def stream_state_partitions(spark: SparkSession, *paths: str,
         # (interleaved A/B, best-of-3): streaming_tws_type_counts at
         # 2 partitions ran 14.3 s vs 4.7 s at 32 — the state-store
         # saving is dwarfed by serializing the per-key processor calls
-        # onto 2 workers.  Floor at the session's core count.
+        # onto 2 workers.  Floor at the session's core count.  NOTE:
+        # this bakes a core-derived number into the CHECKPOINT at first
+        # start (the one remnant of core-derived sizing — SCALE.md
+        # "Streaming"); a production deployment sizes it to key
+        # cardinality via SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS instead
+        # of restarting with different cores and expecting it to move.
         return max(derived, spark.sparkContext.defaultParallelism)
     return derived
 
